@@ -1,0 +1,200 @@
+"""Event-stream analytics on the ``events`` table (batch side).
+
+The reference has no streaming/time-series surface (SURVEY.md §2.8) —
+these queries are the north-star extension, expressed with Spark's
+time-window primitives (``F.window``, ``F.session_window``) so the
+identical code shape lifts onto ``readStream`` (see
+``pandas_aws_spark.streaming`` for the streaming variants).
+
+Oracle equivalence notes: Spark truncates parquet ns-timestamps to
+microseconds; DuckDB's TIMESTAMP is also microseconds, so
+``epoch_us``-based window arithmetic in the oracle matches Spark's
+window alignment exactly (both aligned to the Unix epoch, UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dsum, sql_dsum
+from ..registry import load_table, query
+
+# --------------------------------------------------------------------------
+# Tumbling window — hourly counts/sums per event type.
+# --------------------------------------------------------------------------
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_events_tumbling_hourly", oracle=_TUMBLING_ORACLE, headline=True, tags=("events", "window"))
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window via ``F.window`` — epoch-aligned, so it
+    equals date_trunc('hour') in the oracle. Streaming-ready shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window — 1-hour window sliding every 30 minutes.
+# Each event belongs to exactly 2 windows; the oracle materializes both
+# candidate starts with UNNEST and keeps those covering the event.
+# --------------------------------------------------------------------------
+_SLIDING_ORACLE = f"""
+WITH cand AS (
+  SELECT e.*, make_timestamp(s.start_us) AS win_start
+  FROM events e,
+       UNNEST([ (epoch_us(e.ts) // 1800000000) * 1800000000,
+                ((epoch_us(e.ts) // 1800000000) - 1) * 1800000000 ]) AS s(start_us)
+)
+SELECT win_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM cand
+WHERE epoch_us(ts) >= epoch_us(win_start)
+  AND epoch_us(ts) <  epoch_us(win_start) + 3600000000
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
+@query("q_events_sliding_window", oracle=_SLIDING_ORACLE, tags=("events", "window"))
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide) via ``F.window`` — Spark
+    expands each event into its covering windows natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "n_events", "total_value")
+        .orderBy("win_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — 30-minute inactivity gap per user.
+# Spark: native session_window. Oracle: gaps-and-islands (lag + cumsum).
+# Spark merges an event into the open session iff ts < prev_end
+# (= prev_ts + gap), so a NEW session starts when the gap is >= 30 min.
+# --------------------------------------------------------------------------
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
+@query("q_events_sessionize", oracle=_SESSION_ORACLE, headline=True, tags=("events", "session"))
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (works in batch, lifts to streaming
+    with a watermark). Session start = min event ts in the session."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sess"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured JSON extraction from the props column.
+# --------------------------------------------------------------------------
+_JSON_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_events_json_extract", oracle=_JSON_ORACLE, tags=("events", "json"))
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction stays JVM-side (``get_json_object``);
+    integer sum needs no decimal stabilization."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# User funnel — first signup -> first purchase latency (self-join via agg).
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, first_signup, first_purchase,
+       epoch_us(first_purchase) - epoch_us(first_signup) AS latency_us
+FROM firsts
+WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase >= first_signup
+ORDER BY user_id
+"""
+
+
+@query("q_events_funnel_latency", oracle=_FUNNEL_ORACLE, tags=("events",))
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation funnel — one pass, no self-join shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return (
+        firsts.filter(
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_signup"))
+        )
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            (
+                F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("first_signup"))
+            ).alias("latency_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,586 @@
+"""Relational operator corpus — scans, filters, joins, aggregations,
+windows, sorts, limits, set ops, rollup, pivot, subqueries.
+
+The reference exposes this whole surface only as SQL passthrough to the
+warehouse (``pandas_aws/redshift.py:417-448`` executes arbitrary SQL);
+in the Spark engine the DataFrame API / ``spark.sql`` *is* the
+warehouse, so these queries are the engine's primary capability proof
+(SURVEY.md §2.5-§2.7, §2.9).
+
+Scale notes (100 TB design):
+* fact-fact joins (lineitem x orders) shuffle on the join key and rely
+  on AQE for skew; dimension joins (region/nation/customer/supplier/
+  part) are explicitly broadcast — at any realistic scale these stay
+  under tens of MiB;
+* aggregates are expressed declaratively so Catalyst plans partial
+  (map-side) aggregation before the shuffle;
+* top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  (per-partition heap, no global sort);
+* every floating SUM/AVG goes through fixed-point decimal (see
+  functions.stable) so results are bit-stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.stable import davg, dsum, sql_davg, sql_dsum
+from ..registry import load_table, query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan -> filter -> hash agg -> sort.
+# --------------------------------------------------------------------------
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')}                                   AS sum_qty,
+       {sql_dsum('l_extendedprice')}                              AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')}                                   AS avg_qty,
+       {sql_davg('l_extendedprice')}                              AS avg_price,
+       {sql_davg('l_discount')}                                   AS avg_disc,
+       COUNT(*)                                                   AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", oracle=_Q1_ORACLE, headline=True, tags=("agg", "tpch"))
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + 8-way aggregate; Catalyst pushes the shipdate predicate
+    into the parquet scan and plans partial aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: broadcast dim join + fact-fact shuffle join,
+# group, top-10 with deterministic tie-break.
+# --------------------------------------------------------------------------
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q03_shipping_priority", oracle=_Q3_ORACLE, headline=True, tags=("join", "topk", "tpch"))
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer (dim, broadcast) |x| orders |x| lineitem; top-10 revenue.
+
+    At 100 TB: customer filtered on segment broadcasts; orders-lineitem
+    is the one real shuffle, on the join key both sides already share.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join across the whole star schema.
+# --------------------------------------------------------------------------
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q05_region_revenue", oracle=_Q5_ORACLE, headline=True, tags=("join", "tpch"))
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join; all dims broadcast, single fact-fact shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure filter + single-row aggregate.
+# --------------------------------------------------------------------------
+_Q6_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q06_forecast_revenue", oracle=_Q6_ORACLE, tags=("filter", "agg", "tpch"))
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push into the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4-shape — order priority with EXISTS (left-semi join).
+# --------------------------------------------------------------------------
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q04_order_priority", oracle=_Q4_ORACLE, tags=("semijoin", "tpch"))
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join — no row duplication, early exit per key."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti-join — customers with no orders (NOT EXISTS).
+# --------------------------------------------------------------------------
+_QANTI_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("q_customers_without_pending", oracle=_QANTI_ORACLE, tags=("antijoin",))
+def q_customers_without_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join — same primitive the upsert merge uses
+    (reference ``redshift.py:348-362`` DELETE USING)."""
+    cust = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_balance"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group — window row_number (the canonical OLAP pattern).
+# --------------------------------------------------------------------------
+_QTOPK_ORACLE = f"""
+SELECT c_mktsegment, c_custkey, spend, rank
+FROM (
+  SELECT c.c_mktsegment, c.c_custkey,
+         {sql_dsum('o.o_totalprice')} AS spend,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY {sql_dsum('o.o_totalprice')} DESC, c.c_custkey
+         ) AS rank
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+)
+WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
+
+
+@query("q_top_customers_per_segment", oracle=_QTOPK_ORACLE, headline=True, tags=("window", "topk"))
+def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg then windowed rank; rank<=3 filter lets Spark plan a per-
+    partition top-k (WindowGroupLimit) instead of a full sort."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(dsum("o_totalprice").alias("spend"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("spend"), F.col("c_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "spend", "rank")
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global top-k — orderBy+limit => TakeOrderedAndProject (no global sort).
+# --------------------------------------------------------------------------
+_QLIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q_top_orders", oracle=_QLIMIT_ORACLE, tags=("sort", "limit"))
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global top-10 (tie-broken on the key)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops — intersect / except on key sets.
+# --------------------------------------------------------------------------
+_QSETOPS_ORACLE = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     both_k   AS (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o),
+     only_f   AS (SELECT o_custkey FROM f EXCEPT    SELECT o_custkey FROM o)
+SELECT 'intersect' AS op, COUNT(*) AS n FROM both_k
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM only_f
+ORDER BY op
+"""
+
+
+@query("q_set_ops", oracle=_QSETOPS_ORACLE, tags=("setops",))
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / exceptAll-style key algebra (SURVEY §2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    inter = f_keys.intersect(o_keys).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    exc = f_keys.exceptAll(o_keys).agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return inter.unionByName(exc).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# Rollup — hierarchical aggregate (returnflag -> linestatus -> grand total).
+# --------------------------------------------------------------------------
+_QROLLUP_ORACLE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@query("q_rollup_quantity", oracle=_QROLLUP_ORACLE, tags=("rollup", "agg"))
+def q_rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with NULL markers coalesced to 'ALL' (source data has no
+    NULL flags, so the coalesce is unambiguous)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot — returnflag x linestatus matrix.
+# --------------------------------------------------------------------------
+_QPIVOT_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_pivot_status", oracle=_QPIVOT_ORACLE, tags=("pivot",))
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (single-pass, no value discovery job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates + HAVING.
+# --------------------------------------------------------------------------
+_QDISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+HAVING COUNT(*) > 100
+ORDER BY l_returnflag
+"""
+
+
+@query("q_distinct_counts", oracle=_QDISTINCT_ORACLE, tags=("agg", "distinct"))
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (Spark plans expand + two-phase agg) + HAVING."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 100)
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery + anti-join (TPC-H Q22 shape).
+# --------------------------------------------------------------------------
+_QRICH_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_rich
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                     FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("q_rich_inactive_customers", oracle=_QRICH_ORACLE, tags=("subquery", "antijoin"))
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (broadcast single value) + anti-join.
+
+    The mean threshold is computed through fixed-point decimal so both
+    engines derive the identical cut-off (a plain double AVG could
+    differ in the last ULP and flip a borderline row).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_QRICH_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Running / lag windows over an unambiguous ordering.
+# --------------------------------------------------------------------------
+_QRUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+@query("q_running_customer_spend", oracle=_QRUNNING_ORACLE, tags=("window",))
+def q_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window sum per customer; decimal accumulator keeps the
+    running values bit-stable. Ordering (o_orderdate, o_orderkey) is
+    unique, so frames are deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+_QLAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       o_totalprice - LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS price_delta
+FROM orders
+QUALIFY price_delta IS NOT NULL
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("q_order_price_delta", oracle=_QLAG_ORACLE, tags=("window",))
+def q_order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG across consecutive orders per customer (deterministic order);
+    single subtraction of identical doubles is bit-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+        )
+        .filter(F.col("price_delta").isNotNull())
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function showcase (string/date/math built-ins, SURVEY §2.8).
+# --------------------------------------------------------------------------
+_QSCALAR_ORACLE = """
+SELECT o_orderkey,
+       UPPER(o_orderpriority)                    AS prio_upper,
+       SUBSTR(o_orderpriority, 1, 1)             AS prio_code,
+       CONCAT(o_orderstatus, '-', o_orderpriority) AS status_prio,
+       LENGTH(o_orderpriority)                   AS prio_len,
+       CAST(YEAR(o_orderdate) AS INT)            AS order_year,
+       CAST(MONTH(o_orderdate) AS INT)           AS order_month,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+       ABS(o_totalprice - 100000.0)              AS dist_from_100k
+FROM orders
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query("q_scalar_functions", oracle=_QSCALAR_ORACLE, tags=("scalar",))
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface — all JVM-side built-ins inside
+    whole-stage codegen (no Python in the row path)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("prio_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+            F.length("o_orderpriority").alias("prio_len"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.floor(F.col("o_totalprice") / 1000).alias("price_bucket"),
+            F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        )
+        .orderBy("o_orderkey")
+    )

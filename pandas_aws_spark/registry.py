@@ -1,0 +1,113 @@
+"""Query registry — the contract between the engine and the driver.
+
+Every operator the engine claims (SURVEY.md §2 + north-star extensions)
+registers here as a named query: a PySpark callable ``(spark, sf_dir) ->
+DataFrame`` plus, where expressible, an equivalent ANSI-SQL string the
+DuckDB oracle runs on the same parquet tables. ``__spark_entry__.py``
+is a thin re-export of this registry.
+
+Determinism rules for oracle-matched queries (the driver hash-compares
+values after sorting columns by name):
+
+* every computed column is aliased identically on both sides;
+* floating aggregates go through fixed-point decimal so partial-agg
+  order cannot perturb the result (see ``functions.stable``);
+* no NULLs, no ties in top-k orderings (tie-break on a key column);
+* timestamps stay in UTC (session timezone pinned by ``session.py``).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["QuerySpec", "REGISTRY", "query", "load_table", "TABLES", "load_registry"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Modules that define @query entries; imported lazily by load_registry()
+# so importing the package stays cheap.
+_QUERY_MODULES = (
+    "pandas_aws_spark.queries.relational",
+    "pandas_aws_spark.queries.events",
+    "pandas_aws_spark.queries.io_roundtrip",
+    "pandas_aws_spark.queries.warehouse_ops",
+    "pandas_aws_spark.queries.dedup",
+    "pandas_aws_spark.queries.similarity",
+    "pandas_aws_spark.queries.text",
+    "pandas_aws_spark.queries.multimodal",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    headline: bool = False  # include in bench.py
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    *,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, headline=headline, doc=fn.__doc__ or "", tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table (TESTDATA.md layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read as a timestamp. We read nanos as long (runtime-settable SQL
+    conf, so this works under any caller's session) and truncate to
+    microseconds — exactly what DuckDB's us-precision TIMESTAMP does,
+    keeping oracle comparisons aligned.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # integer division (ns -> us) in the JVM long domain: ns-epoch
+        # values overflow double precision, so never divide as float.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_registry() -> dict[str, QuerySpec]:
+    """Import all query modules and return the populated registry."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return REGISTRY

@@ -1,0 +1,310 @@
+"""Object-store DataFrame I/O — the Spark-native re-expression of the
+reference's ``pandas_aws/s3.py`` (all file:line cites refer to
+``/root/reference/pandas_aws/s3.py``).
+
+Capability map (SURVEY.md §2.1/§2.2):
+
+=====================  ==============================================
+reference              here
+=====================  ==============================================
+``get_keys``           :func:`list_keys` — Hadoop FS listing, prefix
+(s3.py:18-53)          pushdown + suffix filter, URI-generic
+``get_df``             :func:`read_df` — format dispatch by arg or
+(s3.py:211-240)        key suffix (csv/parquet/json/orc/xlsx/pickle)
+``get_df_from_keys``   :func:`read_df_from_prefix` — multi-file union
+(s3.py:243-294)        scan; ``suffix``/``mixed``/explicit modes
+``put_df``             :func:`write_df` — parts (repartition), sorted
+(s3.py:100-208)        parts (repartitionByRange+sortWithinPartitions),
+                       gzip, per-format options
+=====================  ==============================================
+
+Design departures from the reference (deliberate, for 100 TB):
+
+* Paths are URIs (``file://``, ``s3a://``, ``hdfs://``): the same code
+  runs locally and on a cluster; credentials come from the session
+  (see ``session.get_spark``), never from this layer.
+* Reads/writes are executor-parallel and lazy; the reference is a
+  sequential driver loop (one HTTP round-trip per file, s3.py:286).
+* Empty prefix yields an **empty DataFrame**, not ``None``
+  (improves on s3.py:294 — callers compose without None-checks).
+* Multi-part naming: Spark's native ``part-*`` files in a directory
+  replace the reference's ``dir/stem/stem.{i}.ext`` scheme
+  (s3.py:188-195); correctness is judged on content, not layout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["list_keys", "read_df", "read_df_from_prefix", "write_df", "SUPPORTED_FORMATS"]
+
+SUPPORTED_FORMATS = ("csv", "parquet", "json", "orc", "xlsx", "pickle")
+# formats attempted (in order) by mixed-mode reads, mirroring the
+# reference's csv -> parquet -> xlsx fallback chain (s3.py:275-285)
+_MIXED_TRY_ORDER = ("csv", "parquet", "json", "orc")
+
+_XLSX_DRIVER_ROW_LIMIT = 1_000_000  # xlsx is a driver bridge; refuse big frames
+
+
+def _hadoop_fs(spark: SparkSession, uri: str):
+    """Hadoop FileSystem for the URI's scheme (file://, s3a://, ...)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    return path.getFileSystem(hconf), path, jvm
+
+
+def list_keys(
+    spark: SparkSession,
+    base_uri: str,
+    prefix: str = "",
+    suffix: str = "",
+    recursive: bool = True,
+) -> list[str]:
+    """List object keys under ``base_uri`` whose basename-relative path
+    starts with ``prefix`` and ends with ``suffix``.
+
+    Reference parity: ``get_keys`` (s3.py:18-53) — prefix is pushed to
+    the store's listing API (here: Hadoop's listFiles, which uses the
+    S3 ListObjectsV2 prefix under s3a), suffix filtered client-side
+    (s3.py:45). Pagination (ContinuationToken, s3.py:38-53) is handled
+    inside the Hadoop FS iterator.
+    """
+    fs, base_path, _ = _hadoop_fs(spark, base_uri)
+    if not fs.exists(base_path):
+        return []
+    base_str = base_path.toString().rstrip("/")
+    out: list[str] = []
+    it = fs.listFiles(base_path, recursive)
+    while it.hasNext():
+        status = it.next()
+        full = status.getPath().toString()
+        rel = full[len(base_str) + 1 :] if full.startswith(base_str + "/") else full
+        if rel.startswith(prefix) and rel.endswith(suffix):
+            out.append(rel)
+    return sorted(out)
+
+
+def _detect_format(key: str) -> str:
+    """Suffix-based format detection (reference ``f.split('.')[-1]``,
+    s3.py:272). Compressed extensions look through the codec suffix."""
+    parts = key.rsplit("/", 1)[-1].split(".")
+    ext = parts[-1].lower()
+    if ext in ("gz", "gzip", "zst", "snappy", "bz2") and len(parts) >= 2:
+        ext = parts[-2].lower()
+    if ext in ("pkl", "pickle"):
+        return "pickle"
+    if ext in ("xls", "xlsx"):
+        return "xlsx"
+    return ext
+
+
+def read_df(
+    spark: SparkSession,
+    path: str | list[str],
+    format: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read one path (or list of paths) into a DataFrame.
+
+    Reference parity: ``get_df`` (s3.py:211-240). ``format=None``
+    detects from the key suffix, like the reference's `'suffix'` mode.
+    CSV defaults to ``header=True`` + schema inference when no schema
+    is given (pandas.read_csv behaviour, s3.py:236) — pass an explicit
+    ``schema`` in production to skip the inference scan.
+    """
+    first = path[0] if isinstance(path, list) else path
+    fmt = (format or _detect_format(first)).lower()
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {SUPPORTED_FORMATS}")
+
+    if fmt == "pickle":
+        # Python-only format; RDD of pickled rows (SURVEY §2.1 S4).
+        rdd = spark.sparkContext.pickleFile(first)
+        return spark.createDataFrame(rdd, schema=schema)
+    if fmt == "xlsx":
+        return _read_xlsx_driver_bridge(spark, first, schema=schema, **options)
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", True)
+        if schema is None:
+            options.setdefault("inferSchema", True)
+    return reader.options(**options).format(fmt).load(path)
+
+
+def read_df_from_prefix(
+    spark: SparkSession,
+    base_uri: str,
+    prefix: str = "",
+    suffix: str = "",
+    format: str = "suffix",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Union-read every object under a prefix into one DataFrame.
+
+    Reference parity: ``get_df_from_keys`` (s3.py:243-294) with its
+    three modes:
+
+    * explicit format — all files read with one multi-path scan;
+    * ``'suffix'`` — detect from the **first** matching key, then use
+      that format for all files (the reference's sticky detection,
+      s3.py:271-274, replicated deliberately — log-visible in the
+      function's return schema rather than silently per-file);
+    * ``'mixed'`` — group keys by detected format, read each group,
+      union with ``unionByName(allowMissingColumns=True)``; unreadable
+      keys are skipped like the reference's try-parse loop
+      (s3.py:275-285).
+
+    Empty result -> empty DataFrame (schema from ``schema`` arg or
+    zero-column), never ``None``.
+    """
+    keys = list_keys(spark, base_uri, prefix=prefix, suffix=suffix)
+    # the reference skips the bare-prefix key itself (s3.py:269)
+    keys = [k for k in keys if k and k != prefix]
+    if not keys:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], schema=schema or T.StructType([]))
+
+    base = base_uri.rstrip("/")
+    if format == "mixed":
+        groups: dict[str, list[str]] = {}
+        for k in keys:
+            groups.setdefault(_detect_format(k), []).append(k)
+        dfs: list[DataFrame] = []
+        for fmt, group_keys in sorted(groups.items()):
+            if fmt not in _MIXED_TRY_ORDER:
+                continue  # skip unparseable formats with a warning, like s3.py:284
+            dfs.append(
+                read_df(spark, [f"{base}/{k}" for k in group_keys], format=fmt, schema=schema, **options)
+            )
+        if not dfs:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], schema=schema or T.StructType([]))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    fmt = _detect_format(keys[0]) if format == "suffix" else format
+    return read_df(spark, [f"{base}/{k}" for k in keys], format=fmt, schema=schema, **options)
+
+
+def write_df(
+    df: DataFrame,
+    path: str,
+    format: str = "csv",
+    compression: str | None = None,
+    parts: int = 1,
+    sort_keys: list[str] | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Write a DataFrame as ``parts`` files under ``path``.
+
+    Reference parity: ``put_df`` (s3.py:100-208):
+
+    * ``parts=n`` — the reference's ``np.array_split`` row slicing
+      (s3.py:85) becomes ``repartition(n)``; with ``sort_keys`` it
+      becomes ``repartitionByRange(n, *keys).sortWithinPartitions(
+      *keys)`` — the exact distributed analogue of "globally sort,
+      then split into contiguous range files" (s3.py:84-87), so the
+      reference invariant `concat(parts) == df.sort_values(keys)`
+      holds (tests/test_s3.py:173-183).
+    * ``compression='gzip'`` — codec option on the writer instead of
+      driver-side re-encoding (s3.py:159-171); valid for any text
+      format, parquet uses its own codecs.
+    * input validation mirrors s3.py:121-149 (type, format whitelist,
+      parts>0, compression whitelist).
+    """
+    if not isinstance(df, DataFrame):
+        raise TypeError(f"df must be a pyspark DataFrame, got {type(df)}")
+    fmt = format.lower()
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {SUPPORTED_FORMATS}")
+    if parts < 1:
+        raise ValueError("parts must be >= 1")
+    if compression is not None and compression not in ("gzip", "snappy", "zstd", "bzip2", "lz4", "none"):
+        raise ValueError(f"unsupported compression {compression!r}")
+
+    if sort_keys:
+        out = df.repartitionByRange(parts, *[F.col(k) for k in sort_keys]).sortWithinPartitions(
+            *sort_keys
+        )
+    elif parts > 1 or fmt not in ("pickle", "xlsx"):
+        out = df.repartition(parts)
+    else:
+        out = df
+
+    if fmt == "pickle":
+        # reference K4 (s3.py:182-184); RDD pickle directory.
+        out.rdd.saveAsPickleFile(path)
+        return
+    if fmt == "xlsx":
+        _write_xlsx_driver_bridge(out, path, **options)
+        return
+
+    writer = out.write.mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", True)
+    if compression and compression != "none":
+        options["compression"] = compression
+    writer.options(**options).format(fmt).save(path)
+
+
+# --- xlsx long tail (reference S5/K3) --------------------------------------
+# No core-Spark Excel source and no excel libs in this container; the
+# sanctioned design is a driver-side pandas bridge behind a hard row
+# guard (SURVEY.md §7 milestone 6). The plumbing is real; the pandas
+# engine import is the only gated piece.
+
+
+def _read_xlsx_driver_bridge(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    try:
+        import pandas as pd
+
+        local = path[len("file://") :] if path.startswith("file://") else path
+        pdf = pd.read_excel(local, **options)  # needs openpyxl/xlrd
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "xlsx read requires an excel engine (openpyxl/xlrd) on the driver; "
+            "not available in this environment"
+        ) from exc
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def _write_xlsx_driver_bridge(df: DataFrame, path: str, **options) -> None:
+    n = df.count()
+    if n > _XLSX_DRIVER_ROW_LIMIT:
+        raise ValueError(
+            f"xlsx is a driver-side bridge, refusing {n} rows (> {_XLSX_DRIVER_ROW_LIMIT}); "
+            "write parquet/csv instead"
+        )
+    try:
+        import pandas as pd  # noqa: F401
+
+        local = path[len("file://") :] if path.startswith("file://") else path
+        # sheet name fixed to Sheet1 like the reference (s3.py:172-175)
+        df.toPandas().to_excel(local, sheet_name="Sheet1", index=False, **options)
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "xlsx write requires an excel engine (xlsxwriter/openpyxl) on the driver; "
+            "not available in this environment"
+        ) from exc
+
+
+def union_all(dfs: Iterable[DataFrame]) -> DataFrame | None:
+    """unionByName over a sequence (reference R3, pandas.concat axis=0)."""
+    out = None
+    for d in dfs:
+        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+    return out

@@ -1,1 +1,114 @@
-"""I/O round-trip queries — filled in with objectstore module (task 3)."""
+"""I/O round-trip queries — prove the object-store write/read surface
+(reference ``put_df``/``get_df_from_keys``, SURVEY.md §2.1-§2.2) with
+oracle-checked content: write a table out through ``write_df``, read it
+back through ``read_df``, aggregate, and match the aggregate DuckDB
+computes on the ORIGINAL parquet. If serialization dropped or mangled
+anything, the hashes diverge.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dsum, sql_dsum
+from ..objectstore import read_df, write_df
+from ..registry import load_table, query
+
+_LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+
+_CSV_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_orderkey % 10 = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_io_roundtrip_csv_gzip", oracle=_CSV_ORACLE, tags=("io",))
+def q_io_roundtrip_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem subset -> gzip csv in 4 range-sorted parts -> read back
+    with explicit schema -> aggregate. Covers K1/K5/K6 + S2 round-trip
+    including timestamp and full-precision double serialization."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="roundtrip_csv_")
+    path = f"file://{tmp}/lineitem_csv"
+    write_df(li, path, format="csv", compression="gzip", parts=4, sort_keys=["l_orderkey"])
+    back = read_df(spark, path, format="csv", schema=_LINEITEM_SCHEMA)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PARQUET_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q_io_roundtrip_parquet_partitioned", oracle=_PARQUET_ORACLE, tags=("io",))
+def q_io_roundtrip_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> hive-partitioned parquet (partitionBy status) -> read
+    back -> aggregate. The read-back scan prunes partitions by the
+    directory key — the Spark analogue of the reference's prefix
+    pushdown (s3.py:33-35) at the storage layout level."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="roundtrip_parquet_")
+    path = f"file://{tmp}/orders_parquet"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_UNION_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('s_acctbal')} AS total_balance,
+       COUNT(DISTINCT s_suppkey) AS n_suppliers
+FROM (SELECT * FROM supplier UNION ALL SELECT * FROM supplier UNION ALL SELECT * FROM supplier)
+"""
+
+
+@query("q_io_multifile_union", oracle=_UNION_ORACLE, tags=("io", "union"))
+def q_io_multifile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three copies of supplier written as separate objects under one
+    prefix, union-read back in a single multi-path scan (reference
+    ``get_df_from_keys``, s3.py:243-294; union-all semantics R3)."""
+    from ..objectstore import read_df_from_prefix
+
+    supp = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="roundtrip_union_")
+    base = f"file://{tmp}/suppliers"
+    for i in range(3):
+        write_df(supp, f"{base}/copy_{i}.parquet", format="parquet")
+    back = read_df_from_prefix(spark, base, suffix=".parquet", format="suffix")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        dsum("s_acctbal").alias("total_balance"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )

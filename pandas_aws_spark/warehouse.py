@@ -1,0 +1,281 @@
+"""Warehouse-table surface — the Spark-native re-expression of the
+reference's ``pandas_aws/redshift.py`` ``RedshiftClient`` (all
+file:line cites refer to ``/root/reference/pandas_aws/redshift.py``).
+
+Capability map (SURVEY.md §2.2-§2.3):
+
+=============================  =========================================
+reference                      here
+=============================  =========================================
+``_validate_column_names``     :func:`normalize_column_names`
+(redshift.py:88-100)           (lowercase, spaces->underscores,
+                               reserved-word rejection)
+``_to_redshift_types``         :func:`schema_to_ddl` — driven by
+(redshift.py:102-114)          ``df.schema`` instead of dtype strings;
+                               fixes the reference's int64->INTEGER and
+                               float64->REAL narrowing bugs
+``_create_redshift_table``     :meth:`WarehouseClient.create_table` —
+(redshift.py:191-247)          DISTKEY -> CLUSTERED BY (bucketing),
+                               SORTKEY -> SORTED BY / sortWithinPartitions,
+                               audit column ``date_insert``
+``upload_to_redshift``         :meth:`WarehouseClient.upload` — the
+(redshift.py:249-334)          S3-staging + COPY pipeline collapses into
+                               ``df.write.saveAsTable`` (executors write
+                               the table files directly)
+``get_df``                     :meth:`WarehouseClient.query_df` —
+(redshift.py:417-448)          arbitrary SQL via ``spark.sql``; chunked
+                               fetchmany becomes partitioned scan
+``upsert_rows``                :meth:`WarehouseClient.upsert` — staged
+(redshift.py:386-416)          delete+insert becomes anti-join + union
+                               (last-write-wins; ALL update rows kept,
+                               duplicates included — §3.4 semantics)
+=============================  =========================================
+
+Transactionality (reference R12): Redshift gave the reference
+BEGIN/END atomicity (redshift.py:353-379). Plain-parquet Spark has
+per-write atomicity only (file-commit protocol); the upsert here uses
+write-temp-then-rename, which leaves a small non-atomic window between
+DROP and RENAME. Full multi-statement atomicity needs Delta/Iceberg
+(jars not in this image — the client degrades gracefully, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "RESERVED_WORDS",
+    "add_reserved_words",
+    "normalize_column_names",
+    "schema_to_ddl",
+    "WarehouseClient",
+]
+
+# ANSI/warehouse reserved words that may not be used as column names —
+# the reference maintains the same kind of list (redshift.py:43-71,
+# sourced from the public Redshift docs); this is the common ANSI core.
+RESERVED_WORDS: set[str] = {
+    "all", "and", "any", "as", "asc", "between", "by", "case", "cast",
+    "check", "column", "constraint", "create", "cross", "current_date",
+    "current_time", "current_timestamp", "default", "delete", "desc",
+    "distinct", "drop", "else", "end", "except", "exists", "false",
+    "for", "foreign", "from", "full", "group", "having", "in", "inner",
+    "insert", "intersect", "into", "is", "join", "left", "like",
+    "limit", "not", "null", "on", "or", "order", "outer", "primary",
+    "references", "right", "select", "set", "table", "then", "to",
+    "true", "union", "unique", "update", "user", "using", "values",
+    "when", "where", "with",
+}
+
+
+def add_reserved_words(words: list[str]) -> None:
+    """User-extensible reserved list (reference ``add_reserved_words``,
+    redshift.py:79-86)."""
+    RESERVED_WORDS.update(w.lower().strip() for w in words)
+
+
+def normalize_column_names(df: DataFrame) -> DataFrame:
+    """Lowercase, strip, spaces->underscores; reject reserved words.
+
+    Reference parity: ``_validate_column_names`` (redshift.py:88-100).
+    """
+    new_names = []
+    for c in df.columns:
+        norm = c.strip().lower().replace(" ", "_")
+        if norm in RESERVED_WORDS:
+            raise ValueError(f"column name {c!r} normalizes to reserved word {norm!r}")
+        new_names.append(norm)
+    if len(set(new_names)) != len(new_names):
+        raise ValueError(f"column names collide after normalization: {new_names}")
+    return df.toDF(*new_names)
+
+
+# Spark type -> warehouse DDL type. Fixes the reference's lossiness
+# (redshift.py:105-108): int64 keeps BIGINT (not INTEGER), float64
+# keeps DOUBLE PRECISION (not 4-byte REAL).
+_DDL_TYPES: list[tuple[type, str]] = [
+    (T.LongType, "BIGINT"),
+    (T.IntegerType, "INTEGER"),
+    (T.ShortType, "SMALLINT"),
+    (T.ByteType, "SMALLINT"),
+    (T.DoubleType, "DOUBLE PRECISION"),
+    (T.FloatType, "REAL"),
+    (T.BooleanType, "BOOLEAN"),
+    (T.TimestampType, "TIMESTAMP"),
+    (T.DateType, "DATE"),
+]
+
+
+def _ddl_type(dt: T.DataType, dialect: str) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    for spark_t, ddl in _DDL_TYPES:
+        if isinstance(dt, spark_t):
+            return ddl
+    if isinstance(dt, T.StringType):
+        # reference falls back to VARCHAR(256) (redshift.py:113-114) —
+        # a silent-truncation capacity bug; warehouse dialect widens to
+        # the Redshift max, Spark dialect uses native STRING.
+        return "VARCHAR(65535)" if dialect == "redshift" else "STRING"
+    if dialect == "spark":
+        return dt.simpleString().upper()  # arrays/maps/structs are native
+    raise ValueError(f"no {dialect} DDL mapping for Spark type {dt}")
+
+
+def schema_to_ddl(schema: T.StructType, dialect: str = "spark") -> str:
+    """Column-list DDL from a Spark schema (reference
+    ``_get_column_data_types``, redshift.py:116-122)."""
+    return ", ".join(f"{f.name} {_ddl_type(f.dataType, dialect)}" for f in schema.fields)
+
+
+class WarehouseClient:
+    """Session-catalog warehouse client.
+
+    Tables are external parquet tables rooted at ``warehouse_dir`` so
+    repeated test runs never pollute the repo and DROP removes cleanly.
+    On a real deployment the same API fronts a Hive metastore / Glue
+    catalog, or a JDBC warehouse via :meth:`query_jdbc`.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="spark_warehouse_")
+
+    def _loc(self, table: str) -> str:
+        return f"{self.warehouse_dir}/{table}"
+
+    # -- DDL (reference K8, redshift.py:191-247) ---------------------------
+
+    def create_table(
+        self,
+        df: DataFrame,
+        name: str,
+        *,
+        dist_key: str | None = None,
+        n_buckets: int = 8,
+        sort_key: list[str] | None = None,
+        include_date_insert: bool = True,
+        overwrite: bool = False,
+    ) -> None:
+        """Create an (empty) table from a DataFrame's schema.
+
+        Physical layout hints map DISTKEY -> ``CLUSTERED BY`` bucketing
+        (co-locates later joins on the key, the same goal as Redshift's
+        DISTKEY, redshift.py:229-237) and SORTKEY -> ``SORTED BY``
+        (zone-map locality, redshift.py:238-241).
+        """
+        df = normalize_column_names(df)
+        schema = df.schema
+        if include_date_insert:
+            # audit column (reference redshift.py:218-219)
+            schema = schema.add("date_insert", T.TimestampType())
+        cols = schema_to_ddl(schema, dialect="spark")
+        if overwrite:
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        clause = ""
+        if dist_key:
+            sort = f" SORTED BY ({', '.join(sort_key)})" if sort_key else ""
+            clause = f" CLUSTERED BY ({dist_key}){sort} INTO {n_buckets} BUCKETS"
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet{clause} "
+            f"LOCATION '{self._loc(name)}'"
+        )
+
+    # -- load pipeline (reference K10, redshift.py:249-334) ----------------
+
+    def upload(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "append",
+        *,
+        include_date_insert: bool = True,
+        repartition_key: str | None = None,
+        sort_key: list[str] | None = None,
+    ) -> None:
+        """Bulk-load a DataFrame into a catalog table.
+
+        The reference's staging dance (gzip csv to S3 -> COPY,
+        redshift.py:276-307) collapses: executors write table files
+        directly. ``repartition_key``/``sort_key`` give the DISTKEY/
+        SORTKEY physical layout without a bucketed metastore.
+        """
+        df = normalize_column_names(df)
+        if include_date_insert:
+            df = df.withColumn("date_insert", F.current_timestamp())
+        if repartition_key:
+            df = df.repartition(F.col(repartition_key))
+        if sort_key:
+            df = df.sortWithinPartitions(*sort_key)
+        (
+            df.write.mode(mode)
+            .option("path", self._loc(name))
+            .saveAsTable(name)
+        )
+
+    # -- query (reference S7, redshift.py:417-448) -------------------------
+
+    def query_df(self, sql: str, columns: dict[str, str] | None = None) -> DataFrame:
+        """Arbitrary SQL -> DataFrame — the engine's primary query entry
+        point. The reference's fetchmany chunk loop (redshift.py:434-439)
+        disappears into partitioned, lazy execution; ``columns`` is the
+        optional rename map (redshift.py:443-444)."""
+        df = self.spark.sql(sql)
+        if columns:
+            for old, new in columns.items():
+                df = df.withColumnRenamed(old, new)
+        return df
+
+    def query_jdbc(self, url: str, sql: str, **options) -> DataFrame:
+        """Federated read from an external warehouse over JDBC (the
+        'real Redshift' path). Partition with partitionColumn/lowerBound/
+        upperBound/numPartitions instead of fetchmany chunking."""
+        return (
+            self.spark.read.format("jdbc")
+            .option("url", url)
+            .option("query", sql)
+            .options(**options)
+            .load()
+        )
+
+    # -- merge (reference M1-M4, redshift.py:336-416) ----------------------
+
+    @staticmethod
+    def merge_frames(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+        """Pure merge semantics of ``upsert_rows`` (redshift.py:386-416):
+        delete target rows whose composite key appears in the update
+        set, then insert ALL staged rows (duplicate keys in the update
+        set all land — reference §3.4, replicated faithfully).
+
+        = ``target ANTI JOIN updates ON keys  UNION ALL  updates``.
+        """
+        survivors = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        return survivors.unionByName(updates, allowMissingColumns=False)
+
+    def upsert(self, updates: DataFrame, target_table: str, keys: list[str]) -> None:
+        """Keyed last-write-wins merge into a catalog table.
+
+        Write-temp-then-rename replaces the reference's BEGIN/END
+        transaction (redshift.py:353-379); see module docstring for the
+        atomicity caveat.
+        """
+        updates = normalize_column_names(updates)
+        target = self.spark.table(target_table)
+        if "date_insert" in target.columns and "date_insert" not in updates.columns:
+            # reference: staging table drops the audit col (M1,
+            # redshift.py:336-346) and the insert re-defaults it —
+            # fresh timestamp for every staged row.
+            updates = updates.withColumn("date_insert", F.current_timestamp())
+        merged = self.merge_frames(target, updates, keys)
+        stage = f"{target_table}__stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        merged.write.option("path", self._loc(stage)).saveAsTable(stage)
+        self.spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+        self.spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+
+    def drop_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")

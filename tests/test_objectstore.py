@@ -1,0 +1,146 @@
+"""Object-store I/O round-trip tests — port of the reference's test
+matrix (FIXTURES.md §A; /root/reference/tests/test_s3.py) onto local
+``file://`` paths: format x compression x parts x sort_keys, multi-file
+unions, listing, and error paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_aws_spark.objectstore import (
+    list_keys,
+    read_df,
+    read_df_from_prefix,
+    write_df,
+)
+
+# the reference's canonical fixture: col_1 deliberately reverse-sorted
+FIXTURE = {"col_1": [3, 2, 1, 0], "col_2": ["a", "b", "c", "d"]}
+
+
+@pytest.fixture()
+def fdf(spark):
+    return spark.createDataFrame(
+        list(zip(FIXTURE["col_1"], FIXTURE["col_2"])), schema="col_1 long, col_2 string"
+    )
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("fmt", ["csv", "parquet", "json", "orc"])
+def test_roundtrip_formats(spark, fdf, tmp_path, fmt):
+    path = f"file://{tmp_path}/data_{fmt}"
+    write_df(fdf, path, format=fmt)
+    back = read_df(spark, path, format=fmt, schema="col_1 long, col_2 string")
+    assert _collect_sorted(back) == _collect_sorted(fdf)
+
+
+def test_roundtrip_csv_custom_sep(spark, fdf, tmp_path):
+    path = f"file://{tmp_path}/sep"
+    write_df(fdf, path, format="csv", sep=";")
+    back = read_df(spark, path, format="csv", schema="col_1 long, col_2 string", sep=";")
+    assert _collect_sorted(back) == _collect_sorted(fdf)
+
+
+def test_roundtrip_csv_gzip(spark, fdf, tmp_path):
+    path = f"file://{tmp_path}/gz"
+    write_df(fdf, path, format="csv", compression="gzip")
+    keys = list_keys(spark, path, suffix=".csv.gz")
+    assert keys, "expected gzip csv part files"
+    back = read_df(spark, path, format="csv", schema="col_1 long, col_2 string")
+    assert _collect_sorted(back) == _collect_sorted(fdf)
+
+
+def test_parts_split_preserves_content(spark, fdf, tmp_path):
+    path = f"file://{tmp_path}/parts"
+    write_df(fdf, path, format="csv", parts=2)
+    parts = list_keys(spark, path, suffix=".csv")
+    assert len(parts) == 2
+    back = read_df(spark, path, format="csv", schema="col_1 long, col_2 string")
+    assert _collect_sorted(back) == _collect_sorted(fdf)
+
+
+def test_sorted_parts_invariant(spark, fdf, tmp_path):
+    """Reference invariant (tests/test_s3.py:173-183): reading the part
+    files in filename order reproduces the globally sorted frame."""
+    path = f"file://{tmp_path}/sorted"
+    write_df(fdf, path, format="csv", parts=2, sort_keys=["col_1", "col_2"])
+    parts = list_keys(spark, path, suffix=".csv")
+    assert len(parts) == 2
+    rows = []
+    for p in sorted(parts):
+        rows += [tuple(r) for r in read_df(
+            spark, f"{path}/{p}", format="csv", schema="col_1 long, col_2 string"
+        ).collect()]
+    assert rows == sorted((tuple(r) for r in fdf.collect())), "concat(parts) == sorted(df)"
+
+
+def test_multi_file_union_suffix_mode(spark, fdf, tmp_path):
+    for i in range(3):
+        write_df(fdf, f"file://{tmp_path}/u/f{i}.csv", format="csv")
+    back = read_df_from_prefix(
+        spark, f"file://{tmp_path}/u", suffix=".csv", schema="col_1 long, col_2 string"
+    )
+    assert back.count() == 4 * 3
+    assert back.groupBy().sum("col_1").collect()[0][0] == 6 * 3
+
+
+def test_multi_file_union_mixed_mode(spark, fdf, tmp_path):
+    write_df(fdf, f"file://{tmp_path}/m/a.csv", format="csv")
+    write_df(fdf, f"file://{tmp_path}/m/b.parquet", format="parquet")
+    back = read_df_from_prefix(spark, f"file://{tmp_path}/m", format="mixed")
+    assert back.count() == 8
+    assert sorted(back.columns) == ["col_1", "col_2"]
+
+
+def test_empty_prefix_returns_empty_df(spark, tmp_path):
+    out = read_df_from_prefix(spark, f"file://{tmp_path}/nothing", schema="col_1 long")
+    assert out.count() == 0
+    assert out.columns == ["col_1"]
+
+
+def test_list_keys_prefix_suffix(spark, fdf, tmp_path):
+    write_df(fdf, f"file://{tmp_path}/l/aa.csv", format="csv")
+    write_df(fdf, f"file://{tmp_path}/l/ab.parquet", format="parquet")
+    all_keys = list_keys(spark, f"file://{tmp_path}/l")
+    assert any(k.startswith("aa.csv/") for k in all_keys)
+    csv_keys = list_keys(spark, f"file://{tmp_path}/l", suffix=".csv")
+    assert csv_keys and all(k.endswith(".csv") for k in csv_keys)
+    pa_keys = list_keys(spark, f"file://{tmp_path}/l", prefix="ab.parquet")
+    assert pa_keys and all(k.startswith("ab.parquet") for k in pa_keys)
+    assert list_keys(spark, f"file://{tmp_path}/does_not_exist") == []
+
+
+def test_pickle_roundtrip(spark, fdf, tmp_path):
+    path = f"file://{tmp_path}/pkl"
+    write_df(fdf, path, format="pickle")
+    back = read_df(spark, path, format="pickle")
+    assert _collect_sorted(back) == _collect_sorted(fdf)
+
+
+def test_error_paths(spark, fdf, tmp_path):
+    with pytest.raises(ValueError):
+        write_df(fdf, f"file://{tmp_path}/x", format="avroxyz")
+    with pytest.raises(ValueError):
+        write_df(fdf, f"file://{tmp_path}/x", format="csv", parts=0)
+    with pytest.raises(ValueError):
+        write_df(fdf, f"file://{tmp_path}/x", format="csv", compression="rar")
+    with pytest.raises(TypeError):
+        write_df("not a df", f"file://{tmp_path}/x")
+    with pytest.raises(ValueError):
+        read_df(spark, f"file://{tmp_path}/x.unknownext")
+
+
+def test_xlsx_gated(spark, fdf, tmp_path):
+    """xlsx is a guarded driver bridge; without an excel engine it must
+    raise NotImplementedError, not crash obscurely."""
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("excel engine present; bridge active")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        write_df(fdf, f"file://{tmp_path}/x.xlsx", format="xlsx")

@@ -1,0 +1,131 @@
+"""Warehouse surface tests — DDL mapping, name normalization, upload,
+query, and the upsert merge-semantics matrix from FIXTURES.md §A
+(keyed replace, new-key insert, untouched preserved, duplicate keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from pandas_aws_spark.warehouse import (
+    WarehouseClient,
+    add_reserved_words,
+    normalize_column_names,
+    schema_to_ddl,
+)
+
+
+@pytest.fixture()
+def wc(spark, tmp_path):
+    return WarehouseClient(spark, warehouse_dir=f"file://{tmp_path}/wh")
+
+
+def test_normalize_column_names(spark):
+    df = spark.createDataFrame([(1, "x")], schema=["Col One", "MiXeD"])
+    out = normalize_column_names(df)
+    assert out.columns == ["col_one", "mixed"]
+
+
+def test_normalize_rejects_reserved(spark):
+    df = spark.createDataFrame([(1,)], schema=["SELECT"])
+    with pytest.raises(ValueError, match="reserved"):
+        normalize_column_names(df)
+
+
+def test_normalize_rejects_collisions(spark):
+    df = spark.createDataFrame([(1, 2)], schema=["a b", "A_B"])
+    with pytest.raises(ValueError, match="collide"):
+        normalize_column_names(df)
+
+
+def test_add_reserved_words(spark):
+    add_reserved_words(["MyCustomWord"])
+    df = spark.createDataFrame([(1,)], schema=["mycustomword"])
+    with pytest.raises(ValueError, match="reserved"):
+        normalize_column_names(df)
+
+
+def test_schema_to_ddl_fixes_reference_lossiness():
+    """int64 must map to BIGINT (not INTEGER) and float64 to DOUBLE
+    PRECISION (not REAL) — the reference narrows both (redshift.py:105-108)."""
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.TimestampType()),
+            T.StructField("d", T.BooleanType()),
+            T.StructField("e", T.StringType()),
+            T.StructField("f", T.DecimalType(10, 2)),
+        ]
+    )
+    ddl = schema_to_ddl(schema, dialect="redshift")
+    assert "a BIGINT" in ddl
+    assert "b DOUBLE PRECISION" in ddl
+    assert "c TIMESTAMP" in ddl
+    assert "d BOOLEAN" in ddl
+    assert "e VARCHAR(65535)" in ddl
+    assert "f DECIMAL(10,2)" in ddl
+    spark_ddl = schema_to_ddl(schema, dialect="spark")
+    assert "e STRING" in spark_ddl
+
+
+def test_create_table_and_upload_and_query(spark, wc):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema="pk long, payload string")
+    wc.create_table(df, "t_create", overwrite=True)
+    cols = [f.name for f in spark.table("t_create").schema.fields]
+    assert cols == ["pk", "payload", "date_insert"]
+
+    wc.upload(df, "t_up", mode="overwrite")
+    out = wc.query_df("SELECT pk, payload, date_insert FROM t_up ORDER BY pk")
+    rows = out.collect()
+    assert [(r.pk, r.payload) for r in rows] == [(1, "a"), (2, "b")]
+    assert all(r.date_insert is not None for r in rows)
+    wc.drop_table("t_create")
+    wc.drop_table("t_up")
+
+
+def test_query_df_rename_map(spark, wc):
+    df = spark.createDataFrame([(1,)], schema="x long")
+    wc.upload(df, "t_ren", mode="overwrite", include_date_insert=False)
+    out = wc.query_df("SELECT x FROM t_ren", columns={"x": "y"})
+    assert out.columns == ["y"]
+    wc.drop_table("t_ren")
+
+
+def test_upsert_semantics(spark, wc):
+    """FIXTURES.md §A invariants: existing keys take updated payloads,
+    new keys appended, untouched keys preserved."""
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], schema="pk long, payload string"
+    )
+    wc.upload(target, "t_merge", mode="overwrite", include_date_insert=False)
+    updates = spark.createDataFrame(
+        [(2, "NEW2"), (4, "NEW4")], schema="pk long, payload string"
+    )
+    wc.upsert(updates, "t_merge", keys=["pk"])
+    rows = sorted((r.pk, r.payload) for r in spark.table("t_merge").collect())
+    assert rows == [(1, "old1"), (2, "NEW2"), (3, "old3"), (4, "NEW4")]
+    wc.drop_table("t_merge")
+
+
+def test_upsert_duplicate_keys_all_inserted(spark, wc):
+    """Reference §3.4: duplicate keys in the update batch ALL land."""
+    target = spark.createDataFrame([(1, "old")], schema="pk long, payload string")
+    wc.upload(target, "t_dup", mode="overwrite", include_date_insert=False)
+    updates = spark.createDataFrame(
+        [(1, "v1"), (1, "v2")], schema="pk long, payload string"
+    )
+    wc.upsert(updates, "t_dup", keys=["pk"])
+    rows = sorted((r.pk, r.payload) for r in spark.table("t_dup").collect())
+    assert rows == [(1, "v1"), (1, "v2")]
+    wc.drop_table("t_dup")
+
+
+def test_upsert_adds_audit_column_to_updates(spark, wc):
+    target = spark.createDataFrame([(1, "old")], schema="pk long, payload string")
+    wc.upload(target, "t_aud", mode="overwrite", include_date_insert=True)
+    updates = spark.createDataFrame([(2, "new")], schema="pk long, payload string")
+    wc.upsert(updates, "t_aud", keys=["pk"])
+    rows = spark.table("t_aud").collect()
+    assert all(r.date_insert is not None for r in rows)
+    wc.drop_table("t_aud")

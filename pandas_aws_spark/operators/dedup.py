@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale (training-data) pipelines.
+
+The reference has no dedup surface (SURVEY.md §2.9 north-star
+extension); these are the standard techniques re-expressed as Spark
+DataFrame pipelines. Every stage is built-in ops — explode/groupBy/
+join — so Catalyst plans map-side partial aggregation and AQE handles
+skewed shingle buckets.
+
+Scale design (100 TB corpus):
+
+* **exact**: one shuffle on the content hash; memory-bounded (hash,
+  min-id aggregation only, never the full text through the shuffle).
+* **minhash-LSH**: shuffle cost is O(total shingles) for signatures +
+  O(docs x bands) for banding; candidate verification touches only
+  LSH-colliding pairs, never the quadratic pair space. Hot bands
+  (boilerplate docs) are the skew risk — AQE skew-join handles the
+  verify join; a band-value frequency cap (``max_band_bucket``) drops
+  degenerate buckets the way production dedup pipelines do.
+* **simhash**: one pass to signatures, candidates = exact signature
+  collision (Hamming-0 buckets; wider Hamming radii = re-bucket on
+  signature rotations, see docstring).
+* **blocked n-gram jaccard**: quadratic *within a block* only; blocks
+  are user keys (lang/source/date...) — the classic blocking strategy
+  when LSH is overkill.
+
+``hash_fn='md5'`` keeps every operator bit-reproducible in DuckDB for
+the correctness gate; production can pass ``'xxhash64'`` (Spark-native,
+faster, no oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import char_ngrams, seeded_md5, tokens, word_shingles
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_band_buckets",
+    "minhash_near_dup_pairs",
+    "drop_list_from_pairs",
+    "simhash16",
+    "simhash_near_dup_pairs",
+    "blocked_ngram_jaccard_pairs",
+]
+
+
+def _hash_col(c: Column, seed: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return seeded_md5(c, seed)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c, F.lit(seed)).cast("string")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic, unlike
+    ``dropDuplicates`` whose survivor depends on partition order).
+
+    Returns (content hash, kept_id, n_copies). One shuffle, on the
+    content hash; only hash+id cross the wire.
+    """
+    h = F.md5(F.concat_ws("\x1f", *content_cols)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("kept_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (id, shingle)."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, n_hashes: int = 8, hash_fn: str = "md5"
+) -> DataFrame:
+    """One row per doc with columns h0..h{n-1}: minimum of hash family
+    member j over the doc's shingle set. Single groupBy pass — all n
+    hashes computed per shingle row map-side, only n minima shuffle."""
+    aggs = [
+        F.min(_hash_col(F.col("shingle"), j, hash_fn)).alias(f"h{j}") for j in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(signatures: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """Explode signatures into (id, band, band_signature). Docs sharing
+    a band signature are LSH candidates."""
+    n = bands * rows
+    assert all(f"h{j}" in signatures.columns for j in range(n)), "not enough hash columns"
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-duplicate pipeline.
+
+    Returns verified pairs (id_a < id_b, jaccard >= threshold) where
+    jaccard is the EXACT shingle-set Jaccard of the candidate pair —
+    LSH only prunes the pair space, it never asserts similarity.
+    """
+    rows = n_hashes // bands
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    if max_band_bucket is not None:
+        # drop degenerate buckets (boilerplate collisions) — cheap
+        # window-free guard: bucket size via groupBy join.
+        sizes = buckets.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+        buckets = buckets.join(
+            F.broadcast(sizes.filter(F.col("bn") <= max_band_bucket)), ["band", "sig"], "left_semi"
+        )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard over the shingle sets for candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def drop_list_from_pairs(pairs: DataFrame) -> DataFrame:
+    """One-hop dedup decision: a doc is dropped iff it has a verified
+    near-duplicate with a smaller id; ``dup_of`` = the smallest such
+    partner (deterministic; full transitive clustering would need
+    iterative connected components — documented non-goal for v1)."""
+    return (
+        pairs.groupBy(F.col("id_b").alias("doc_id"))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.min_by("jaccard", "id_a").alias("dup_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over the token stream (weights = occurrences).
+
+    Bit i (1..16) is the sign of sum over tokens of +-1, where the
+    vote is the high bit of hex digit i of md5(token). Wider radii:
+    re-run with rotated digit offsets and intersect candidates.
+    Returns (id, simhash) with simhash as a 16-char '0'/'1' string.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    pos = tok.select(
+        id_col, F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"), F.col("tok")
+    )
+    votes = pos.select(
+        id_col,
+        "pos",
+        F.when(
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("tok")), F.col("pos").cast("int"), 1)) - 1 >= 8,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bit = (
+        votes.groupBy(id_col, "pos")
+        .agg(F.sum("vote").alias("s"))
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
+        )
+    )
+    return bit.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "b"))), lambda s: s["b"]), ""
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, threshold: float = 0.5, shingle_k: int = 3
+) -> DataFrame:
+    """Candidates = exact simhash16 collision (Hamming distance 0),
+    verified with exact shingle Jaccard >= threshold."""
+    sig = simhash16(df, id_col, text_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+# --------------------------------------------------------------------------
+# Blocked character-n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def blocked_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    *,
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Pairwise char-n-gram Jaccard restricted to blocks (classic
+    blocking dedup: quadratic only within a block). Returns verified
+    pairs (id_a < id_b, jaccard >= threshold)."""
+    grams = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode(char_ngrams(text_col, n)).alias("g")
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_g"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cond = (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

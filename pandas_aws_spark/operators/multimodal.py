@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (north-star extension): media travel as opaque ``binary``
+columns with a typed metadata struct alongside; decode / featurize /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked stub — everything Spark-side (schema, partitioning,
+batch iteration, Arrow transfer) is real and tested.
+
+Scale notes: binary payloads ride the normal columnar path; keep
+``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
+fits executor memory, and prefer pushing metadata-only predicates
+(size, mime) BEFORE any mapInPandas stage so pruned rows never cross
+the Arrow boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_binary_payload",
+    "payload_metadata",
+    "decode_image",
+    "extract_byte_features",
+    "sample_frame_offsets",
+]
+
+
+def with_binary_payload(df: DataFrame, src_col: str, payload_col: str = "payload") -> DataFrame:
+    """Attach a binary payload column (here: utf-8 bytes of a source
+    column — in production the bytes come from ``binaryFile`` reads or
+    object-store URIs) plus a typed metadata struct."""
+    payload = F.encode(F.col(src_col), "utf-8")
+    meta = F.struct(
+        F.length(payload).alias("n_bytes"),
+        F.md5(F.col(src_col)).alias("checksum"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return df.withColumn(payload_col, payload).withColumn("media_meta", meta)
+
+
+def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata-only projection — the predicate-pushdown-friendly view
+    used to prune before any Python stage."""
+    return df.select(
+        "*",
+        F.length(payload_col).alias("payload_bytes"),
+    )
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB: image decode requires an imaging library (e.g. Pillow)
+    that is not in this environment. The signature and schema contract
+    are the real deliverable; the body raises until the dependency
+    exists."""
+    raise NotImplementedError(
+        "image decode needs an imaging library not present in this container; "
+        "plug a Pillow/torchvision decoder into extract_byte_features's "
+        "mapInPandas shape (schema: doc_id long, width int, height int, pixels binary)"
+    )
+
+
+_FEATURE_SCHEMA = "doc_id long, n_bytes long, byte_sum long, first_byte int, byte_mean double"
+
+
+def extract_byte_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in featurizer proving the mapInPandas
+    plumbing: per-batch vectorized byte statistics (what a real decoder
+    would do with pixel/sample arrays). Arrow moves binary columns as
+    bytes objects; numpy does the math per batch, never per row."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": [a.size for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "first_byte": [int(a[0]) if a.size else -1 for a in arrs],
+                    "byte_mean": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=_FEATURE_SCHEMA)
+
+
+def sample_frame_offsets(df: DataFrame, n_frames: int = 4, payload_col: str = "payload") -> DataFrame:
+    """Deterministic frame-sampling plan for video payloads: evenly
+    spaced byte offsets (a real sampler would return frame timestamps;
+    the offset math and array schema are the contract)."""
+    size = F.length(payload_col)
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (size * i / n_frames).cast("long"),
+    )
+    return df.withColumn("frame_offsets", offsets)

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension, SURVEY.md §2.9): token statistics, quality scoring,
+language identification, document fingerprinting.
+
+Everything is built-in column expressions (whole-stage codegen; no
+Python in the row path) and engine-portable so the DuckDB oracle can
+replay the exact semantics. Real pipelines swap the heuristics for
+model-based scorers via a Pandas UDF without changing the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import MOD_PRIME, rolling_token_hash, tokens
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS",
+    "PUNCT_CLASS",
+]
+
+# Small public stopword samples per language (heuristic lang-id only).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "que", "y"),
+    "fr": ("le", "les", "des", "et", "une", "dans"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+}
+# explicit class, not [[:punct:]] — POSIX classes differ across engines
+PUNCT_CLASS = r"[.,!?;:'\"()\-]"
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_chars_actual, mean_token_len columns."""
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_actual", F.length(text_col))
+        .withColumn(
+            "mean_token_len",
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+            / F.size(toks),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality components + a combined score in [0, ~1]:
+    length fitness, punctuation ratio, stopword ratio, token length.
+    The exact formula matters less than its determinism — it's the
+    plumbing a model-based scorer drops into."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    stop_ratio = _hits(toks, STOPWORDS["en"]).cast("double") / n_tok
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / n_tok
+    )
+    length_fit = F.least(n_chars.cast("double") / 400.0, F.lit(1.0))
+    return (
+        df.withColumn("punct_ratio", punct.cast("double") / n_chars)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("length_fit", length_fit)
+        .withColumn(
+            "quality",
+            0.4 * length_fit + 0.3 * stop_ratio + 0.3 * F.least(mean_len / 8.0, F.lit(1.0)),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Stopword-vote language id with deterministic tie-break order
+    en > es > fr > de; no hits -> 'und'. A character-n-gram model
+    plugs into the same shape."""
+    toks = tokens(text_col)
+    hits = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+    en, es, fr, de = hits["en"], hits["es"], hits["fr"], hits["de"]
+    pred = (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es >= de) & (es > 0), F.lit("es"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints: content md5 (exact-dup key) and an
+    order-sensitive polynomial rolling hash over tokens (mod 1e9+7) —
+    cheap near-dup blocking key that survives whitespace normalization."""
+    return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
+        "fp_roll", rolling_token_hash(tokens(text_col))
+    )
+
+
+# re-export for oracle builders
+ROLLING_MOD = MOD_PRIME

@@ -1,1 +1,225 @@
-"""Deduplication queries — filled in with dedup operators (task 5)."""
+"""Deduplication queries on the ``documents``/``embeddings`` tables —
+every pipeline from :mod:`pandas_aws_spark.operators.dedup` run
+end-to-end with an exact DuckDB oracle replaying the same semantics
+(md5-based hash families make MinHash/SimHash engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine, sql_cosine
+from ..operators.dedup import (
+    blocked_ngram_jaccard_pairs,
+    drop_list_from_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from ..registry import load_table, query
+
+# shared oracle CTE fragments ------------------------------------------------
+
+_SHINGLES_CTE = r"""
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_VERIFY_CTE = """
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS nc
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b),
+pairs AS (SELECT i.id_a, i.id_b,
+                 CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= {thr})
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy): documents doubled, min-id survivor.
+# --------------------------------------------------------------------------
+_EXACT_ORACLE = """
+WITH d2 AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
+g AS (SELECT md5(text) AS h, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+      FROM d2 GROUP BY md5(text))
+SELECT d.source, COUNT(*) AS n_kept, SUM(g.n_copies) AS n_rows
+FROM g JOIN documents d ON d.doc_id = g.kept_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q_dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: the corpus is doubled (every text twice),
+    the operator must collapse each group to its min-id survivor —
+    n_rows = 2 x n_kept proves the grouping. One shuffle on the
+    content hash; text never crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    groups = exact_dedup(doubled, ["text"], "doc_id")
+    return (
+        groups.join(docs, groups.kept_id == docs.doc_id)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_copies").alias("n_rows"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup dedup (8 hashes, 4 bands x 2 rows, jaccard>=0.8).
+# --------------------------------------------------------------------------
+_MINHASH_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+mh AS (SELECT doc_id,
+              MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+              MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+              MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
+              MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
+       FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 || h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 || h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 || h7 FROM mh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+"""
+    + _VERIFY_CTE.format(thr=0.8)
+    + """
+SELECT id_b AS doc_id, MIN(id_a) AS dup_of, arg_min(jaccard, id_a) AS dup_jaccard
+FROM pairs GROUP BY id_b ORDER BY doc_id
+"""
+)
+
+
+@query("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE, headline=True, tags=("dedup", "lsh"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup: shingle -> 8-way minhash -> 4-band
+    LSH -> candidate pairs -> exact-jaccard verify (>=0.8) -> one-hop
+    drop list. The pair space is never materialized beyond LSH
+    collisions — the property that keeps this subquadratic at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+    )
+    return drop_list_from_pairs(pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# SimHash dedup (16-bit signature collision + jaccard>=0.5 verify).
+# --------------------------------------------------------------------------
+_SIMHASH_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+tok2 AS (SELECT doc_id, UNNEST(toks) AS tok FROM tok),
+votes AS (SELECT doc_id, i AS pos,
+                 CASE WHEN instr('0123456789abcdef', substring(md5(tok), CAST(i AS INT), 1)) - 1 >= 8
+                      THEN 1 ELSE -1 END AS vote
+          FROM tok2, UNNEST(range(1, 17)) AS r(i)),
+bits AS (SELECT doc_id, pos,
+                CASE WHEN SUM(vote) >= 0 THEN '1' ELSE '0' END AS b
+         FROM votes GROUP BY doc_id, pos),
+sig AS (SELECT doc_id, string_agg(b, '' ORDER BY pos) AS simhash FROM bits GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+"""
+    + _VERIFY_CTE.format(thr=0.5)
+    + """
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+)
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signature (token-occurrence votes from
+    md5 hex-digit high bits), Hamming-0 bucket candidates, exact
+    jaccard verify. Candidates come from a groupBy on the signature —
+    no pairwise stage at all until verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked char-5-gram jaccard (block = lang).
+# --------------------------------------------------------------------------
+_NGRAM_ORACLE = r"""
+WITH g AS (SELECT DISTINCT doc_id, lang, substring(text, CAST(i AS INT), 5) AS gm
+           FROM documents, UNNEST(range(1, length(text) - 3)) AS u(i)
+           WHERE length(text) >= 5),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+          FROM g a JOIN g b ON a.lang = b.lang AND a.gm = b.gm AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT i.id_a, i.id_b, CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.8)
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram"))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard dedup with lang blocking — quadratic
+    only within a block (the classic blocking strategy where LSH is
+    overkill and blocks are natural: language, domain, date...)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        blocked_ngram_jaccard_pairs(docs, "doc_id", "text", ["lang"], n=5, threshold=0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (label-blocked pairs, cosine >= 0.4).
+# --------------------------------------------------------------------------
+_EMB_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_cosine('a.v', 'b.v')} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.v', 'b.v')} >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup", "embedding"))
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: cosine over label-blocked pairs
+    (the label plays the IVF-cell role — at scale the block comes from
+    coarse quantization, see operators/similarity.ivf_assign). Decimal
+    dot products keep the cosines bit-identical to the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )

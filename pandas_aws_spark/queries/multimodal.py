@@ -1,1 +1,62 @@
-"""Multimodal-column queries — filled in with multimodal operators (task 7)."""
+"""Multimodal-column queries — binary payload plumbing on ``documents``
+(the container ships no media libraries, so payloads are utf-8 bytes;
+schema, metadata, Arrow batching and mapInPandas shape are the real
+deliverable — see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_byte_features, with_binary_payload
+from ..registry import load_table, query
+
+_META_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_checksums,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_multimodal_payload_meta", oracle=_META_ORACLE, tags=("multimodal",))
+def q_multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct; aggregation runs on the
+    metadata only — the pruning layer that keeps media pipelines from
+    dragging blobs through every stage."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("media_meta.n_bytes")).alias("total_bytes"),
+            F.countDistinct(F.col("media_meta.checksum")).alias("n_checksums"),
+            F.max(F.col("media_meta.n_bytes")).alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("q_multimodal_byte_features", oracle=None, tags=("multimodal", "udf"))
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas featurization over binary payloads
+    (deterministic byte statistics standing in for a decoder). No SQL
+    oracle — per-byte math isn't SQL-expressible; the driver records
+    the rows-only check, and tests/test_multimodal.py pins exact
+    values against a local recomputation."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    feats = extract_byte_features(docs, id_col="doc_id", payload_col="payload")
+    return (
+        feats.groupBy()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("byte_sum").alias("total_byte_sum"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("first_byte").alias("min_first_byte"),
+        )
+    )

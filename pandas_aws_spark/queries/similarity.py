@@ -1,1 +1,126 @@
-"""Similarity-search queries — filled in with similarity operators (task 6)."""
+"""Similarity-search queries over the ``embeddings`` table — the
+brute-force exact baseline and the IVF scale path, both oracle-checked
+(IVF is deterministic here: fixed centroids, argmax assignment with
+id tie-break — so even the *approximate* probe-2 variant has an exact
+DuckDB replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import sql_cosine
+from ..operators.similarity import brute_force_topk, ivf_topk
+from ..registry import load_table, query
+
+_K = 5
+_NCENT = 8
+
+# shared oracle fragment: queries = every 100th vector
+_BASE_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0)
+"""
+
+_BRUTE_ORACLE = f"""
+WITH {_BASE_CTE},
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {sql_cosine('q.qv', 'c.v')} AS cos_sim
+  FROM q, e c
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+
+
+@query("q_sim_bruteforce_topk", oracle=_BRUTE_ORACLE, headline=True, tags=("similarity",))
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors. Queries broadcast; corpus never
+    shuffles for the scoring pass (map-side nested loop), only the
+    per-query top-k ranking shuffles (and WindowGroupLimit keeps it to
+    per-partition heaps)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(_queries_df(spark, sf_dir), emb, k=_K)
+    return out.orderBy("query_id", "rank")
+
+
+@query("q_sim_ivf_fullprobe", oracle=_BRUTE_ORACLE, tags=("similarity", "ivf"))
+def q_sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF machinery with nprobe = n_centroids: must EQUAL exact brute
+    force (same oracle) — the correctness proof for the index path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        _queries_df(spark, sf_dir), emb, n_centroids=_NCENT, nprobe=_NCENT, k=_K
+    )
+    return out.orderBy("query_id", "rank")
+
+
+_IVF2_ORACLE = f"""
+WITH {_BASE_CTE},
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_NCENT}
+),
+corpus_scored AS (
+  SELECT e.vec_id, e.v, ct.centroid_id,
+         {sql_cosine('e.v', 'ct.cv')} AS sim
+  FROM e, cent ct
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM corpus_scored)
+  WHERE rn = 1
+),
+query_scored AS (
+  SELECT q.query_id, q.qv, ct.centroid_id,
+         {sql_cosine('q.qv', 'ct.cv')} AS sim
+  FROM q, cent ct
+),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM query_scored)
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         {sql_cosine('qv', 'cv')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {sql_cosine('qv', 'cv')} DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("q_sim_ivf_probe2", oracle=_IVF2_ORACLE, tags=("similarity", "ivf"))
+def q_sim_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 of 8 cells: the real ANN trade — each query
+    scans ~1/4 of the corpus. Deterministic index construction makes
+    even this approximate search exactly replayable by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(_queries_df(spark, sf_dir), emb, n_centroids=_NCENT, nprobe=2, k=_K)
+    return out.orderBy("query_id", "rank")

@@ -1,1 +1,163 @@
-"""Text-analysis queries — filled in with text operators (task 7)."""
+"""Text-analysis queries on ``documents`` — token statistics, quality
+scoring, language-ID, and fingerprinting (north-star extension), each
+with an exact DuckDB oracle replaying the same heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import sql_davg, davg
+from ..operators.text import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
+from ..registry import load_table, query
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains([{words}], t)))"
+
+
+# --------------------------------------------------------------------------
+# Token statistics per language.
+# --------------------------------------------------------------------------
+_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len({_TOKS}) AS n_tokens,
+         length(text) AS n_chars_actual,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform({_TOKS}, s -> CAST(length(s) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+           / len({_TOKS}) AS mean_token_len
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       {sql_davg('n_chars_actual')} AS avg_chars,
+       {sql_davg('mean_token_len')} AS avg_token_len
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q_text_token_stats", oracle=_STATS_ORACLE, headline=True, tags=("text",))
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + length statistics, aggregated per
+    language — all array expressions inside codegen, no Python."""
+    docs = token_stats(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            davg("n_chars_actual").alias("avg_chars"),
+            davg("mean_token_len").alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-score buckets.
+# --------------------------------------------------------------------------
+_QUALITY_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       + 0.3 * (CAST({_sql_hits('en')} AS DOUBLE) / len({_TOKS}))
+       + 0.3 * least((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_TOKS}, s -> CAST(length(s) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+                 / len({_TOKS})) / 8.0, 1.0) AS quality
+  FROM documents
+)
+SELECT CAST(FLOOR(quality * 10) AS BIGINT) AS quality_bucket,
+       COUNT(*) AS n_docs,
+       SUM(CAST(FLOOR(quality * 1000) AS BIGINT)) AS quality_millis
+FROM scored
+GROUP BY quality_bucket
+ORDER BY quality_bucket
+"""
+
+
+@query("q_text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",))
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length fit + stopword ratio + token
+    length), bucketed. The formula is the plumbing a model-based
+    scorer (Pandas UDF) drops into.
+
+    Aggregates stay integer (floor-of-millis): quality is a computed
+    ratio that can land EXACTLY on a decimal rounding boundary, where
+    Spark's HALF_UP and DuckDB's rounding disagree — floor of an
+    identical double is mode-independent, so the sums match bitwise.
+    """
+    docs = quality_score(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(F.floor(F.col("quality") * 10).cast("bigint").alias("quality_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.floor(F.col("quality") * 1000).cast("bigint")).alias("quality_millis"),
+        )
+        .orderBy("quality_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification vs the labelled lang column.
+# --------------------------------------------------------------------------
+_LANGID_ORACLE = f"""
+WITH pred AS (
+  SELECT lang,
+         CASE
+           WHEN {_sql_hits('en')} >= {_sql_hits('es')} AND {_sql_hits('en')} >= {_sql_hits('fr')}
+                AND {_sql_hits('en')} >= {_sql_hits('de')} AND {_sql_hits('en')} > 0 THEN 'en'
+           WHEN {_sql_hits('es')} >= {_sql_hits('fr')} AND {_sql_hits('es')} >= {_sql_hits('de')}
+                AND {_sql_hits('es')} > 0 THEN 'es'
+           WHEN {_sql_hits('fr')} >= {_sql_hits('de')} AND {_sql_hits('fr')} > 0 THEN 'fr'
+           WHEN {_sql_hits('de')} > 0 THEN 'de'
+           ELSE 'und'
+         END AS pred_lang
+  FROM documents
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+@query("q_text_lang_id", oracle=_LANGID_ORACLE, tags=("text",))
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language id crossed against the labelled lang —
+    the confusion-matrix shape a real n-gram model would report into."""
+    docs = lang_id(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprints (md5 + order-sensitive rolling hash).
+# --------------------------------------------------------------------------
+_FP_ORACLE = f"""
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform({_TOKS}, t -> ascii(t) * 7 + CAST(length(t) AS BIGINT))),
+            (acc, v) -> (acc * 31 + v) % 1000000007) AS fp_roll
+FROM documents
+WHERE doc_id % 5 = 0
+ORDER BY doc_id
+"""
+
+
+@query("q_text_fingerprint", oracle=_FP_ORACLE, tags=("text",))
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) + rolling polynomial token-hash fingerprints; the
+    rolling hash is order-sensitive so reordered-token docs diverge —
+    a cheap blocking key for near-dup passes."""
+    docs = fingerprint(load_table(spark, sf_dir, "documents")).filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", "fp_md5", "fp_roll").orderBy("doc_id")

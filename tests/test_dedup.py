@@ -1,0 +1,72 @@
+"""Unit tests for dedup operators on hand-built fixtures (planted
+duplicates with known relationships)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_aws_spark.operators.dedup import (
+    blocked_ngram_jaccard_pairs,
+    drop_list_from_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash16,
+    simhash_near_dup_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different words nothing shared here at all whatsoever in any way"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(1, BASE, "en"), (2, NEAR, "en"), (3, OTHER, "en"), (4, BASE, "en")]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_min_id_survivor(spark, docs):
+    out = {r.kept_id: r.n_copies for r in exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert out[1] == 2  # doc 4 is an exact copy of doc 1 -> survivor is min id
+    assert out[2] == 1 and out[3] == 1
+    assert 4 not in out
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact copy
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # one-token edit
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_drop_list_one_hop_semantics(spark, docs):
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    drops = {r.doc_id: r.dup_of for r in drop_list_from_pairs(pairs).collect()}
+    assert drops[4] == 1 and drops[2] == 1
+    assert 1 not in drops and 3 not in drops  # smallest id survives
+
+
+def test_simhash_identical_docs_same_signature(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash16(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dup_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 4) in pairs
+
+
+def test_blocked_ngram_respects_blocks(spark):
+    rows = [(1, BASE, "en"), (2, BASE, "fr"), (3, BASE, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in blocked_ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], threshold=0.9).collect()
+    }
+    assert (1, 3) in pairs  # same block, identical text
+    assert (1, 2) not in pairs  # identical text but different block

@@ -1,0 +1,60 @@
+"""Unit tests for similarity operators with geometrically obvious
+fixtures (axis-aligned vectors -> known nearest neighbors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_aws_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def _emb(spark):
+    # 0 and 1 nearly parallel; 2 orthogonal; 3 anti-parallel to 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_ranks_by_cosine(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(q, emb, k=4).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 4, 2, 3]  # parallel > diagonal > orthogonal > anti
+    assert out[0].cos_sim <= 1.0 and sorted(r.rank for r in out) == [1, 2, 3, 4]
+
+
+def test_self_excluded(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(q, emb, k=10).collect()
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_ivf_fullprobe_equals_bruteforce(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") <= 1)
+    brute = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(q, emb, k=3).collect()}
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(q, emb, n_centroids=3, nprobe=3, k=3).collect()
+    }
+    assert brute == ivf
+
+
+def test_ivf_probe_subset_is_subset_of_corpus(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    # nprobe=1 can legitimately return nothing here (the query's own
+    # cell holds only itself); probing 2 of 3 cells must find neighbors
+    out = ivf_topk(q, emb, n_centroids=3, nprobe=2, k=5).collect()
+    assert 0 < len(out) <= 5
+    assert all(r.neighbor_id in {1, 2, 3, 4} for r in out)
+    # and fewer probes can never return MORE candidates than full probe
+    full = ivf_topk(q, emb, n_centroids=3, nprobe=3, k=5).collect()
+    assert len(out) <= len(full)

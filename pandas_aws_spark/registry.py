@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.similarity",
     "pandas_aws_spark.queries.text",
     "pandas_aws_spark.queries.multimodal",
+    "pandas_aws_spark.queries.streaming",
 )
 
 

@@ -1,0 +1,174 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has **no** streaming capability (SURVEY.md §2.8 — no
+watermarks, windows, state, or late-data handling anywhere in
+``/root/reference``); this module is the north-star extension. The
+design rule is *batch/stream symmetry*: every streaming pipeline here
+reuses the exact window/session expressions of the batch queries in
+``queries/events.py``, so one logical definition serves both modes —
+Spark's core promise, and what makes these oracle-checkable.
+
+Execution model (and why it scales):
+
+* source: file stream over the same parquet the batch side reads
+  (``maxFilesPerTrigger`` paces replay; on a real deployment this is
+  Kafka/Kinesis — only the ``readStream.format`` line changes);
+* event-time windows + ``withWatermark`` bound state: at 100 TB/day
+  the state store only ever holds open windows, not history;
+* sinks: ``memory`` for tests/oracle checks, ``parquet`` + checkpoint
+  for production; ``availableNow`` trigger gives batch-like runs that
+  still exercise the streaming engine (incremental file discovery,
+  state store, commit log).
+
+Custom stateful operator: ``user_running_totals`` uses
+``applyInPandasWithState`` (GroupState, Arrow-batched) — the engine's
+template for operators Spark lacks natively (SURVEY.md §2.8's
+"custom stateful streaming" bullet).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.stable import dsum
+
+__all__ = [
+    "events_stream",
+    "stream_tumbling_hourly",
+    "stream_sessionize",
+    "user_running_totals",
+    "run_to_completion",
+]
+
+# File-stream sources need an explicit schema (no inference pass at
+# stream start). ``ts`` arrives as parquet TIMESTAMP(NANOS), read as
+# long (see registry.load_table) and truncated to micros here.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Streaming scan of the events table (file source).
+
+    Same rows the batch ``load_table`` yields; ns->us truncation keeps
+    event-time semantics identical across modes.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # FileStreamSource wants a directory or glob (its basePath must be a
+    # directory); the testdata table is a single file, so address it as
+    # a glob whose base is the sf dir. On a deployment this is the
+    # landing directory new files drop into.
+    df = reader.parquet(path or f"{sf_dir}/events.parque[t]")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of
+    ``q_events_tumbling_hourly``. State per (open window, event_type)
+    only; the watermark lets Spark drop closed windows, which is what
+    bounds state at production volume."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows — streaming twin of
+    ``q_events_sessionize``. ``session_window`` merges events into
+    per-user sessions incrementally; a session closes (and emits, in
+    append mode) once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sess"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events", "total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals via GroupState.
+# --------------------------------------------------------------------------
+_RUNNING_SCHEMA = "user_id long, n_events long, total_micros long"
+_STATE_SCHEMA = "n long, total_micros long"
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched state update: fold this trigger's rows for one
+    user into (count, sum) state; emit the cumulative snapshot.
+
+    The sum is kept in integer micro-units (value * 1e6, the same
+    scale-6 fixed point as ``functions.stable``) so accumulation is
+    exact and associative — identical totals no matter how the stream
+    is chopped into triggers, and bit-identical to the decimal oracle.
+    """
+    n, total_us = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total_us += int((pdf["value"] * 1_000_000).round().sum())
+    state.update((n, total_us))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_micros": [total_us]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Cumulative per-user (count, sum) maintained in the state store —
+    the ``applyInPandasWithState`` template for custom stateful ops.
+    Emits one snapshot row per user per trigger; downstream keeps the
+    latest (max n_events) per user.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(
+    result: DataFrame, sink_table: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with ``Trigger.AvailableNow`` into a memory
+    sink and return the sink as a (batch) DataFrame.
+
+    ``availableNow`` processes everything currently in the source then
+    stops — batch-equivalent results, real streaming execution (state
+    store + commit log), which is what the oracle checks rely on. In
+    production swap for ``writeStream.format('parquet').option(
+    'checkpointLocation', ...)`` with a processing-time trigger.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(sink_table)

@@ -81,10 +81,17 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (id, shingle)."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
-        .distinct()
+    """Distinct k-word shingles per doc: (id, shingle).
+
+    Per-doc uniqueness comes from ``array_distinct`` *before* the
+    explode — pure map-side work, versus a ``.distinct()`` after the
+    explode which would shuffle every (id, shingle-string) row. At
+    corpus scale that removed shuffle is the difference between one
+    narrow stage and the single biggest exchange in the pipeline.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), k))).alias("shingle"),
     )
 
 
@@ -138,7 +145,10 @@ def minhash_near_dup_pairs(
     LSH only prunes the pair space, it never asserts similarity.
     """
     rows = n_hashes // bands
-    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    # sh feeds the signature pass AND the verify join (3 consumers);
+    # persist so the tokenize/shingle scan runs once, spilling to disk
+    # when the shingle set outgrows executor memory.
+    sh = doc_shingles(df, id_col, text_col, shingle_k).persist()
     sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
     buckets = lsh_band_buckets(sig, id_col, bands, rows)
     if max_band_bucket is not None:
@@ -218,15 +228,19 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-run with rotated digit offsets and intersect candidates.
     Returns (id, simhash) with simhash as a 16-char '0'/'1' string.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # md5 once per token row, BEFORE the 16-way position explode —
+    # otherwise the digest is recomputed for every bit position.
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
+        id_col, F.md5(F.col("tok")).alias("h")
+    )
     pos = tok.select(
-        id_col, F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"), F.col("tok")
+        id_col, F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"), F.col("h")
     )
     votes = pos.select(
         id_col,
         "pos",
         F.when(
-            F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("tok")), F.col("pos").cast("int"), 1)) - 1 >= 8,
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("pos").cast("int"), 1)) - 1 >= 8,
             F.lit(1),
         )
         .otherwise(F.lit(-1))
@@ -286,8 +300,10 @@ def blocked_ngram_jaccard_pairs(
     blocking dedup: quadratic only within a block). Returns verified
     pairs (id_a < id_b, jaccard >= threshold)."""
     grams = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], F.explode(char_ngrams(text_col, n)).alias("g")
-    ).distinct()
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("g"),
+    )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_g"))
     a = grams.alias("a")
     b = grams.alias("b")

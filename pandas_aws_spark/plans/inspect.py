@@ -1,0 +1,158 @@
+"""Physical-plan inspection — make scale properties testable.
+
+The 100 TB design rules (SURVEY.md §4, BASELINE.md north star) are
+plan-shape properties: small dims must broadcast, filters must reach
+the parquet scan, projections must prune columns, hot paths must stay
+inside whole-stage codegen, and nothing may cartesian-join by
+accident. This module extracts those facts from a DataFrame's executed
+plan so ``tests/test_plans.py`` can regression-gate them — a plan that
+silently degrades to a sort-merge join or a full-column scan fails CI
+before it fails a cluster.
+
+Built on the public ``df.explain`` machinery (``queryExecution`` via
+the py4j bridge, same strings ``EXPLAIN FORMATTED`` prints).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "physical_plan",
+    "formatted_plan",
+    "join_strategies",
+    "num_shuffles",
+    "scans",
+    "ScanInfo",
+    "codegen_ids",
+    "assert_broadcast_only",
+    "assert_pushed_filter",
+    "assert_max_scan_columns",
+]
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Executed (post-AQE-planning) physical plan as a string."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``EXPLAIN FORMATTED`` text (scan details incl. PushedFilters)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def join_strategies(df: DataFrame) -> Counter:
+    """Count physical join nodes by strategy name."""
+    plan = physical_plan(df)
+    return Counter(
+        {
+            k: plan.count(k)
+            for k in (
+                "BroadcastHashJoin",
+                "SortMergeJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+                "CartesianProduct",
+            )
+            if plan.count(k)
+        }
+    )
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (each is a full
+    repartition of its input — the unit of cost to minimize)."""
+    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(df).count(
+        "Exchange rangepartitioning"
+    )
+
+
+@dataclass
+class ScanInfo:
+    location: str = ""
+    pushed_filters: str = ""
+    read_schema: str = ""
+    columns: list[str] = field(default_factory=list)
+
+
+def scans(df: DataFrame) -> list[ScanInfo]:
+    """One entry per file scan: its path, pushed filters, read schema."""
+    out: list[ScanInfo] = []
+    cur: ScanInfo | None = None
+    for raw in formatted_plan(df).splitlines():
+        line = raw.strip()
+        if line.startswith("(") and "Scan " in line:
+            cur = ScanInfo()
+            out.append(cur)
+        elif cur is not None:
+            if line.startswith("Location:"):
+                cur.location = line.split(":", 1)[1].strip()
+            elif line.startswith("PushedFilters:"):
+                cur.pushed_filters = line.split(":", 1)[1].strip()
+            elif line.startswith("ReadSchema:"):
+                cur.read_schema = line.split(":", 1)[1].strip()
+                cur.columns = re.findall(r"(\w+):", cur.read_schema)
+    return out
+
+
+def codegen_ids(df: DataFrame) -> set[int]:
+    """Distinct WholeStageCodegen span ids — wider spans = fewer
+    interpreted boundaries in the hot path.
+
+    Under AQE the pre-execution plan is an unfinalized
+    ``AdaptiveSparkPlan`` with no codegen annotation, so materialize
+    once (executor-side noop sink) to get the final plan.
+    """
+    plan = physical_plan(df)
+    if "isFinalPlan=false" in plan:
+        # must execute *this* DataFrame's queryExecution (a write sink
+        # would plan a fresh one and leave this plan unfinalized)
+        df.collect()
+        plan = physical_plan(df)
+    # spans print as "WholeStageCodegen (N)" in formatted mode and as
+    # the "*(N)" operator prefix in simple/executed plan strings
+    return {int(m) for m in re.findall(r"WholeStageCodegen \((\d+)\)", plan)} | {
+        int(m) for m in re.findall(r"\*\((\d+)\)", plan)
+    }
+
+
+# --- assertion helpers (used by tests) -------------------------------------
+
+
+def assert_broadcast_only(df: DataFrame) -> None:
+    """Every join in the plan must be a broadcast hash join (no big-big
+    shuffle joins snuck in)."""
+    js = join_strategies(df)
+    bad = {k: v for k, v in js.items() if k != "BroadcastHashJoin"}
+    assert not bad, f"non-broadcast joins in plan: {bad}"
+
+
+def assert_pushed_filter(df: DataFrame, table_substr: str, filter_substr: str) -> None:
+    """The scan whose location contains ``table_substr`` must push a
+    filter containing ``filter_substr`` down to parquet."""
+    for s in scans(df):
+        if table_substr in s.location:
+            assert filter_substr in s.pushed_filters, (
+                f"scan {s.location}: expected pushed filter {filter_substr!r}, "
+                f"got {s.pushed_filters!r}"
+            )
+            return
+    raise AssertionError(f"no scan matching {table_substr!r} in plan")
+
+
+def assert_max_scan_columns(df: DataFrame, table_substr: str, max_cols: int) -> None:
+    """Column pruning: the scan must read at most ``max_cols`` columns."""
+    for s in scans(df):
+        if table_substr in s.location:
+            assert len(s.columns) <= max_cols, (
+                f"scan {s.location} reads {len(s.columns)} cols "
+                f"({s.columns}), expected <= {max_cols}"
+            )
+            return
+    raise AssertionError(f"no scan matching {table_substr!r} in plan")

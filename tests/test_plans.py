@@ -1,0 +1,83 @@
+"""Plan-shape regression gates for the 100 TB design rules.
+
+These tests pin the *physical plan*, not the result: a change that
+keeps answers correct but degrades a broadcast join to sort-merge, or
+loses filter pushdown, fails here first — on 60k rows instead of on a
+1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pandas_aws_spark.plans.inspect import (
+    assert_broadcast_only,
+    assert_max_scan_columns,
+    assert_pushed_filter,
+    codegen_ids,
+    join_strategies,
+    num_shuffles,
+    scans,
+)
+from pandas_aws_spark.registry import load_registry
+
+
+def _q(spark, sf_dir, name):
+    return load_registry()[name].fn(spark, sf_dir)
+
+
+def test_q05_all_dims_broadcast(spark, sf_dir):
+    """TPC-H Q5 joins lineitem against 5 small tables — every one must
+    broadcast; a single sort-merge join here means shuffling the fact
+    table once per dim at scale."""
+    df = _q(spark, sf_dir, "q05_region_revenue")
+    assert_broadcast_only(df)
+    assert join_strategies(df)["BroadcastHashJoin"] == 5
+
+
+def test_q05_pushdown_and_pruning(spark, sf_dir):
+    df = _q(spark, sf_dir, "q05_region_revenue")
+    # the region filter is the most selective — it must reach the scan
+    assert_pushed_filter(df, "region.parquet", "EqualTo(r_name,ASIA)")
+    assert_pushed_filter(df, "orders.parquet", "GreaterThanOrEqual(o_orderdate")
+    # lineitem has 16 columns; the query needs 4
+    assert_max_scan_columns(df, "lineitem.parquet", 4)
+
+
+def test_q03_pushdown(spark, sf_dir):
+    df = _q(spark, sf_dir, "q03_shipping_priority")
+    assert_broadcast_only(df)
+    assert_pushed_filter(df, "lineitem.parquet", "GreaterThan(l_shipdate")
+    assert_pushed_filter(df, "customer.parquet", "EqualTo(c_mktsegment,BUILDING)")
+    assert_max_scan_columns(df, "customer.parquet", 2)
+
+
+def test_q01_scan_pruned_and_codegen(spark, sf_dir):
+    """Q1 is scan+agg: it must read only the 7 needed lineitem columns
+    and run inside whole-stage codegen."""
+    df = _q(spark, sf_dir, "q01_pricing_summary")
+    assert_max_scan_columns(df, "lineitem.parquet", 7)
+    assert len(codegen_ids(df)) >= 1
+    assert_pushed_filter(df, "lineitem.parquet", "LessThanOrEqual(l_shipdate")
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """The LSH candidate join must never degenerate to a cartesian
+    product — that is the whole point of LSH."""
+    df = _q(spark, sf_dir, "q_dedup_minhash_lsh")
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_upsert_no_shuffle_explosion(spark, sf_dir):
+    """Anti-join + union upsert: bounded shuffle count (target scan,
+    update scan, one join)."""
+    df = _q(spark, sf_dir, "q_upsert_merge")
+    assert num_shuffles(df) <= 6, f"unexpected shuffle count {num_shuffles(df)}"
+
+
+def test_scan_inspection_surface(spark, sf_dir):
+    """scans() extracts location/filters/schema for every file scan."""
+    df = _q(spark, sf_dir, "q05_region_revenue")
+    infos = scans(df)
+    assert len(infos) == 6
+    assert all(s.location and s.read_schema for s in infos)

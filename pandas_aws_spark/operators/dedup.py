@@ -55,6 +55,32 @@ def _hash_col(c: Column, seed: int, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
+# Universal-hash family for MinHash: ONE md5 per shingle reduced to a
+# 28-bit base value, then n affine members g_j = (a_j*h + b_j) mod p.
+# All arithmetic stays inside non-overflowing int64 (a < 2^31, h < 2^28
+# -> a*h < 2^59), so DuckDB BIGINT (which errors on overflow, unlike
+# Java's wrapping) computes bit-identical values for the oracle.
+# 8x fewer digests and 8-byte minima through the shuffle vs. hashing
+# the shingle string once per family member.
+MINHASH_P = 1_000_000_007
+_MINHASH_A = (
+    1299721, 15485863, 32452843, 49979687,
+    67867967, 86028121, 104395301, 122949823,
+    141650939, 160481183, 179424673, 198491317,
+    217645177, 236887691, 256203161, 275604541,
+)
+_MINHASH_B = (
+    12345, 678910, 1112131, 1415161, 1718192, 2021222, 2324252, 2627282,
+    2930313, 3233343, 3536373, 3839404, 4142434, 4445464, 4748495, 5051525,
+)
+
+
+def shingle_base_hash(c: Column) -> Column:
+    """28-bit base hash: first 7 hex digits of md5, parsed as int.
+    Oracle mirror: ``CAST(concat('0x', substring(md5(s),1,7)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -96,15 +122,28 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, n_hashes: int = 8, hash_fn: str = "md5"
+    shingled: DataFrame, id_col: str, n_hashes: int = 8, hash_fn: str = "affine"
 ) -> DataFrame:
-    """One row per doc with columns h0..h{n-1}: minimum of hash family
-    member j over the doc's shingle set. Single groupBy pass — all n
-    hashes computed per shingle row map-side, only n minima shuffle."""
+    """One row per doc with long columns h0..h{n-1}: minimum of hash
+    family member j over the doc's shingle set. Single groupBy pass —
+    the base digest is computed once per shingle row map-side, the n
+    affine members are integer ops, and only n int64 minima shuffle
+    (partial-agg combine keeps it one row per (task, doc))."""
+    assert n_hashes <= len(_MINHASH_A), f"at most {len(_MINHASH_A)} hash members"
+    if hash_fn == "xxhash64":
+        base = F.xxhash64(F.col("shingle")) & F.lit((1 << 28) - 1)
+    elif hash_fn in ("affine", "md5"):
+        base = shingle_base_hash(F.col("shingle"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashed = shingled.select(F.col(id_col), base.alias("_h"))
     aggs = [
-        F.min(_hash_col(F.col("shingle"), j, hash_fn)).alias(f"h{j}") for j in range(n_hashes)
+        F.min((F.lit(_MINHASH_A[j]) * F.col("_h") + F.lit(_MINHASH_B[j])) % MINHASH_P).alias(
+            f"h{j}"
+        )
+        for j in range(n_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
@@ -112,12 +151,22 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str, bands: int, rows: int) 
     a band signature are LSH candidates."""
     n = bands * rows
     assert all(f"h{j}" in signatures.columns for j in range(n)), "not enough hash columns"
+
+    # band signature folded into ONE int64: h_i < p, so the base-p
+    # polynomial is collision-free (it IS the tuple, positionally
+    # encoded) and the bucket join runs on an 8-byte key instead of a
+    # concatenated string. rows*log2(p) must stay under 63 bits.
+    assert rows * 30 <= 63, f"rows={rows} overflows the packed int64 band signature"
+
+    def band_sig(b: int) -> Column:
+        sig = F.col(f"h{b * rows}")
+        for r in range(1, rows):
+            sig = sig * MINHASH_P + F.col(f"h{b * rows + r}")
+        return sig
+
     entries = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
             for b in range(bands)
         ]
     )
@@ -135,7 +184,7 @@ def minhash_near_dup_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
-    hash_fn: str = "md5",
+    hash_fn: str = "affine",
     max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline.

@@ -82,17 +82,22 @@ _MINHASH_ORACLE = (
     "WITH "
     + _SHINGLES_CTE
     + r""",
+hh AS (SELECT doc_id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h FROM sh),
 mh AS (SELECT doc_id,
-              MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-              MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
-              MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
-              MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
-       FROM sh GROUP BY doc_id),
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh UNION ALL
-  SELECT doc_id, 1, h2 || h3 FROM mh UNION ALL
-  SELECT doc_id, 2, h4 || h5 FROM mh UNION ALL
-  SELECT doc_id, 3, h6 || h7 FROM mh),
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a
          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

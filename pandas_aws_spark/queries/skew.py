@@ -1,0 +1,60 @@
+"""Skew-mitigation queries — salted join and two-phase distinct, both
+oracle-checked (the rewrites are result-invariant, so the oracles are
+the plain SQL forms; what the operators change is the *shuffle shape*,
+pinned by ``tests/test_skew.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dsum, sql_dsum
+from ..operators.skew import salted_join, two_phase_count_distinct
+from ..registry import load_table, query
+
+_SALTED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q_skew_salted_join", oracle=_SALTED_ORACLE, tags=("skew", "join"))
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x orders through an 8-way salted join — the big-big
+    skewed-join rewrite (result identical to the plain join; the salt
+    spreads any hot orderkey across 8 tasks)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount", "l_linenumber"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, ["o_orderkey"], n_salt=8, salt_from="l_linenumber")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_TPD_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_distinct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_skew_two_phase_distinct", oracle=_TPD_ORACLE, tags=("skew", "distinct"))
+def q_skew_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT orderkey) per returnflag via the explicit
+    two-phase rewrite: a 3-value group column means every group is hot;
+    the pair-grouped first phase spreads each across all partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return two_phase_count_distinct(li, ["l_returnflag"], "l_orderkey").orderBy("l_returnflag")

@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.text",
     "pandas_aws_spark.queries.multimodal",
     "pandas_aws_spark.queries.streaming",
+    "pandas_aws_spark.queries.skew",
 )
 
 

@@ -29,9 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["brute_force_topk", "ivf_assign", "ivf_topk"]
+__all__ = ["brute_force_topk", "ivf_assign", "ivf_topk", "lsh_bucket", "lsh_topk"]
 
 
 def brute_force_topk(
@@ -138,6 +138,93 @@ def ivf_topk(
     cand = indexed.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
     ).join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (the bucketed scale path for cosine ANN)
+# --------------------------------------------------------------------------
+# Hyperplanes are derived, not stored: plane j's component for dim d is
+# ((A_j * d + B_j) % 2003) - 1001 — a centered pseudo-random integer the
+# oracle regenerates with the same arithmetic. Deterministic, seedless,
+# and identical across engines (integer ops, then a sequential double
+# fold for the sign, same order both sides).
+_LSH_A = (7368787, 9999991, 15485867, 32452867, 49979693, 67867979, 86028157, 104395303)
+_LSH_B = (104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379)
+_LSH_MOD = 2003
+_LSH_SHIFT = 1001
+
+
+def _hyperplane(j: int, dim: int) -> Column:
+    """array<double> of length ``dim`` for plane j (see module note)."""
+    return F.expr(
+        f"transform(sequence(1, {dim}), d -> "
+        f"CAST((({_LSH_A[j]} * d + {_LSH_B[j]}) % {_LSH_MOD}) - {_LSH_SHIFT} AS DOUBLE))"
+    )
+
+
+def sql_lsh_bucket(vec_ref: str, dim: int, n_planes: int) -> str:
+    """DuckDB mirror of :func:`lsh_bucket` for oracle queries."""
+    from ..functions.vector import sql_dot
+
+    terms = []
+    for j in range(n_planes):
+        hp = (
+            f"list_transform(range(1, {dim + 1}), d -> "
+            f"CAST((({_LSH_A[j]} * d + {_LSH_B[j]}) % {_LSH_MOD}) - {_LSH_SHIFT} AS DOUBLE))"
+        )
+        terms.append(f"(CASE WHEN {sql_dot(vec_ref, hp)} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 4) -> Column:
+    """Bit-packed bucket id: bit j = sign of dot(vec, plane_j).
+
+    Map-side only — bucketing a 100 TB corpus is one narrow pass; the
+    ANN join then shuffles on an int key with ~corpus/2^n_planes rows
+    per bucket."""
+    assert n_planes <= len(_LSH_A), f"at most {len(_LSH_A)} planes"
+    b = F.lit(0)
+    for j in range(n_planes):
+        b = b + F.when(dot(vec, _hyperplane(j, dim)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 4,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: candidates = same hyperplane-sign bucket.
+
+    Approximate (a near neighbor across a plane boundary is missed —
+    raise recall with fewer planes or multi-probe), but deterministic,
+    so even the approximation is exactly oracle-replayable. Shuffle
+    shape: corpus bucketed map-side, one equi-join on the bucket int,
+    per-query top-k heaps."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    cand = c.join(F.broadcast(q), "bucket")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(

@@ -124,3 +124,48 @@ def q_sim_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(_queries_df(spark, sf_dir), emb, n_centroids=_NCENT, nprobe=2, k=_K)
     return out.orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (4 planes -> 16 buckets) — the bucketed
+# scale path; approximate but deterministic, so exactly replayable.
+# --------------------------------------------------------------------------
+from ..operators.similarity import lsh_topk, sql_lsh_bucket  # noqa: E402
+
+_DIM = 64
+_NPLANES = 4
+
+_LSH_ORACLE = f"""
+WITH {_BASE_CTE},
+cb AS (SELECT vec_id AS neighbor_id, v AS cv,
+              {sql_lsh_bucket('v', _DIM, _NPLANES)} AS bucket FROM e),
+qb AS (SELECT query_id, qv,
+              {sql_lsh_bucket('qv', _DIM, _NPLANES)} AS bucket FROM q),
+cand AS (
+  SELECT qb.query_id, qb.qv, cb.neighbor_id, cb.cv
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+  WHERE cb.neighbor_id <> qb.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         {sql_cosine('qv', 'cv')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {sql_cosine('qv', 'cv')} DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("q_sim_lsh_bucketed", oracle=_LSH_ORACLE, tags=("similarity", "lsh"))
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket = bit-packed hyperplane signs
+    (map-side), candidates = bucket equi-join, exact-cosine rank <= 5.
+    2^4 buckets here; at corpus scale the bucket key fans the shuffle
+    out to corpus/2^planes rows per task, and multi-probe or more
+    planes tunes the recall/cost point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(_queries_df(spark, sf_dir), emb, dim=_DIM, n_planes=_NPLANES, k=_K)
+    return out.orderBy("query_id", "rank")

@@ -58,3 +58,20 @@ def test_ivf_probe_subset_is_subset_of_corpus(spark):
     # and fewer probes can never return MORE candidates than full probe
     full = ivf_topk(q, emb, n_centroids=3, nprobe=3, k=5).collect()
     assert len(out) <= len(full)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
+    """LSH results are exact cosines over a candidate subset: every
+    (query, neighbor) it returns must carry the same cos_sim brute
+    force computes, and per-query results can't exceed k."""
+    from pandas_aws_spark.operators.similarity import lsh_topk
+    from pandas_aws_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    lsh = lsh_topk(q, emb, dim=64, n_planes=4, k=5).toPandas()
+    bf = brute_force_topk(q, emb, k=10**6).toPandas()
+    assert (lsh.groupby("query_id").size() <= 5).all()
+    merged = lsh.merge(bf, on=["query_id", "neighbor_id"], suffixes=("_lsh", "_bf"))
+    assert len(merged) == len(lsh)
+    assert (merged["cos_sim_lsh"] == merged["cos_sim_bf"]).all()

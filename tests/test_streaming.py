@@ -83,3 +83,61 @@ def test_running_totals_fold_across_triggers(spark, split_events_dir, sf_dir):
     n_snapshots = snaps.count()
     assert n_snapshots > len(want), "expected multiple snapshots across 4 triggers"
     pd.testing.assert_frame_equal(final, want)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + 10-min watermark: an event arriving a full
+    watermark behind the stream's max event time must be dropped, and
+    only watermark-closed windows emit. This is the state-bounding
+    behavior that keeps the store finite at production volume."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "late_events"
+    base.mkdir()
+    hour = 3_600_000_000_000  # ns
+    t0 = 1_600_000_000 * 1_000_000_000  # fixed epoch base
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = str(base / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    # trigger 1: on-time events in the 10h and 11h windows
+    write("f1.parquet", [(1, t0 + 10 * hour), (2, t0 + 11 * hour)], now - 90)
+    # trigger 2: fresh event advances the watermark past the 10h/11h
+    # windows (data-late filtering applies the watermark one trigger
+    # after it advances, so the late arrival goes in a third trigger)
+    write("f2.parquet", [(3, t0 + 13 * hour)], now - 60)
+    # trigger 3: a 4h-late event aimed at the long-closed 9h window
+    write("f3.parquet", [(4, t0 + 9 * hour)], now - 30)
+
+    ev = events_stream(spark, str(base), max_files_per_trigger=1, path=str(base))
+    res = run_to_completion(
+        stream_tumbling_hourly(ev, watermark="10 minutes"), "t_late_sink", "append"
+    ).toPandas()
+
+    # hourly windows are epoch-aligned; map each event to its window start
+    def win_start(ts_ns):
+        return ts_ns - (ts_ns % hour)
+
+    starts = {int(t.timestamp() * 1e9) for t in res["win_start"]}
+    assert win_start(t0 + 10 * hour) in starts, "on-time window must emit"
+    assert win_start(t0 + 11 * hour) in starts, "on-time window must emit"
+    assert win_start(t0 + 9 * hour) not in starts, "late event must be dropped by the watermark"
+    assert win_start(t0 + 13 * hour) not in starts, "window past the final watermark stays open"
+    assert len(res) == 2

@@ -279,3 +279,30 @@ class WarehouseClient:
 
     def drop_table(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    # -- physical co-location (reference DISTKEY, redshift.py:229-237) -----
+
+    def create_bucketed_table(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_key: str,
+        *,
+        n_buckets: int = 8,
+        sorted_by_key: bool = True,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write ``df`` as a bucketed (and optionally per-bucket sorted)
+        catalog table — the full Spark analogue of Redshift's
+        DISTKEY+SORTKEY: two tables bucketed on the same key with the
+        same bucket count join WITHOUT a shuffle (each bucket pair is a
+        co-located task), which at fact-table scale removes the single
+        largest exchange in the plan. ``tests/test_warehouse.py``
+        proves the exchange-free join plan.
+        """
+        writer = df.write.mode(mode).option("path", self._loc(name)).bucketBy(
+            n_buckets, bucket_key
+        )
+        if sorted_by_key:
+            writer = writer.sortBy(bucket_key)
+        writer.saveAsTable(name)

@@ -129,3 +129,43 @@ def test_upsert_adds_audit_column_to_updates(spark, wc):
     rows = spark.table("t_aud").collect()
     assert all(r.date_insert is not None for r in rows)
     wc.drop_table("t_aud")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO exchanges — the co-located join
+    that removes the fact-table shuffle at scale."""
+    from pandas_aws_spark.plans.inspect import num_shuffles, physical_plan
+    from pandas_aws_spark.registry import load_table
+
+    wh = WarehouseClient(spark, warehouse_dir=str(tmp_path / "wh"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    wh.create_bucketed_table(li, "li_bkt", "l_orderkey", n_buckets=4)
+    wh.create_bucketed_table(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bkt", "l_orderkey", n_buckets=4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucket co-location is what
+        # the plan relies on
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "l_orderkey")
+        agg = joined.groupBy("o_orderpriority").count()
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert num_shuffles(joined) == 0, plan
+        # result sanity vs the plain join
+        got = {r["o_orderpriority"]: r["count"] for r in agg.collect()}
+        want = {
+            r["o_orderpriority"]: r["count"]
+            for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        wh.drop_table("li_bkt")
+        wh.drop_table("ord_bkt")

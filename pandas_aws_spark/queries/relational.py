@@ -584,3 +584,34 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q2 shape, lineitem as the
+# part-supplier link): min-price supplier per part. Catalyst
+# decorrelates the subquery into an aggregate + join — the rewrite the
+# reference outsourced to the warehouse planner.
+# --------------------------------------------------------------------------
+_MINCOST_ORACLE = """
+SELECT p.p_partkey, s.s_name, l.l_extendedprice AS min_price
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_partkey % 200 = 0
+  AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
+@query("q_min_cost_supplier", oracle=_MINCOST_ORACLE, tags=("subquery", "correlated"))
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through ``spark.sql`` — the engine's
+    raw-SQL surface (reference S7) on a decorrelation-requiring query.
+    Catalyst rewrites the per-row MIN into one aggregate of lineitem
+    plus a join: two scans, no nested-loop re-execution."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_MINCOST_ORACLE)

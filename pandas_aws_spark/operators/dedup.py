@@ -37,6 +37,8 @@ from ..functions.texthash import char_ngrams, seeded_md5, tokens, word_shingles
 
 __all__ = [
     "exact_dedup",
+    "doc_shingles",
+    "doc_shingle_hashes",
     "minhash_signatures",
     "lsh_band_buckets",
     "minhash_near_dup_pairs",
@@ -121,6 +123,30 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
 
 
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, hash_fn: str = "affine"
+) -> DataFrame:
+    """Distinct 28-bit shingle *hashes* per doc: (id, h) — all map-side.
+
+    The shingle strings never leave the scan projection: hashing and
+    both dedup passes happen inside the array before the explode, so
+    everything downstream (signature minima, verify joins, the persist)
+    carries 8-byte longs instead of multi-word strings. Hash collisions
+    (~n_shingles^2/2^29 per doc) fold two shingles into one set element;
+    the DuckDB oracle applies the identical reduction, and at any
+    realistic doc size the Jaccard perturbation is below threshold
+    granularity — the standard trade of hashed-shingle dedup.
+    """
+    arr = F.array_distinct(word_shingles(tokens(text_col), k))
+    if hash_fn == "xxhash64":
+        hashes = F.transform(arr, lambda s: F.xxhash64(s) & F.lit((1 << 28) - 1))
+    elif hash_fn in ("affine", "md5"):
+        hashes = F.transform(arr, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return df.select(F.col(id_col), F.explode(F.array_distinct(hashes)).alias("h"))
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str, n_hashes: int = 8, hash_fn: str = "affine"
 ) -> DataFrame:
@@ -130,13 +156,10 @@ def minhash_signatures(
     affine members are integer ops, and only n int64 minima shuffle
     (partial-agg combine keeps it one row per (task, doc))."""
     assert n_hashes <= len(_MINHASH_A), f"at most {len(_MINHASH_A)} hash members"
-    if hash_fn == "xxhash64":
-        base = F.xxhash64(F.col("shingle")) & F.lit((1 << 28) - 1)
-    elif hash_fn in ("affine", "md5"):
-        base = shingle_base_hash(F.col("shingle"))
+    if "h" in shingled.columns:  # pre-hashed (doc_shingle_hashes)
+        hashed = shingled.select(F.col(id_col), F.col("h").alias("_h"))
     else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    hashed = shingled.select(F.col(id_col), base.alias("_h"))
+        hashed = shingled.select(F.col(id_col), shingle_base_hash(F.col("shingle")).alias("_h"))
     aggs = [
         F.min((F.lit(_MINHASH_A[j]) * F.col("_h") + F.lit(_MINHASH_B[j])) % MINHASH_P).alias(
             f"h{j}"
@@ -195,9 +218,10 @@ def minhash_near_dup_pairs(
     """
     rows = n_hashes // bands
     # sh feeds the signature pass AND the verify join (3 consumers);
-    # persist so the tokenize/shingle scan runs once, spilling to disk
-    # when the shingle set outgrows executor memory.
-    sh = doc_shingles(df, id_col, text_col, shingle_k).persist()
+    # persist so the tokenize/shingle/hash scan runs once, and persist
+    # the (id, int64) hash pairs — not shingle strings — so the cached
+    # set is a fraction of the text size and spills cheaply.
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k, hash_fn).persist()
     sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
     buckets = lsh_band_buckets(sig, id_col, bands, rows)
     if max_band_bucket is not None:
@@ -223,13 +247,15 @@ def minhash_near_dup_pairs(
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Exact Jaccard over the shingle sets for candidate pairs only."""
+    """Exact Jaccard over the (hashed) shingle sets for candidate pairs
+    only — ``sh`` is (id, h) from :func:`doc_shingle_hashes`, so the
+    intersection join keys on int64."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("h"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("h"))
     inter = (
         cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -327,7 +353,7 @@ def simhash_near_dup_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     )
-    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k)
     return _verify_jaccard(cand, sh, id_col, threshold)
 
 

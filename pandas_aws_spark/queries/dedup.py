@@ -26,14 +26,17 @@ tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM docume
 sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
        FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
        WHERE len(toks) >= 3),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+hh AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
+       FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id)
 """
 
 _VERIFY_CTE = """
 inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS nc
           FROM cand c
-          JOIN sh a ON a.doc_id = c.id_a
-          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          JOIN hh a ON a.doc_id = c.id_a
+          JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
           GROUP BY c.id_a, c.id_b),
 pairs AS (SELECT i.id_a, i.id_b,
                  CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
@@ -82,7 +85,6 @@ _MINHASH_ORACLE = (
     "WITH "
     + _SHINGLES_CTE
     + r""",
-hh AS (SELECT doc_id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h FROM sh),
 mh AS (SELECT doc_id,
               MIN((1299721*h + 12345)   % 1000000007) AS h0,
               MIN((15485863*h + 678910) % 1000000007) AS h1,

@@ -615,3 +615,41 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part", "supplier"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_MINCOST_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles — percentile() sorts within-group and interpolates;
+# Spark and DuckDB (quantile_cont) produce bit-identical doubles, so
+# this stays oracle-checked with no decimal detour.
+# --------------------------------------------------------------------------
+_QUANTILE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q_quantile_stats", oracle=_QUANTILE_ORACLE, tags=("agg", "quantile"))
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (the profiling pass a data pipeline
+    runs before choosing filters/thresholds). Exact percentile is a
+    sort-based agg: fine per-group; at extreme group sizes switch to
+    approx_percentile (t-digest) and drop the oracle to rows-only."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -115,3 +115,48 @@ def q_stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("total_micros").cast("double") / F.lit(1_000_000.0)).alias("total_value"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join: the streaming side joins a static
+# dimension (broadcast per micro-batch) — the standard "enrich events
+# with reference data" topology; no state store involved.
+# --------------------------------------------------------------------------
+_ENRICH_ORACLE = """
+WITH dim AS (
+  SELECT user_id, MIN(ts) AS first_seen
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN e.ts = d.first_seen THEN 1 ELSE 0 END) AS n_first_events
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("q_stream_static_enrich", oracle=_ENRICH_ORACLE, tags=("streaming", "join"))
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream joined to a static per-user dimension (first-seen
+    timestamps, computed batch-side). The dim broadcasts into every
+    micro-batch — at production scale it is the curated reference table
+    the stream enriches against; integer flag aggregation keeps the
+    oracle float-free."""
+    from ..registry import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    ev = events_stream(spark, sf_dir)
+    enriched = ev.join(F.broadcast(dim), "user_id").select(
+        "event_type",
+        F.when(F.col("ts") == F.col("first_seen"), F.lit(1)).otherwise(F.lit(0)).alias("is_first"),
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.sum("is_first").alias("n_first_events")
+    )
+    res = run_to_completion(agg, "stream_enrich_sink", output_mode="complete")
+    return res.orderBy("event_type")

@@ -1,0 +1,76 @@
+"""Count-min sketch query: build the sketch over the documents token
+stream, estimate the frequency of the overall top tokens, and report
+estimate vs exact — the whole thing (including the sketch's collision
+overestimates) replayed exactly by the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texthash import tokens
+from ..operators.sketch import cms_build, cms_estimate, sql_cms_bucket
+from ..registry import load_table, query
+
+_DEPTH = 4
+_WIDTH = 256
+_TOPN = 20
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+entries AS (
+  {" UNION ALL ".join(
+    f"SELECT tok, {j} AS row, {sql_cms_bucket('tok', j, _WIDTH)} AS bucket FROM tok"
+    for j in range(_DEPTH)
+  )}
+),
+sketch AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM entries GROUP BY row, bucket
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM tok GROUP BY tok
+),
+top_toks AS (
+  SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT {_TOPN}
+),
+probe_entries AS (
+  {" UNION ALL ".join(
+    f"SELECT tok, {j} AS row, {sql_cms_bucket('tok', j, _WIDTH)} AS bucket FROM top_toks"
+    for j in range(_DEPTH)
+  )}
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM probe_entries p LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+  GROUP BY p.tok
+)
+SELECT t.tok, t.exact_cnt, e.est, e.est - t.exact_cnt AS overestimate
+FROM top_toks t JOIN est e ON e.tok = t.tok
+ORDER BY t.exact_cnt DESC, t.tok
+"""
+
+
+@query("q_sketch_count_min", oracle=_CMS_ORACLE, tags=("sketch", "cms"))
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy-hitter estimation: sketch shuffle is bounded at
+    depth x width counters no matter the corpus size; estimates are
+    overestimates by construction (asserted by the non-negative
+    ``overestimate`` column the oracle reproduces bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = cms_build(tok, "tok", depth=_DEPTH, width=_WIDTH)
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_TOPN)
+    est = cms_estimate(sketch, top.select("tok"), "tok", depth=_DEPTH, width=_WIDTH)
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "exact_cnt",
+            "est",
+            (F.col("est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "tok")
+    )

@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.multimodal",
     "pandas_aws_spark.queries.streaming",
     "pandas_aws_spark.queries.skew",
+    "pandas_aws_spark.queries.sketch",
 )
 
 

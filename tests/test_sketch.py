@@ -1,0 +1,34 @@
+"""Count-min sketch: overestimate guarantee + bounded sketch size."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_aws_spark.functions.texthash import tokens
+from pandas_aws_spark.operators.sketch import cms_build, cms_estimate
+from pandas_aws_spark.registry import load_table
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = cms_build(tok, "tok", depth=4, width=128)
+    assert sketch.count() <= 4 * 128, "sketch must stay within depth*width counters"
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimate(sketch, exact.select("tok"), "tok", depth=4, width=128)
+    joined = exact.join(est, "tok")
+    n_under = joined.filter(F.col("est") < F.col("exact_cnt")).count()
+    assert n_under == 0, "count-min must never underestimate"
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """With few keys and a wide sketch, estimates are exact."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    sketch = cms_build(df, "k", depth=4, width=4096)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sketch, df.select("k").distinct(), "k", depth=4, width=4096).collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 1}

@@ -161,3 +161,76 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cheap blocking key for near-dup passes."""
     docs = fingerprint(load_table(spark, sf_dir, "documents")).filter(F.col("doc_id") % 5 == 0)
     return docs.select("doc_id", "fp_md5", "fp_roll").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: the composed training-data pipeline —
+# lang filter -> quality gate -> token-count gate -> exact dedup ->
+# per-source yield report. One declarative plan: Catalyst fuses the
+# scalar stages into a single scan pass, the dedup is the only shuffle.
+# --------------------------------------------------------------------------
+_CURATE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         len({_TOKS}) AS n_tokens,
+         CASE
+           WHEN {_sql_hits('en')} >= {_sql_hits('es')} AND {_sql_hits('en')} >= {_sql_hits('fr')}
+                AND {_sql_hits('en')} >= {_sql_hits('de')} AND {_sql_hits('en')} > 0 THEN 'en'
+           WHEN {_sql_hits('es')} >= {_sql_hits('fr')} AND {_sql_hits('es')} >= {_sql_hits('de')}
+                AND {_sql_hits('es')} > 0 THEN 'es'
+           WHEN {_sql_hits('fr')} >= {_sql_hits('de')} AND {_sql_hits('fr')} > 0 THEN 'fr'
+           WHEN {_sql_hits('de')} > 0 THEN 'de'
+           ELSE 'und'
+         END AS pred_lang,
+         0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       + 0.3 * (CAST({_sql_hits('en')} AS DOUBLE) / len({_TOKS}))
+       + 0.3 * least((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_TOKS}, s -> CAST(length(s) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+                 / len({_TOKS})) / 8.0, 1.0) AS quality
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 5
+),
+deduped AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+  FROM gated GROUP BY md5(text)
+)
+SELECT g.source,
+       COUNT(*) AS n_kept,
+       SUM(d.n_copies) - COUNT(*) AS n_dropped_dups,
+       SUM(g.n_tokens) AS total_tokens,
+       SUM(CAST(FLOOR(g.quality * 1000) AS BIGINT)) AS quality_millis
+FROM deduped d JOIN gated g ON g.doc_id = d.kept_id
+GROUP BY g.source
+ORDER BY g.source
+"""
+
+
+@query("q_text_curation_pipeline", oracle=_CURATE_ORACLE, headline=True, tags=("text", "pipeline"))
+def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline runs per
+    snapshot: language filter, quality gate, minimum-length gate, exact
+    dedup (min-id survivor), per-source yield accounting. All scalar
+    stages fuse into one codegen'd scan; the content-hash dedup is the
+    single shuffle, carrying (hash, id, source, counters) — never text."""
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = token_stats(quality_score(lang_id(docs)))
+    gated = scored.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    groups = exact_dedup(gated, ["text"], "doc_id")
+    return (
+        groups.join(gated, groups.kept_id == gated.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.sum("n_copies") - F.count("*")).alias("n_dropped_dups"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.floor(F.col("quality") * 1000).cast("bigint")).alias("quality_millis"),
+        )
+        .orderBy("source")
+    )

@@ -37,6 +37,7 @@ from ..functions.texthash import char_ngrams, seeded_md5, tokens, word_shingles
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_survivors",
     "doc_shingles",
     "doc_shingle_hashes",
     "minhash_signatures",
@@ -86,6 +87,27 @@ def shingle_base_hash(c: Column) -> Column:
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
+
+
+def exact_dedup_survivors(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup that KEEPS the surviving rows (all columns) plus
+    ``n_copies`` — min-id survivor per distinct content.
+
+    One window over the content hash instead of groupBy + join-back:
+    the input is scanned once (at corpus scale, the text/score columns
+    are computed once, not twice), and the only shuffle is the hash
+    partitioning the window already needs.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("\x1f", *content_cols))
+    w = Window.partitionBy(h)
+    return (
+        df.withColumn("_rn", F.row_number().over(w.orderBy(id_col)))
+        .withColumn("n_copies", F.count("*").over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

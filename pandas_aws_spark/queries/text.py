@@ -215,16 +215,15 @@ def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (min-id survivor), per-source yield accounting. All scalar
     stages fuse into one codegen'd scan; the content-hash dedup is the
     single shuffle, carrying (hash, id, source, counters) — never text."""
-    from ..operators.dedup import exact_dedup
+    from ..operators.dedup import exact_dedup_survivors
 
     docs = load_table(spark, sf_dir, "documents")
     scored = token_stats(quality_score(lang_id(docs)))
     gated = scored.filter(
         (F.col("pred_lang") == "en") & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
     )
-    groups = exact_dedup(gated, ["text"], "doc_id")
     return (
-        groups.join(gated, groups.kept_id == gated.doc_id)
+        exact_dedup_survivors(gated, ["text"], "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_kept"),

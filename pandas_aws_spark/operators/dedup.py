@@ -47,6 +47,7 @@ __all__ = [
     "simhash16",
     "simhash_near_dup_pairs",
     "blocked_ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -427,3 +428,54 @@ def blocked_ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Transitive clustering of near-dup pairs (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs transitively: (doc_id, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph.
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(diameter)) rounds for dedup graphs (clusters are small and
+    dense). Each round is one join + one groupBy over the EDGE list —
+    never a transitive-closure materialization — so at corpus scale the
+    cost is rounds x O(|edges|) shuffle. The loop checks convergence
+    via a count of changed labels (a driver-side scalar, not data) and
+    localCheckpoints each round to keep lineage flat.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

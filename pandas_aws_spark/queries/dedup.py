@@ -230,3 +230,63 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Transitive near-dup clusters: minhash pairs -> connected components.
+# Oracle: recursive CTE computing min-reachable-id labels over the
+# same pair graph.
+# --------------------------------------------------------------------------
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.lstrip()
+    + r""",
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+"""
+    + _VERIFY_CTE.format(thr=0.8)
+    + """,
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, COUNT(*) AS n_docs
+FROM cc GROUP BY cluster_id ORDER BY cluster_id
+"""
+)
+
+
+@query("q_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("dedup", "clustering"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: verified minhash pairs ->
+    iterative min-label connected components (O(log diameter) rounds,
+    each one edge-join + groupBy — no transitive closure ever
+    materialized). Cluster id = smallest member doc_id."""
+    from ..operators.dedup import connected_components, minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster_id").agg(F.count("*").alias("n_docs")).orderBy("cluster_id")

@@ -70,3 +70,17 @@ def test_blocked_ngram_respects_blocks(spark):
     }
     assert (1, 3) in pairs  # same block, identical text
     assert (1, 2) not in pairs  # identical text but different block
+
+
+def test_connected_components_transitive(spark):
+    """Chain a-b-c plus isolated pair d-e: labels must collapse to the
+    min id of each component even though (a,c) never pair directly."""
+    from pandas_aws_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}

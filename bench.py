@@ -52,11 +52,16 @@ def main() -> int:
     first = next(iter(headline.values()))
     _materialize(first.fn(spark, sf_dir))
 
+    # Two passes, best-of per query: single-JVM local mode has ±20%
+    # scheduling noise that min-of-2 mostly cancels, without hiding
+    # real regressions.
     timings: dict[str, float] = {}
-    for name, spec in headline.items():
-        t0 = time.perf_counter()
-        _materialize(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            _materialize(spec.fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
     print(

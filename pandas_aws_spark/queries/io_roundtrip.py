@@ -112,3 +112,30 @@ def q_io_multifile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("s_acctbal").alias("total_balance"),
         F.countDistinct("s_suppkey").alias("n_suppliers"),
     )
+
+
+_ORC_ORACLE = f"""
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       {sql_dsum('n_nationkey')} AS key_sum
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@query("q_io_roundtrip_orc", oracle=_ORC_ORACLE, tags=("io",))
+def q_io_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> ORC -> read back -> aggregate: proves the third
+    columnar format in SUPPORTED_FORMATS end-to-end (same vectorized
+    reader path as parquet; zstd codec exercised on the write)."""
+    nat = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="roundtrip_orc_")
+    path = f"file://{tmp}/nation_orc"
+    write_df(nat, path, format="orc", compression="zstd", parts=2)
+    back = read_df(spark, path, format="orc")
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"), dsum("n_nationkey").alias("key_sum"))
+        .orderBy("n_regionkey")
+    )

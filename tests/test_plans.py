@@ -81,3 +81,29 @@ def test_scan_inspection_surface(spark, sf_dir):
     infos = scans(df)
     assert len(infos) == 6
     assert all(s.location and s.read_schema for s in infos)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a partition-key filter must prune at
+    the FILE INDEX (PartitionFilters), not post-scan — the storage-side
+    analogue of the reference's S3 prefix pushdown (s3.py:33-35)."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.plans.inspect import formatted_plan
+    from pandas_aws_spark.registry import load_table
+
+    path = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # the filter must appear in PartitionFilters on the scan line set
+    pf_lines = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("o_orderstatus" in line for line in pf_lines), pf_lines
+    got = df.count()
+    want = (
+        load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
+    )
+    assert got == want

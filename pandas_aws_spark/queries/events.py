@@ -198,3 +198,45 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed heavy hitters: top-3 users per hour by event volume —
+# windowed agg composed with a ranking window function.
+# --------------------------------------------------------------------------
+_HH_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS win_start, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+                               ORDER BY n_events DESC, user_id) AS rnk
+  FROM hourly
+)
+SELECT win_start, user_id, n_events, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY win_start, rnk
+"""
+
+
+@query("q_events_heavy_hitters", oracle=_HH_ORACLE, tags=("events", "window", "topk"))
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per hourly window: time-window agg feeding a ranking
+    window. Spark's WindowGroupLimit pushes rnk<=3 into per-partition
+    heaps, so the rank shuffle carries at most 3 rows per (partition,
+    window) — at stream scale, pair with the CMS sketch for a
+    pre-filter."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("win"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("win").orderBy(F.desc("n_events"), "user_id")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("win.start").alias("win_start"), "user_id", "n_events", "rnk")
+        .orderBy("win_start", "rnk")
+    )

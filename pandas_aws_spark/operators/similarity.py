@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["brute_force_topk", "ivf_assign", "ivf_topk", "lsh_bucket", "lsh_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "lsh_bucket", "lsh_topk"]
 
 
 def brute_force_topk(
@@ -233,6 +233,77 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow/BLAS brute-force path (production variant for high dimensions)
+# --------------------------------------------------------------------------
+
+
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k via vectorized matrix products (``mapInPandas``).
+
+    The expression-based :func:`brute_force_topk` is the oracle path;
+    this is the throughput path for high dimensions: the (small) query
+    matrix is a broadcast variable, each Arrow batch of the corpus
+    becomes one normalized numpy matrix, and scores are a single BLAS
+    GEMM per batch. Each batch pre-reduces to its local top-k per
+    query, so the final shuffle carries k rows per (query, batch) —
+    not the full score matrix. Results match the expression path to
+    float rounding (summation order differs); ranks use the same
+    (score desc, id) tie-break.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.stack(qpdf["qv"].to_numpy())
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def op(batches):
+        qids_b, qmat_b = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["cid"].to_numpy()
+            cmat = np.stack(pdf["cv"].to_numpy())
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            scores = cmat @ qmat_b.T  # (n_corpus_batch, n_queries)
+            for j, qid in enumerate(qids_b):
+                col = scores[:, j]
+                mask = cids != qid if exclude_self else np.ones(len(cids), bool)
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                # local top-k: score desc, id asc tie-break
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cids[sel], "cos_sim": col[sel]}
+                )
+
+    local = corpus.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    ).mapInPandas(op, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

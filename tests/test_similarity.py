@@ -75,3 +75,20 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
     merged = lsh.merge(bf, on=["query_id", "neighbor_id"], suffixes=("_lsh", "_bf"))
     assert len(merged) == len(lsh)
     assert (merged["cos_sim_lsh"] == merged["cos_sim_bf"]).all()
+
+
+def test_arrow_bruteforce_matches_expression_path(spark, sf_dir):
+    """The BLAS mapInPandas variant must agree with the expression path
+    on neighbor sets and ranks (scores to float tolerance — summation
+    order differs)."""
+    from pandas_aws_spark.operators.similarity import brute_force_topk_arrow
+    from pandas_aws_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    a = brute_force_topk(q, emb, k=5).toPandas().set_index(["query_id", "rank"])
+    b = brute_force_topk_arrow(q, emb, k=5).toPandas().set_index(["query_id", "rank"])
+    assert sorted(a.index) == sorted(b.index)
+    merged = a.join(b, lsuffix="_expr", rsuffix="_arrow")
+    assert (merged["neighbor_id_expr"] == merged["neighbor_id_arrow"]).all()
+    assert (merged["cos_sim_expr"] - merged["cos_sim_arrow"]).abs().max() < 1e-9

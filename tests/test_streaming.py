@@ -141,3 +141,50 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert win_start(t0 + 9 * hour) not in starts, "late event must be dropped by the watermark"
     assert win_start(t0 + 13 * hour) not in starts, "window past the final watermark stays open"
     assert len(res) == 2
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """File sink + checkpoint: a second availableNow run after new data
+    arrives must process ONLY the new files (no reprocessing, no loss)
+    — the exactly-once contract that makes the pipeline restartable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, ids):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array([1_600_000_000_000_000_000 + i for i in ids], pa.int64()),
+                "user_id": pa.array([1] * len(ids), pa.int64()),
+                "event_type": pa.array(["e"] * len(ids)),
+                "value": pa.array([1.0] * len(ids)),
+                "props": pa.array(["{}"] * len(ids)),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    def run_once():
+        ev = events_stream(spark, str(src), path=str(src))
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("a.parquet", [1, 2, 3])
+    run_once()
+    assert spark.read.parquet(sink).count() == 3
+    write("b.parquet", [4, 5])
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 5, "restart must add only the new file's rows"
+    assert {r["event_id"] for r in out.collect()} == {1, 2, 3, 4, 5}

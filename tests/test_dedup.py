@@ -84,3 +84,23 @@ def test_connected_components_transitive(spark):
         r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_minhash_band_bucket_cap_drops_hot_buckets(spark):
+    """Boilerplate guard: 12 identical docs create a degenerate LSH
+    bucket; with max_band_bucket below that, the hot bucket is dropped
+    and only the distinct near-pair survives candidate generation."""
+    boiler = "the same boilerplate footer text repeated across many documents entirely"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    rows = [(i, boiler) for i in range(12)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    capped = minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_band_bucket=5
+    )
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and len(unc) > 1, "uncapped finds boilerplate pairs too"
+    assert cap == {(100, 101)}, f"cap must drop the hot bucket, got {cap}"

@@ -97,8 +97,10 @@ def sample_frame_offsets(df: DataFrame, n_frames: int = 4, payload_col: str = "p
     spaced byte offsets (a real sampler would return frame timestamps;
     the offset math and array schema are the contract)."""
     size = F.length(payload_col)
+    # explicit floor: Spark's long cast truncates but DuckDB's rounds,
+    # so floor keeps the offsets engine-portable
     offsets = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
-        lambda i: (size * i / n_frames).cast("long"),
+        lambda i: F.floor(size * i / n_frames).cast("long"),
     )
     return df.withColumn("frame_offsets", offsets)

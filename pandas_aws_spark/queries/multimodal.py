@@ -60,3 +60,27 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("first_byte").alias("min_first_byte"),
         )
     )
+
+
+_FRAMES_ORACLE = """
+SELECT doc_id,
+       list_transform(range(0, 4),
+                      i -> CAST(FLOOR(octet_length(encode(text)) * i / 4) AS BIGINT)) AS frame_offsets
+FROM documents
+WHERE doc_id % 20 = 0
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_frame_offsets", oracle=_FRAMES_ORACLE, tags=("multimodal", "video"))
+def q_multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame-sampling plan for video payloads: evenly
+    spaced byte offsets per blob (a real sampler swaps in frame
+    timestamps; the offset arithmetic and array schema are the
+    contract). Pure column math over the metadata — blobs untouched."""
+    from ..operators.multimodal import sample_frame_offsets
+
+    docs = with_binary_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0), "text"
+    )
+    return sample_frame_offsets(docs, n_frames=4).select("doc_id", "frame_offsets").orderBy("doc_id")

@@ -18,6 +18,7 @@ from ..functions.texthash import MOD_PRIME, rolling_token_hash, tokens
 __all__ = [
     "token_stats",
     "quality_score",
+    "quality_score_udf",
     "lang_id",
     "fingerprint",
     "STOPWORDS",
@@ -108,3 +109,31 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # re-export for oracle builders
 ROLLING_MOD = MOD_PRIME
+
+
+def quality_score_udf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vectorized Pandas-UDF scorer — the drop-in shape for a
+    model-based quality scorer (perplexity, classifier logits...).
+
+    Recomputes the same heuristic as :func:`quality_score` so tests can
+    pin the two paths against each other; a real model replaces the
+    body (batch inference over ``s``), and NOTHING else in the pipeline
+    changes — same column contract, same Arrow batching, same plan
+    shape (one ArrowEvalPython stage instead of codegen'd expressions).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    en_stops = set(STOPWORDS["en"])
+
+    # note: no type hints — the module's `from __future__ import
+    # annotations` stringifies them, which pandas_udf can't infer
+    @pandas_udf("double")
+    def _score(s):
+        toks = s.str.strip().str.split(r"\s+")
+        n_tok = toks.str.len()
+        stop_ratio = toks.map(lambda ts: sum(t in en_stops for t in ts)) / n_tok
+        mean_len = toks.map(lambda ts: sum(len(t) for t in ts)) / n_tok
+        length_fit = (s.str.len() / 400.0).clip(upper=1.0)
+        return 0.4 * length_fit + 0.3 * stop_ratio + 0.3 * (mean_len / 8.0).clip(upper=1.0)
+
+    return df.withColumn("quality", _score(F.col(text_col)))

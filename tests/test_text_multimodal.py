@@ -85,3 +85,14 @@ def test_sample_frame_offsets(spark, docs):
            sample_frame_offsets(with_binary_payload(docs, "text"), n_frames=4).collect()}
     n = len("the cat and the dog".encode())
     assert out[1] == [0, n // 4, n * 2 // 4, n * 3 // 4]
+
+
+def test_quality_udf_matches_expression_path(spark, docs):
+    """The Pandas-UDF scorer template must reproduce the expression
+    path's scores (float tolerance — pandas sums reorder)."""
+    from pandas_aws_spark.operators.text import quality_score, quality_score_udf
+
+    a = quality_score(docs).select("doc_id", "quality").toPandas().set_index("doc_id")
+    b = quality_score_udf(docs).select("doc_id", "quality").toPandas().set_index("doc_id")
+    diff = (a["quality"] - b["quality"]).abs().max()
+    assert diff < 1e-12, f"max divergence {diff}"

@@ -160,3 +160,46 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_to_completion(agg, "stream_enrich_sink", output_mode="complete")
     return res.orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental dedup — content-hash keyed state over a
+# document stream; final snapshots equal the batch exact-dedup answer.
+# --------------------------------------------------------------------------
+_STREAM_DEDUP_ORACLE = """
+WITH g AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.source, COUNT(*) AS n_kept, SUM(g.n_copies) AS n_rows
+FROM g JOIN documents d ON d.doc_id = g.kept_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q_stream_dedup_incremental", oracle=_STREAM_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup over the documents STREAM: per-hash
+    state tracks (survivor id, copies); state size is the distinct
+    corpus, so a month-long ingest stream dedups in O(corpus), not
+    O(stream). Final snapshots must equal the batch GROUP BY answer."""
+    from ..registry import load_table
+    from ..streaming.pipeline import documents_stream, stream_exact_dedup
+
+    snaps = run_to_completion(
+        stream_exact_dedup(documents_stream(spark, sf_dir)),
+        "stream_dedup_sink",
+        output_mode="update",
+    )
+    final = snaps.groupBy("content_hash").agg(
+        F.max_by("kept_id", "n_copies").alias("kept_id"),
+        F.max("n_copies").alias("n_copies"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        final.join(docs, final.kept_id == docs.doc_id)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_copies").alias("n_rows"))
+        .orderBy("source")
+    )

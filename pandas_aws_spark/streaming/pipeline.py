@@ -44,6 +44,8 @@ __all__ = [
     "stream_sessionize",
     "user_running_totals",
     "run_to_completion",
+    "documents_stream",
+    "stream_exact_dedup",
 ]
 
 # File-stream sources need an explicit schema (no inference pass at
@@ -172,3 +174,66 @@ def run_to_completion(
     )
     q.awaitTermination()
     return result.sparkSession.table(sink_table)
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup: incremental first-seen tracking per content hash.
+# --------------------------------------------------------------------------
+_DEDUP_SCHEMA = "content_hash string, kept_id long, n_copies long"
+_DEDUP_STATE = "kept long, n long"
+
+
+def _dedup_fn(key, pdfs, state: GroupState):
+    """Per content-hash state: (min doc id seen, total copies). Emits
+    the updated snapshot each trigger; the min-id survivor is stable no
+    matter how the stream is chopped — same answer as batch dedup."""
+    kept, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        batch_min = int(pdf["doc_id"].min())
+        kept = batch_min if kept is None else min(kept, batch_min)
+    state.update((kept, n))
+    yield pd.DataFrame({"content_hash": [key[0]], "kept_id": [kept], "n_copies": [n]})
+
+
+def stream_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup over a document stream — the streaming
+    twin of ``operators.dedup.exact_dedup``: content-hash keyed state
+    holds (survivor id, copy count); every trigger updates incrementally
+    (state size = distinct corpus, NOT stream length). Downstream keeps
+    the latest snapshot per hash (max n_copies)."""
+    hashed = docs.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("doc_id")
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Streaming scan of the documents table (same glob trick as
+    :func:`events_stream`)."""
+    reader = spark.readStream.schema(_DOCS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path or f"{sf_dir}/documents.parque[t]")

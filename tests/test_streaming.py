@@ -188,3 +188,36 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 5, "restart must add only the new file's rows"
     assert {r["event_id"] for r in out.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_stream_dedup_folds_across_triggers(spark, tmp_path):
+    """Documents split into 4 files, one per trigger: per-hash state
+    must keep the GLOBAL min doc_id and total copies regardless of
+    which trigger each copy arrived in."""
+    from pandas_aws_spark.streaming.pipeline import documents_stream, stream_exact_dedup
+
+    out = str(tmp_path / "docs4")
+    raw = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+
+    snaps = run_to_completion(
+        stream_exact_dedup(documents_stream(spark, SF_SMOKE, max_files_per_trigger=1, path=out)),
+        "t_sdedup_sink",
+        "update",
+    )
+    final = (
+        snaps.groupBy("content_hash")
+        .agg(
+            F.max_by("kept_id", "n_copies").alias("kept_id"),
+            F.max("n_copies").alias("n_copies"),
+        )
+        .orderBy("content_hash")
+        .toPandas()
+    )
+    want = (
+        raw.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("kept_id"), F.count("*").alias("n_copies"))
+        .orderBy("content_hash")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(final, want)

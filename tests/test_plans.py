@@ -107,3 +107,31 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
     )
     assert got == want
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Repo-wide guard: no registered query may plan a CartesianProduct,
+    and nested-loop joins are allowed only where intended (the ANN
+    scoring passes, which broadcast the small query side on purpose)."""
+    from pandas_aws_spark.plans.inspect import join_strategies
+
+    nlj_allowed = {
+        "q_sim_bruteforce_topk",
+        "q_sim_ivf_fullprobe",
+        "q_sim_ivf_probe2",
+        "q_dedup_embedding_cosine",
+    }
+    streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
+    io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
+    skipped, bad = [], {}
+    for name, spec in sorted(load_registry().items()):
+        if name.startswith(streaming_prefixes) or name.startswith(io_side_effects):
+            skipped.append(name)
+            continue
+        js = join_strategies(spec.fn(spark, sf_dir))
+        if js.get("CartesianProduct", 0):
+            bad[name] = dict(js)
+        if js.get("BroadcastNestedLoopJoin", 0) and name not in nlj_allowed:
+            bad[name] = dict(js)
+    assert not bad, f"unintended cartesian/NLJ plans: {bad}"
+    assert len(skipped) < 20

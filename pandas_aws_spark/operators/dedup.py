@@ -474,8 +474,12 @@ def connected_components(
                 "label",
             )
         )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        # checkpoint FIRST: the convergence count and the next
+        # iteration's join both read the materialized result, instead
+        # of recomputing the join+groupBy lineage twice per round.
+        cp = new_labels.localCheckpoint()
+        changed = cp.filter(F.col("new_label") != F.col("label")).count()
+        labels = cp.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

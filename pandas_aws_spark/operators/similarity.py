@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "lsh_bucket", "lsh_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe"]
 
 
 def brute_force_topk(
@@ -304,6 +304,70 @@ def brute_force_topk_arrow(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 4,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its home bucket AND the
+    bucket across its weakest hyperplane (smallest |dot| — the boundary
+    it most nearly straddles). Doubles per-query candidates for ~2x
+    recall on boundary neighbors at no extra corpus passes — the
+    standard recall knob before adding planes. Deterministic probe
+    choice (ties to the lowest plane index) keeps it oracle-replayable.
+    """
+    assert n_planes <= len(_LSH_A)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    dots = [dot(F.col("qv"), _hyperplane(j, dim)) for j in range(n_planes)]
+    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
+    # weakest plane = argmin |dot| (ties -> lowest j), via a sorted
+    # array of (abs_dot, j) structs
+    weakest = F.sort_array(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("a"), F.lit(j).alias("j"))
+                for j, d in enumerate(dots)
+            ]
+        )
+    )[0]["j"]
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                # 2^weakest as the flip mask (shiftleft needs a literal
+                # bit count; pow is exact for these tiny exponents)
+                F.col("bucket").bitwiseXOR(
+                    F.pow(F.lit(2.0), weakest.cast("double")).cast("long")
+                ),
+            )
+        ).alias("bucket"),
+    )
+    cand = c.join(F.broadcast(probes), "bucket")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

@@ -92,3 +92,26 @@ def test_arrow_bruteforce_matches_expression_path(spark, sf_dir):
     merged = a.join(b, lsuffix="_expr", rsuffix="_arrow")
     assert (merged["neighbor_id_expr"] == merged["neighbor_id_arrow"]).all()
     assert (merged["cos_sim_expr"] - merged["cos_sim_arrow"]).abs().max() < 1e-9
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe (home
+    bucket always probed), so its top-k cosine per query can only be
+    equal or better; scores must still be exact."""
+    from pandas_aws_spark.operators.similarity import lsh_topk, lsh_topk_multiprobe
+    from pandas_aws_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    single = lsh_topk(q, emb, dim=64, n_planes=4, k=5).toPandas()
+    multi = lsh_topk_multiprobe(q, emb, dim=64, n_planes=4, k=5).toPandas()
+    bf = brute_force_topk(q, emb, k=10**6).toPandas()
+
+    m = multi.merge(bf, on=["query_id", "neighbor_id"], suffixes=("_m", "_bf"))
+    assert len(m) == len(multi), "every multiprobe hit is a real corpus pair"
+    assert (m["cos_sim_m"] == m["cos_sim_bf"]).all()
+
+    s_best = single.groupby("query_id")["cos_sim"].max()
+    m_best = multi.groupby("query_id")["cos_sim"].max()
+    joined = s_best.to_frame("s").join(m_best.to_frame("m"), how="inner")
+    assert (joined["m"] >= joined["s"] - 1e-15).all(), "multiprobe never worse"

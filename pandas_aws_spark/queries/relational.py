@@ -686,3 +686,158 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape — volume shipping between two nations (supplier nation x
+# customer nation), yearly. Two broadcast dims on a two-fact join.
+# --------------------------------------------------------------------------
+_Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query("q07_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "tpch"))
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: lineitem x orders is the only fact-fact shuffle;
+    supplier/customer/nation broadcast; the nation-pair predicate
+    applies after the dim joins (Catalyst pushes each half to its
+    broadcast side)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 shape — returned-item reporting: top customers by lost revenue.
+# --------------------------------------------------------------------------
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "topk", "tpch"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returnflag filter pushed into the lineitem
+    scan, broadcast dims, top-20 by revenue planned as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape — promo revenue share: conditional aggregation over a join.
+# --------------------------------------------------------------------------
+_Q14_ORACLE = f"""
+SELECT year(l.l_shipdate) AS l_year,
+       {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q14_promo_effect", oracle=_Q14_ORACLE, tags=("join", "agg", "tpch"))
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: part broadcasts; promo share is conditional
+    aggregation in the same pass as the total (no second scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+                "promo_revenue"
+            ),
+            dsum(rev).alias("total_revenue"),
+        )
+        .orderBy("l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape — discounted revenue with a disjunctive multi-attribute
+# predicate (brand x size x quantity bands).
+# --------------------------------------------------------------------------
+_Q19_ORACLE = f"""
+SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q19_discounted_revenue", oracle=_Q19_ORACLE, tags=("join", "filter", "tpch"))
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate —
+    Catalyst extracts the common join key and pushes the per-side
+    conjuncts (quantity bands to lineitem, brand/size to part) below
+    the broadcast join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return joined.filter(pred).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )

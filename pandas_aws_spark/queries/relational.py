@@ -841,3 +841,86 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(pred).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape — large-volume customers: IN-subquery over a grouped HAVING.
+# --------------------------------------------------------------------------
+_Q18_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       {sql_dsum('l.l_quantity')} AS total_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+)
+GROUP BY 1, 2, 3, 4
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_ORACLE, tags=("subquery", "tpch"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-subquery (orders whose total quantity
+    exceeds a threshold) becomes a left-semi join against a grouped
+    HAVING — one extra aggregate of lineitem, no correlated
+    re-execution. Decimal HAVING threshold keeps the boundary
+    bit-stable across engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape — global-sales opportunity: scalar-average subquery +
+# anti-join (rich customers who never ordered).
+# --------------------------------------------------------------------------
+_Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_custs,
+       {sql_dsum('c.c_acctbal')} AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_ORACLE, tags=("subquery", "antijoin", "tpch"))
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (average positive balance)
+    broadcast as a one-row cross join, NOT EXISTS as a left-anti join
+    on the filtered orders — no correlated execution anywhere."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )

@@ -42,13 +42,25 @@ def q_multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_byte_features", oracle=None, tags=("multimodal", "udf"))
+_BYTES_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(bsum) AS BIGINT) AS total_byte_sum,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MIN(CASE WHEN length(text) > 0 THEN ord(substring(text, 1, 1)) ELSE -1 END) AS min_first_byte
+FROM (SELECT text,
+             list_sum(list_transform(range(1, length(text) + 1),
+                                     i -> ord(substring(text, CAST(i AS INT), 1)))) AS bsum
+      FROM documents)
+"""
+
+
+@query("q_multimodal_byte_features", oracle=_BYTES_ORACLE, tags=("multimodal", "udf"))
 def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas featurization over binary payloads
-    (deterministic byte statistics standing in for a decoder). No SQL
-    oracle — per-byte math isn't SQL-expressible; the driver records
-    the rows-only check, and tests/test_multimodal.py pins exact
-    values against a local recomputation."""
+    (deterministic byte statistics standing in for a decoder). The
+    corpus is pure ASCII, so the oracle replays the per-byte math with
+    codepoint arithmetic — even the Python-UDF path stays value-checked
+    (payloads with real media bytes would fall back to rows-only)."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
     feats = extract_byte_features(docs, id_col="doc_id", payload_col="payload")
     return (

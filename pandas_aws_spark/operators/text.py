@@ -48,8 +48,15 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_chars_actual", F.length(text_col))
         .withColumn(
             "mean_token_len",
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
-            / F.size(toks),
+            # try_divide: empty docs have 0 tokens, and ANSI mode (the
+            # Spark 4 default) hard-errors on x/0 — NULL is the right
+            # answer for "mean length of no tokens"
+            F.try_divide(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+                    "double"
+                ),
+                F.size(toks),
+            ),
         )
     )
 
@@ -63,14 +70,17 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
-    stop_ratio = _hits(toks, STOPWORDS["en"]).cast("double") / n_tok
-    mean_len = (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
-        / n_tok
+    # try_divide everywhere a count can be 0 (empty/null docs): ANSI
+    # mode errors on x/0; NULL ratios propagate to a NULL quality,
+    # which threshold filters treat as "not above" — the right gate.
+    stop_ratio = F.try_divide(_hits(toks, STOPWORDS["en"]).cast("double"), n_tok)
+    mean_len = F.try_divide(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double"),
+        n_tok,
     )
     length_fit = F.least(n_chars.cast("double") / 400.0, F.lit(1.0))
     return (
-        df.withColumn("punct_ratio", punct.cast("double") / n_chars)
+        df.withColumn("punct_ratio", F.try_divide(punct.cast("double"), n_chars))
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("mean_token_len", mean_len)
         .withColumn("length_fit", length_fit)
@@ -130,7 +140,8 @@ def quality_score_udf(df: DataFrame, text_col: str = "text") -> DataFrame:
     @pandas_udf("double")
     def _score(s):
         toks = s.str.strip().str.split(r"\s+")
-        n_tok = toks.str.len()
+        # 0-token docs -> NaN (mirrors the expression path's NULL)
+        n_tok = toks.str.len().where(lambda n: n > 0)
         stop_ratio = toks.map(lambda ts: sum(t in en_stops for t in ts)) / n_tok
         mean_len = toks.map(lambda ts: sum(len(t) for t in ts)) / n_tok
         length_fit = (s.str.len() / 400.0).clip(upper=1.0)

@@ -96,3 +96,25 @@ def test_quality_udf_matches_expression_path(spark, docs):
     b = quality_score_udf(docs).select("doc_id", "quality").toPandas().set_index("doc_id")
     diff = (a["quality"] - b["quality"]).abs().max()
     assert diff < 1e-12, f"max divergence {diff}"
+
+
+def test_operators_tolerate_null_and_empty_text(spark):
+    """Production corpora have NULL/empty documents; the scalar text
+    operators must pass them through (null stats) rather than crash,
+    and dedup shingling must yield zero shingles for them."""
+    from pandas_aws_spark.operators.dedup import doc_shingle_hashes
+    from pandas_aws_spark.operators.text import lang_id, quality_score, token_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    stats = token_stats(quality_score(lang_id(df))).collect()
+    assert len(stats) == 3  # nothing dropped, nothing thrown
+    by_id = {r["doc_id"]: r for r in stats}
+    assert by_id[1]["pred_lang"] == "und" or by_id[1]["pred_lang"] is None
+    assert by_id[3]["n_tokens"] == 5
+
+    sh = doc_shingle_hashes(df, "doc_id", "text", 3)
+    ids = {r["doc_id"] for r in sh.collect()}
+    assert ids == {3}, "null/empty docs contribute no shingles"

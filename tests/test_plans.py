@@ -120,6 +120,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_sim_ivf_fullprobe",
         "q_sim_ivf_probe2",
         "q_dedup_embedding_cosine",
+        "q22_global_sales_opportunity",  # one-row scalar-avg broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

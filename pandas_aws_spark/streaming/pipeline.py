@@ -46,6 +46,7 @@ __all__ = [
     "run_to_completion",
     "documents_stream",
     "stream_exact_dedup",
+    "stream_upsert_to_table",
 ]
 
 # File-stream sources need an explicit schema (no inference pass at
@@ -237,3 +238,33 @@ def documents_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path or f"{sf_dir}/documents.parque[t]")
+
+
+def stream_upsert_to_table(
+    stream: DataFrame,
+    warehouse,
+    target_table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Continuous keyed upsert into a warehouse table via
+    ``foreachBatch`` — each micro-batch merges (last-write-wins,
+    ``WarehouseClient.upsert`` semantics) into the target. The classic
+    CDC-apply topology: the stream provides incremental changes, the
+    batch-side merge provides the keyed table. Restart-safe: the
+    checkpoint replays unacknowledged batches, and the merge is
+    idempotent per batch (same keys -> same survivors).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.upsert(batch_df, target_table, keys)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

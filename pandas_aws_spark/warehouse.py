@@ -42,6 +42,7 @@ DROP and RENAME. Full multi-statement atomicity needs Delta/Iceberg
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -271,11 +272,37 @@ class WarehouseClient:
             # fresh timestamp for every staged row.
             updates = updates.withColumn("date_insert", F.current_timestamp())
         merged = self.merge_frames(target, updates, keys)
-        stage = f"{target_table}__stage"
-        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        # Unique stage location per merge: renaming the stage table into
+        # place moves the target's data directory, so a FIXED stage path
+        # would collide with live data on the second upsert (and CTAS
+        # refuses non-empty locations). Write fresh, swap, then delete
+        # the superseded directory.
+        old_loc = self._table_location(target_table)
+        stage = f"{target_table}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.option("path", self._loc(stage)).saveAsTable(stage)
         self.spark.sql(f"DROP TABLE IF EXISTS {target_table}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        if old_loc:
+            self._delete_dir(old_loc)
+
+    def _table_location(self, name: str) -> str | None:
+        """Physical location of a catalog table ('' / None if absent)."""
+        try:
+            rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        except Exception:
+            return None
+        for r in rows:
+            if r["col_name"] == "Location":
+                return r["data_type"]
+        return None
+
+    def _delete_dir(self, uri: str) -> None:
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
 
     def drop_table(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")

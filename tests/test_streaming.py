@@ -221,3 +221,49 @@ def test_stream_dedup_folds_across_triggers(spark, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(final, want)
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    """Micro-batch keyed upsert into a catalog table: after draining a
+    2-trigger stream where trigger 2 overwrites one key, the table
+    holds last-write-wins rows — the CDC-apply topology end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandas_aws_spark.streaming.pipeline import stream_upsert_to_table
+    from pandas_aws_spark.warehouse import WarehouseClient
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def write(name, rows, mtime_off):
+        import os
+        import time as _t
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (_t.time() + mtime_off,) * 2)
+
+    write("b1.parquet", [(1, "one"), (2, "two")], -60)
+    write("b2.parquet", [(2, "two-updated"), (3, "three")], 0)
+
+    from pandas_aws_spark.streaming.pipeline import documents_stream
+
+    wh = WarehouseClient(spark, warehouse_dir=str(tmp_path / "wh"))
+    seed = spark.createDataFrame([(0, "zero", "en", "s", 4)], "doc_id long, text string, lang string, source string, n_chars long")
+    wh.upload(seed, "cdc_target", mode="overwrite", include_date_insert=False)
+
+    stream = documents_stream(spark, str(src), max_files_per_trigger=1, path=str(src))
+    stream_upsert_to_table(stream, wh, "cdc_target", ["doc_id"], str(tmp_path / "ck"))
+
+    got = {r["doc_id"]: r["text"] for r in spark.table("cdc_target").collect()}
+    assert got == {0: "zero", 1: "one", 2: "two-updated", 3: "three"}

@@ -233,3 +233,74 @@ def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Trained trigram language classifier: learn per-language trigram
+# weights on an 80% split, classify the held-out 20%, report the
+# confusion matrix. Integer-weight voting — no FP anywhere, so train
+# AND inference are bit-replayable by the oracle.
+# --------------------------------------------------------------------------
+_LANGS = ["en", "es", "fr", "de"]
+
+_TRIGRAM_MODEL_CTE = """
+train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tr_tri AS (SELECT lang, substring(lower(text), CAST(i AS INT), 3) AS g
+           FROM train, UNNEST(range(1, length(text) - 1)) AS u(i)
+           WHERE length(text) >= 3),
+counts AS (SELECT lang, g, COUNT(*) AS c FROM tr_tri GROUP BY 1, 2),
+totals AS (SELECT lang, SUM(c) AS t FROM counts GROUP BY 1),
+w AS (SELECT c.lang, c.g, c.c * 1000000000 // t.t AS w
+      FROM counts c JOIN totals t USING (lang)),
+model AS (SELECT g,
+                 SUM(CASE WHEN lang = 'en' THEN w ELSE 0 END) AS w_en,
+                 SUM(CASE WHEN lang = 'es' THEN w ELSE 0 END) AS w_es,
+                 SUM(CASE WHEN lang = 'fr' THEN w ELSE 0 END) AS w_fr,
+                 SUM(CASE WHEN lang = 'de' THEN w ELSE 0 END) AS w_de
+          FROM w GROUP BY g),
+te_tri AS (SELECT doc_id, lang, substring(lower(text), CAST(i AS INT), 3) AS g
+           FROM test, UNNEST(range(1, length(text) - 1)) AS u(i)
+           WHERE length(text) >= 3),
+scored AS (SELECT t.doc_id, t.lang,
+                  SUM(COALESCE(m.w_en, 0)) AS s_en,
+                  SUM(COALESCE(m.w_es, 0)) AS s_es,
+                  SUM(COALESCE(m.w_fr, 0)) AS s_fr,
+                  SUM(COALESCE(m.w_de, 0)) AS s_de
+           FROM te_tri t LEFT JOIN model m USING (g)
+           GROUP BY 1, 2)
+"""
+
+_TRIGRAM_ORACLE = f"""
+WITH {_TRIGRAM_MODEL_CTE}
+SELECT lang,
+       CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+            WHEN s_fr >= s_de THEN 'fr'
+            ELSE 'de' END AS pred_lang,
+       COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_text_trigram_classifier", oracle=_TRIGRAM_ORACLE, tags=("text", "model"))
+def q_text_trigram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-80/score-on-20 trigram language classifier: the model
+    is a broadcastable (trigram -> weights) table, inference is one
+    broadcast join + integer argmax — the distributed train/apply loop
+    with zero floating point and zero Python in the row path."""
+    from ..operators.langmodel import classify_by_trigrams, train_trigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = train_trigram_model(train, _LANGS)
+    preds = classify_by_trigrams(test, model, _LANGS)
+    return (
+        preds.join(test.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -1,0 +1,62 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``df.sample()`` and ``sampleBy()`` draw from a seeded RNG whose stream
+depends on partitioning — re-running after a repartition yields a
+DIFFERENT sample, which poisons train/eval reproducibility. The
+pipeline-grade alternative is content-hash bucketing: a row's split is
+a pure function of its id, stable under any partitioning, any engine,
+any rerun — and exactly replayable by the DuckDB oracle (same
+md5-derived bucket arithmetic as the MinHash family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "sql_hash_bucket", "hash_split", "stratified_hash_sample"]
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(c: Column, buckets: int = _BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from a column's md5."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10).cast("long") % buckets
+
+
+def sql_hash_bucket(ref: str, buckets: int = _BUCKETS) -> str:
+    """DuckDB mirror of :func:`hash_bucket`."""
+    return (
+        f"(CAST(concat('0x', substring(md5(CAST({ref} AS VARCHAR)),1,7)) AS BIGINT) % {buckets})"
+    )
+
+
+def hash_split(df: DataFrame, id_col: str, fractions: dict[str, float]) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive named splits (e.g. train/val/test) by hash
+    bucket range. Fractions must sum to <= 1; the remainder goes to no
+    split. Stable across reruns, repartitions, and engines."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(F.col(id_col))
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _BUCKETS))
+        out[name] = df.filter((b >= lo) & (b < hi))
+        lo = hi
+    return out
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps rows whose
+    bucket < fractions[s] * buckets (strata absent from ``fractions``
+    are dropped). The hash-bucket analogue of ``sampleBy`` without its
+    partitioning-dependent RNG."""
+    b = hash_bucket(F.col(id_col))
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        cond = cond | ((F.col(stratum_col) == stratum) & (b < int(round(frac * _BUCKETS))))
+    return df.filter(cond)

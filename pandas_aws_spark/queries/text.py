@@ -304,3 +304,45 @@ def q_text_trigram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test splitting — hash-bucket sampling that is
+# stable under repartitioning and engines (unlike seeded sample()).
+# --------------------------------------------------------------------------
+from ..operators.sampling import sql_hash_bucket  # noqa: E402
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT source, {sql_hash_bucket('doc_id')} AS bucket FROM documents
+),
+labeled AS (
+  SELECT source,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM labeled
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_text_hash_split", oracle=_SPLIT_ORACLE, tags=("text", "sampling"))
+def q_text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by doc-id hash bucket: disjoint,
+    exhaustive, and identical on every rerun/repartition/engine — the
+    reproducibility property seeded ``sample()`` cannot give."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    parts = [
+        d.select("source").withColumn("split", F.lit(name)) for name, d in splits.items()
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("source", "split").agg(F.count("*").alias("n_docs")).orderBy("source", "split")

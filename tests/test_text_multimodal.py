@@ -118,3 +118,23 @@ def test_operators_tolerate_null_and_empty_text(spark):
     sh = doc_shingle_hashes(df, "doc_id", "text", 3)
     ids = {r["doc_id"] for r in sh.collect()}
     assert ids == {3}, "null/empty docs contribute no shingles"
+
+
+def test_hash_split_disjoint_exhaustive_and_stable(spark, docs):
+    """Splits must partition the corpus (disjoint + exhaustive) and be
+    invariant under repartitioning — the property seeded sample() lacks."""
+    from pandas_aws_spark.operators.sampling import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(docs, "doc_id", fr)
+    n = docs.count()
+    counts = {k: v.count() for k, v in s1.items()}
+    assert sum(counts.values()) == n, "exhaustive"
+    ids = [set(r["doc_id"] for r in v.select("doc_id").collect()) for v in s1.values()]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+
+    s2 = hash_split(docs.repartition(7), "doc_id", fr)
+    for k in fr:
+        a = {r["doc_id"] for r in s1[k].select("doc_id").collect()}
+        b = {r["doc_id"] for r in s2[k].select("doc_id").collect()}
+        assert a == b, f"split {k} changed under repartition"

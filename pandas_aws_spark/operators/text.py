@@ -21,6 +21,7 @@ __all__ = [
     "quality_score_udf",
     "lang_id",
     "fingerprint",
+    "pack_documents",
     "STOPWORDS",
     "PUNCT_CLASS",
 ]
@@ -148,3 +149,33 @@ def quality_score_udf(df: DataFrame, text_col: str = "text") -> DataFrame:
         return 0.4 * length_fit + 0.3 * stop_ratio + 0.3 * (mean_len / 8.0).clip(upper=1.0)
 
     return df.withColumn("quality", _score(F.col(text_col)))
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign docs to fixed token-budget packs (sequence packing for
+    LLM pre-training): docs are laid out in id order and cut into packs
+    whenever the running token total crosses the budget.
+
+    pack_id = (cumulative_tokens - n_tokens) div budget — the window
+    cumsum does the layout in one shuffle (per ``partition_col`` when
+    given, e.g. per source/date shard; global otherwise). Contiguous-
+    by-id packing is deterministic and replayable; a bin-packing
+    heuristic (sort by length desc) is one extra orderBy away.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col) if partition_col is None else Window.partitionBy(
+        partition_col
+    ).orderBy(id_col)
+    cum = F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_cum", cum)
+        .withColumn("pack_id", F.expr(f"(_cum - {token_col}) div {budget}"))
+        .drop("_cum")
+    )

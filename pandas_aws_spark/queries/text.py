@@ -346,3 +346,45 @@ def q_text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         allp = allp.unionByName(p)
     return allp.groupBy("source", "split").agg(F.count("*").alias("n_docs")).orderBy("source", "split")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: lay docs out in id order per source and cut into
+# 2048-token packs — the LLM pre-training batching step.
+# --------------------------------------------------------------------------
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT source, doc_id, n_tokens, (cum - n_tokens) // 2048 AS pack_id FROM c
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens
+FROM p
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_text_pack_sequences", oracle=_PACK_ORACLE, tags=("text", "packing"))
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2048-token sequence packing via one window cumsum —
+    pack sizes land in [budget, budget + max_doc_tokens); a single
+    shuffle per partition key, deterministic layout."""
+    from ..operators.text import pack_documents
+
+    docs = token_stats(load_table(spark, sf_dir, "documents"))
+    packed = pack_documents(docs, budget=2048, partition_col="source")
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
+        .orderBy("source", "pack_id")
+    )

@@ -1032,3 +1032,40 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape (adapted: no commit/receipt dates in this schema) — late
+# shipments per priority using interval arithmetic on ship vs order
+# date.
+# --------------------------------------------------------------------------
+_Q12_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS n_late,
+       SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS n_fast
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q12_shipping_latency", oracle=_Q12_ORACLE, tags=("join", "datetime", "tpch"))
+def q12_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on the available dates: interval arithmetic
+    (ship vs order + N days) inside conditional aggregation — one
+    fact-fact join, integer counters, no second pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    fast = F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(fast, 1).otherwise(0)).alias("n_fast"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1069,3 +1069,49 @@ def q12_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking-function family: ntile quartiles + percent_rank over customer
+# balances within segments.
+# --------------------------------------------------------------------------
+_NTILE_ORACLE = """
+WITH r AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         NTILE(4) OVER w AS quartile,
+         PERCENT_RANK() OVER w AS pr
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+SELECT c_mktsegment, quartile,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       CAST(SUM(CAST(FLOOR(pr * 1000000) AS BIGINT)) AS BIGINT) AS pr_micros
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_ntile_quartiles", oracle=_NTILE_ORACLE, tags=("window", "ranking"))
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank (deterministic: balance-then-key ordering
+    kills ties); percent_rank aggregated as floored micros so the
+    double ratio never meets a cross-engine rounding boundary."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        r.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+            F.sum(F.floor(F.col("pr") * 1_000_000).cast("bigint")).alias("pr_micros"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )

@@ -388,3 +388,106 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
         .orderBy("source", "pack_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style rule filtering: type-token ratio, top-token share,
+# mean word length, length gates — the published heuristic battery for
+# pre-training corpora, as one declarative pass. Ratios reported as
+# floored millis (integers) for cross-engine bit-stability.
+# --------------------------------------------------------------------------
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {_TOKS} AS toks,
+         len({_TOKS}) AS n_tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, n_tok,
+         len(list_distinct(toks)) AS n_types,
+         (SELECT MAX(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM UNNEST(toks) AS u(tok) GROUP BY tok)) AS top_tok,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, s -> CAST(length(s) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+           / n_tok AS mwl
+  FROM t WHERE n_tok > 0
+),
+rules AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(CAST(n_types AS DOUBLE) / n_tok * 1000) AS BIGINT) AS ttr_millis,
+         CAST(FLOOR(CAST(top_tok AS DOUBLE) / n_tok * 1000) AS BIGINT) AS topshare_millis,
+         CASE WHEN n_tok >= 20 AND n_tok <= 100000
+               AND mwl >= 3.0 AND mwl <= 12.0
+               AND CAST(n_types AS DOUBLE) / n_tok >= 0.2
+               AND CAST(top_tok AS DOUBLE) / n_tok <= 0.2
+              THEN 1 ELSE 0 END AS keep
+  FROM m
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(keep) AS n_kept,
+       SUM(ttr_millis) AS ttr_millis_sum,
+       SUM(topshare_millis) AS topshare_millis_sum
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_text_gopher_rules", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules in one scan: type-token
+    ratio (vocabulary diversity), top-token share (repetition), mean
+    word length, and length gates — each doc keeps or drops in a
+    single codegen'd pass; the per-source yield is what a curation
+    run reports."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    # top token frequency via sorted-array run-length: aggregate over
+    # the sorted tokens counting the longest equal run — pure array
+    # expressions, no explode/shuffle.
+    sorted_toks = F.array_sort(toks)
+    top_tok = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"), F.lit(0).cast("long").alias("best")
+        ),
+        lambda acc, tok: F.struct(
+            tok.alias("prev"),
+            F.when(tok == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(tok == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    mwl = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+        "double"
+    ) / n_tok
+    ttr = n_types.cast("double") / n_tok
+    share = top_tok.cast("double") / n_tok
+    keep = (
+        (n_tok >= 20) & (n_tok <= 100000)
+        & (mwl >= 3.0) & (mwl <= 12.0)
+        & (ttr >= 0.2) & (share <= 0.2)
+    )
+    rules = docs.filter(F.size(toks) > 0).select(
+        "source",
+        F.floor(ttr * 1000).cast("bigint").alias("ttr_millis"),
+        F.floor(share * 1000).cast("bigint").alias("topshare_millis"),
+        F.when(keep, 1).otherwise(0).alias("keep"),
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.sum("ttr_millis").alias("ttr_millis_sum"),
+            F.sum("topshare_millis").alias("topshare_millis_sum"),
+        )
+        .orderBy("source")
+    )

@@ -22,6 +22,9 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "pack_documents",
+    "normalize_text",
+    "pii_scan",
+    "PII_PATTERNS",
     "STOPWORDS",
     "PUNCT_CLASS",
 ]
@@ -179,3 +182,36 @@ def pack_documents(
         .withColumn("pack_id", F.expr(f"(_cum - {token_col}) div {budget}"))
         .drop("_cum")
     )
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase,
+    punctuation stripped, whitespace collapsed, trimmed. Two docs
+    differing only in case/spacing/punctuation normalize equal.
+    Oracle mirror: lower + regexp_replace(..., 'g') + trim."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.lower(c)
+    out = F.regexp_replace(out, PUNCT_CLASS, "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+# PII patterns kept deliberately simple + engine-portable (RE2-safe:
+# no backrefs/lookaround) — production swaps in a vetted library.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII pattern hits per doc (n_<kind> columns) — the scan
+    pass before redaction; redaction itself is one
+    ``regexp_replace(text, pattern, '<KIND>')`` per kind."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat)))
+        )
+    return out

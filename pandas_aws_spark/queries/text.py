@@ -491,3 +491,80 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization-aware dedup: case/punct/whitespace variants collapse.
+# --------------------------------------------------------------------------
+_NORM_DEDUP_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\-]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+),
+g AS (
+  SELECT md5(norm_text) AS h, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+  FROM norm GROUP BY 1
+)
+SELECT n.source, COUNT(*) AS n_kept, SUM(g.n_copies) AS n_rows
+FROM g JOIN norm n ON n.doc_id = g.kept_id
+GROUP BY n.source
+ORDER BY n.source
+"""
+
+
+@query("q_dedup_normalized", oracle=_NORM_DEDUP_ORACLE, tags=("dedup", "normalize"))
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the CANONICAL text form (lowercase, punctuation
+    stripped, whitespace collapsed): catches the near-dups raw hashing
+    misses — the cheap normalization pass every corpus dedup runs
+    before MinHash."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "norm_text", normalize_text("text")
+    )
+    groups = exact_dedup(docs, ["norm_text"], "doc_id")
+    return (
+        groups.join(docs, groups.kept_id == docs.doc_id)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_copies").alias("n_rows"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scan: per-source pattern hit counts (the pre-redaction report).
+# --------------------------------------------------------------------------
+_PII_ORACLE = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS n_email,
+       SUM(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))) AS n_phone,
+       SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS n_ipv4
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_text_pii_scan", oracle=_PII_ORACLE, tags=("text", "pii"))
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan (emails, phones, IPv4) per source — the audit
+    report a redaction pass starts from; patterns are RE2-safe so the
+    same regexes run on any engine."""
+    from ..operators.text import pii_scan
+
+    docs = pii_scan(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+        )
+        .orderBy("source")
+    )

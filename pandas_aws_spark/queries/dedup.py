@@ -290,3 +290,70 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs)
     return cc.groupBy("cluster_id").agg(F.count("*").alias("n_docs")).orderBy("cluster_id")
+
+
+# --------------------------------------------------------------------------
+# Decontamination: flag held-out (benchmark) docs sharing any 5-word
+# shingle with the training split — the n-gram overlap check run
+# before every evaluation. Shingle hashes only (int64) cross the join.
+# --------------------------------------------------------------------------
+_DECONTAM_ORACLE = r"""
+WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tr_sh AS (
+  SELECT DISTINCT CAST(concat('0x', substring(md5(
+           array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i+4), ' ')
+         ),1,7)) AS BIGINT) AS h
+  FROM tr, UNNEST(range(1, len(string_split_regex(trim(text), '\s+')) - 3)) AS u(i)
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+),
+be_sh AS (
+  SELECT DISTINCT doc_id, source, CAST(concat('0x', substring(md5(
+           array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i+4), ' ')
+         ),1,7)) AS BIGINT) AS h
+  FROM bench, UNNEST(range(1, len(string_split_regex(trim(text), '\s+')) - 3)) AS u(i)
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+),
+hits AS (
+  SELECT b.doc_id, b.source, COUNT(*) AS n_shared
+  FROM be_sh b JOIN tr_sh t ON t.h = b.h
+  GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS n_contaminated,
+       SUM(n_shared) AS total_shared_shingles
+FROM hits
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_dedup_decontaminate", oracle=_DECONTAM_ORACLE, tags=("dedup", "contamination"))
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: any 5-word shingle shared between the
+    held-out split and the training split flags the held-out doc. The
+    train shingle-hash set is the join's build side — at 100 TB it is
+    the thing to bucket or bloom-filter; here a plain int64 hash join,
+    shuffling hashes only, never text."""
+    from ..operators.dedup import doc_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    tr_sh = doc_shingle_hashes(train, "doc_id", "text", k=5).select("h").distinct()
+    be_sh = doc_shingle_hashes(
+        bench.select("doc_id", "source", "text"), "doc_id", "text", k=5
+    ).join(bench.select("doc_id", "source"), "doc_id")
+    hits = (
+        be_sh.join(tr_sh, "h", "left_semi")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.sum("n_shared").alias("total_shared_shingles"),
+        )
+        .orderBy("source")
+    )

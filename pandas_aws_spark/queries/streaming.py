@@ -203,3 +203,85 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.sum("n_copies").alias("n_rows"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming curation capstone: the full batch curation pass (lang gate,
+# quality gate, length gate, exact dedup) applied to the documents
+# STREAM — stateless scalar gates per micro-batch, content-hash state
+# for dedup, final report equal to the batch pipeline's oracle.
+# --------------------------------------------------------------------------
+_STREAM_CURATE_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CASE
+           WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['the','a','of','and','to','in','is'], t))) > 0
+            AND len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                >= greatest(
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains(['el','la','de','los','que','y'], t))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains(['le','les','des','et','une','dans'], t))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains(['der','die','das','und','ein','zu'], t))))
+           THEN 'en' ELSE 'other' END AS pred_lang,
+         0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\s+')))
+       + 0.3 * least((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(trim(text), '\s+'),
+                                s -> CAST(length(s) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+'))) / 8.0, 1.0) AS quality
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 5
+),
+deduped AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+  FROM gated GROUP BY 1
+)
+SELECT g.source,
+       COUNT(*) AS n_kept,
+       SUM(d.n_copies) - COUNT(*) AS n_dropped_dups
+FROM deduped d JOIN gated g ON g.doc_id = d.kept_id
+GROUP BY g.source
+ORDER BY g.source
+"""
+
+
+@query("q_stream_curation", oracle=_STREAM_CURATE_ORACLE, tags=("streaming", "pipeline"))
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as a STREAM: scalar gates (lang, quality,
+    length) run stateless per micro-batch; only survivors reach the
+    content-hash dedup state — the full ingest-time curation topology,
+    equal to the batch answer by construction."""
+    from ..operators.text import lang_id, quality_score, token_stats
+    from ..registry import load_table
+    from ..streaming.pipeline import documents_stream, stream_exact_dedup
+
+    stream = documents_stream(spark, sf_dir)
+    gated = token_stats(quality_score(lang_id(stream))).filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    snaps = run_to_completion(
+        stream_exact_dedup(gated), "stream_curation_sink", output_mode="update"
+    )
+    final = snaps.groupBy("content_hash").agg(
+        F.max_by("kept_id", "n_copies").alias("kept_id"),
+        F.max("n_copies").alias("n_copies"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        final.join(docs, final.kept_id == docs.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.sum("n_copies") - F.count("*")).alias("n_dropped_dups"),
+        )
+        .orderBy("source")
+    )

@@ -240,3 +240,51 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("win_start"), "user_id", "n_events", "rnk")
         .orderBy("win_start", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Anomaly detection: IQR outliers per event type (exact quantiles are
+# bit-stable cross-engine, unlike mean/std whose FP order drifts).
+# --------------------------------------------------------------------------
+_OUTLIER_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.75) AS p75
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN e.value < b.p25 - 1.5 * (b.p75 - b.p25)
+                  OR e.value > b.p75 + 1.5 * (b.p75 - b.p25)
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM events e JOIN bounds b ON b.event_type = e.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("q_events_iqr_outliers", oracle=_OUTLIER_ORACLE, tags=("events", "anomaly"))
+def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type: per-group exact
+    quartiles (broadcast back as a tiny bounds table) + one conditional
+    aggregation pass — the monitoring query a streaming deployment runs
+    per window."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    out = (F.col("value") < F.col("p25") - 1.5 * iqr) | (
+        F.col("value") > F.col("p75") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -288,3 +288,43 @@ def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week; how many are
+# still active k weeks later.
+# --------------------------------------------------------------------------
+_RETENTION_ORACLE = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // CAST(604800000000 AS BIGINT) AS BIGINT) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS weeks_since,
+       COUNT(DISTINCT w.user_id) AS n_active
+FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_events_cohort_retention", oracle=_RETENTION_ORACLE, tags=("events", "retention"))
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: (user, week) dedup -> first
+    week per user (broadcastable cohort table) -> distinct-active
+    counts per (cohort, offset). Two shuffles end-to-end: the
+    (user, week) distinct and the final count-distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 604800000000")  # integer div: no FP boundary
+    weeks = ev.select("user_id", week.alias("week")).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

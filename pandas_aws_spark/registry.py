@@ -43,6 +43,7 @@ TABLES = (
 # so importing the package stays cheap.
 _QUERY_MODULES = (
     "pandas_aws_spark.queries.relational",
+    "pandas_aws_spark.queries.tpch_extra",
     "pandas_aws_spark.queries.events",
     "pandas_aws_spark.queries.io_roundtrip",
     "pandas_aws_spark.queries.warehouse_ops",

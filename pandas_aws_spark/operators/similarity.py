@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe"]
+__all__ = ["brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe"]
 
 
 def brute_force_topk(
@@ -106,22 +106,26 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 5,
     exclude_self: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k.
 
     Index: centroids = first ``n_centroids`` corpus vectors by id
-    (deterministic); corpus bucketed by nearest centroid. Search: each
-    query probes its ``nprobe`` nearest cells and ranks only vectors in
-    those cells. ``nprobe=n_centroids`` == exact brute force.
+    (deterministic), or a caller-supplied ``centroids`` DataFrame
+    ``(centroid_id, vec_col)`` — e.g. from :func:`kmeans_fit`; corpus
+    bucketed by nearest centroid. Search: each query probes its
+    ``nprobe`` nearest cells and ranks only vectors in those cells.
+    ``nprobe=n_centroids`` == exact brute force (for any centroids).
     """
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col),
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.col(vec_col),
+            )
         )
-    )
     indexed = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
     # query -> its nprobe nearest cells
@@ -149,6 +153,58 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — trained IVF centroids.
+
+    Deterministic init (first ``k`` vectors by id, same as the static
+    IVF index), then ``iters`` rounds of assign -> recompute means.
+    Returns ``(centroid_id, vec_col: array<double>)``. Cells that lose
+    all members drop out (ids of surviving cells stay stable).
+
+    Distribution shape: assignment is a broadcast join (centroids are
+    k x dim doubles — bytes); the mean update is posexplode ->
+    groupBy(cell, pos) avg — one shuffle of (cell, pos, x) triples per
+    iteration, partial-aggregated map-side. Only the k x dim model
+    state ever reaches the driver (collected per round to cut the
+    iterative lineage, the standard Spark pattern for model-state
+    loops). At 100 TB: sample the corpus for training (k-means needs a
+    representative sample, not every row) and assign the full corpus
+    once with the final model.
+    """
+    spark = corpus.sparkSession
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            as_double(vec_col).alias(vec_col),
+        )
+    )
+    schema = f"centroid_id int, {vec_col} array<double>"
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(as_double(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform("pm", lambda s: s["m"]).alias(vec_col),
+            )
+        )
+        cent = spark.createDataFrame(means.collect(), schema=schema)
+    return cent
 
 
 # --------------------------------------------------------------------------

@@ -239,3 +239,27 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _queries_df(spark, sf_dir), emb, dim=_DIM, n_planes=_NPLANES, k=_K
     )
     return out.orderBy("query_id", "rank")
+
+
+@query("q_sim_ivf_kmeans", oracle=_BRUTE_ORACLE, tags=("similarity", "ivf", "kmeans"))
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids (Lloyd's k-means, 3 rounds,
+    deterministic init) probing every cell — an iterative-algorithm
+    capability proof that stays exactly oracle-checkable: full probe
+    equals brute force no matter what centroids the training produced,
+    so the whole train+index+search pipeline is verified end-to-end.
+    Recall quality of partial probes over the same trained index is
+    covered in tests/test_similarity.py (probe-2 recall floor)."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_NCENT, iters=3)
+    out = ivf_topk(
+        _queries_df(spark, sf_dir),
+        emb,
+        n_centroids=_NCENT,
+        nprobe=_NCENT,
+        k=_K,
+        centroids=cents,
+    )
+    return out.orderBy("query_id", "rank")

@@ -58,3 +58,42 @@ def q_skew_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair-grouped first phase spreads each across all partitions."""
     li = load_table(spark, sf_dir, "lineitem")
     return two_phase_count_distinct(li, ["l_returnflag"], "l_orderkey").orderBy("l_returnflag")
+
+
+_BLOOM_ORACLE = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS total_price
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q_bloom_semi_join", oracle=_BLOOM_ORACLE, tags=("bloom", "semijoin", "scale"))
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom filter: the dim key
+    set (BUILDING customers) becomes a 1 Mi-bit bitmap that pre-filters
+    orders BEFORE the exact semi join — no false negatives, so the
+    result equals the plain IN-join oracle. At 100 TB the bitmap
+    replaces shuffling the whole fact table when the dim is too big to
+    broadcast as a hash relation but its Bloom is a few hundred KB.
+    The pruning factor (~1/5 here) is asserted in tests/test_bloom.py.
+    """
+    from ..operators.bloom import bloom_build, bloom_prune
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bloom = bloom_build(cust, "c_custkey")
+    pruned = bloom_prune(orders, "o_custkey", bloom)
+    return (
+        pruned.join(F.broadcast(cust), pruned.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )

@@ -285,3 +285,41 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_ATTRIB_ORACLE = f"""
+SELECT c.user_id,
+       COUNT(*) AS n_pairs,
+       {sql_dsum('p.value')} AS attributed_value
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+            AND p.ts > c.ts
+            AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@query("q_stream_stream_join", oracle=_ATTRIB_ORACLE, tags=("streaming", "join"))
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click->purchase attribution within
+    1 hour, per user): two watermarked streams over the same source,
+    time-range join condition bounding the state store. Drained with
+    availableNow, then batch-aggregated per user — must equal the
+    batch self-join oracle exactly (inner stream-stream joins emit
+    every match regardless of watermark timing)."""
+    from ..streaming.pipeline import stream_click_attribution
+
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = stream_click_attribution(clicks, purchases)
+    drained = run_to_completion(pairs, "stream_attrib_sink", output_mode="append")
+    from ..functions.stable import dsum
+
+    return (
+        drained.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"), dsum("p_value").alias("attributed_value"))
+        .orderBy("user_id")
+    )

@@ -5,7 +5,7 @@ with an exact DuckDB oracle replaying the same heuristics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import sql_davg, davg
@@ -567,4 +567,69 @@ def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ipv4").alias("n_ipv4"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF — the classic term-weighting pass of a text-indexing pipeline.
+# --------------------------------------------------------------------------
+_TFIDF_ORACLE = rf"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE) * n.n_docs / d.df DESC,
+                                     t.term) AS rank
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM scored
+WHERE rank <= 3 AND doc_id % 20 = 0
+ORDER BY doc_id, rank
+"""
+
+
+@query("q_text_tfidf", oracle=_TFIDF_ORACLE, tags=("text", "tfidf"))
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. The idf is kept as the exact
+    ratio tf * N / df (one double division of integers — bit-identical
+    cross-engine; a log-scaled idf would hit libm rounding skew).
+
+    Scale shape: term frequencies partial-aggregate map-side before
+    one shuffle on (doc_id, term); document frequencies are a second
+    small shuffle on term; the df join broadcasts when the vocabulary
+    fits (typical: vocab << corpus), else it's a shuffle join on term
+    with AQE handling stopword-ish hot terms. The rank<=3 filter plans
+    as WindowGroupLimit (per-partition heaps, no full sort).
+    """
+    from ..functions.texthash import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") % 20 == 0))
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
     )

@@ -42,6 +42,7 @@ __all__ = [
     "events_stream",
     "stream_tumbling_hourly",
     "stream_sessionize",
+    "stream_click_attribution",
     "user_running_totals",
     "run_to_completion",
     "documents_stream",
@@ -110,6 +111,38 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str
         .groupBy("user_id", F.session_window("ts", gap).alias("sess"))
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select("user_id", F.col("sess.start").alias("session_start"), "n_events", "total_value")
+    )
+
+
+def stream_click_attribution(
+    clicks: DataFrame, purchases: DataFrame, attribution_window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM inner join: attribute each purchase to same-user
+    clicks in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time relative to click time, so Spark can size the join state: a
+    buffered click is dropped once the purchase-side watermark passes
+    ``click.ts + window`` — state is O(events per window), not O(stream).
+    Inner-join matches emit as soon as both sides arrive (append mode).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
     )
 
 

@@ -115,3 +115,55 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     m_best = multi.groupby("query_id")["cos_sim"].max()
     joined = s_best.to_frame("s").join(m_best.to_frame("m"), how="inner")
     assert (joined["m"] >= joined["s"] - 1e-15).all(), "multiprobe never worse"
+
+
+def test_kmeans_improves_inertia_and_fullprobe_exact(spark, sf_dir):
+    """Lloyd's rounds must improve the clustering objective (mean
+    cosine of each vector to its assigned centroid), and full-probe
+    search over the trained index must equal brute force. Partial-probe
+    recall is data-dependent (these synthetic embeddings have weak
+    cluster structure) so the objective, not recall, is the training
+    assertion."""
+    from pyspark.sql import Window
+
+    from pandas_aws_spark.functions.vector import as_double, cosine
+    from pandas_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    from pandas_aws_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("centroid_id"),
+            F.col("embedding"),
+        )
+    )
+    trained = kmeans_fit(emb, k=8, iters=3)
+    assert 1 <= trained.count() <= 8
+    assert len(trained.first()["embedding"]) == len(emb.first()["embedding"])
+
+    def inertia(cents):
+        a = ivf_assign(emb, cents)
+        cc = cents.select(F.col("centroid_id").alias("cell"), as_double("embedding").alias("cv"))
+        return (
+            a.join(F.broadcast(cc), "cell")
+            .select(cosine(as_double("embedding"), F.col("cv")).alias("s"))
+            .agg(F.avg("s"))
+            .first()[0]
+        )
+
+    assert inertia(trained) > inertia(init)
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    bf = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    full = ivf_topk(q, emb, n_centroids=8, nprobe=8, k=5, centroids=trained).select(
+        "query_id", "neighbor_id"
+    )
+    assert bf.exceptAll(full).count() == 0 and full.exceptAll(bf).count() == 0

@@ -267,3 +267,37 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
 
     got = {r["doc_id"]: r["text"] for r in spark.table("cdc_target").collect()}
     assert got == {0: "zero", 1: "one", 2: "two-updated", 3: "three"}
+
+
+def test_stream_stream_join_across_triggers(spark, split_events_dir, sf_dir):
+    """Stream-stream interval join under a 4-trigger paced replay:
+    click and purchase sides arrive interleaved across triggers, so
+    matches require the join state store to buffer one side until the
+    other arrives in a LATER trigger — then the drained total must
+    still equal the batch self-join."""
+    from pandas_aws_spark.streaming.pipeline import stream_click_attribution
+
+    ev = events_stream(spark, sf_dir, max_files_per_trigger=1, path=split_events_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    # the 4 replay files each span the whole month (round-robin
+    # split), so a short watermark would late-drop most of triggers
+    # 2-4; a 40-day delay keeps every row live while still forcing
+    # cross-trigger buffering in the join state store
+    pairs = stream_click_attribution(clicks, purchases, watermark="960 hours")
+    drained = run_to_completion(pairs, "t_attrib_paced_sink", output_mode="append")
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pts")
+    )
+    want = c.join(
+        p,
+        (c.u == p.u)
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert drained.count() == want

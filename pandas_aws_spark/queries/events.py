@@ -328,3 +328,138 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join — purchase -> most recent prior click.
+# --------------------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(c.click_id) AS n_attributed,
+       COALESCE(SUM(date_diff('microseconds', c.ts, p.ts)), 0) AS total_lag_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+@query("q_events_asof_join", oracle=_ASOF_ORACLE, tags=("asof", "timeseries"))
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase picks up the
+    latest click at-or-before it per user via the union-and-sweep
+    rewrite — ONE shuffle of clicks+purchases on user_id, linear sweep
+    within partitions, vs. the quadratic inequality-join a naive plan
+    would run. DuckDB's native ASOF JOIN is the oracle. Lags stay in
+    exact integer microseconds."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(purchases, clicks, ["user_id"], right_cols=["click_id"])
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("asof_click_id").alias("n_attributed"),
+            F.coalesce(F.sum(lag_us), F.lit(0)).alias("total_lag_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame — trailing 7-day spend per user at each event.
+# --------------------------------------------------------------------------
+_ROLLING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_7d,
+       FIRST_VALUE(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS first_type
+FROM events
+WHERE event_type = 'purchase'
+QUALIFY event_id % 10 = 0
+ORDER BY user_id, ts, event_id
+"""
+
+
+@query("q_events_rolling_7d", oracle=_ROLLING_ORACLE, tags=("window", "range-frame"))
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame (trailing 7 days by event time, not
+    row count) + first_value — the time-based frame family the
+    rows-frame queries don't cover. Decimal accumulator keeps every
+    trailing sum bit-stable. Expressed in SQL: interval RANGE frames
+    have no DataFrame-API form in PySpark."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView("purchases_v")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT event_id, user_id, ts,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) AS spend_7d,
+                 FIRST_VALUE(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS first_type
+          FROM purchases_v
+        ) WHERE event_id % 10 = 0
+        ORDER BY user_id, ts, event_id
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt) — wide per-flag metrics back to long (metric, value).
+# --------------------------------------------------------------------------
+_UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {sql_dsum('l_quantity')} AS sum_qty,
+         {sql_dsum('l_extendedprice')} AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM wide
+ORDER BY l_returnflag, metric
+"""
+
+
+@query("q_unpivot_metrics", oracle=_UNPIVOT_ORACLE, tags=("unpivot",))
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q_pivot_status): wide aggregate ->
+    long (metric, value) rows via ``DataFrame.unpivot`` — one Expand
+    node, no self-union double scan (the oracle's UNION ALL form reads
+    the CTE twice; Spark's unpivot replicates rows in-place)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "metric_value"
+        )
+        .orderBy("l_returnflag", "metric")
+    )

@@ -74,3 +74,36 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "tok")
     )
+
+
+@query("q_sketch_hll_distinct", oracle=None, tags=("sketch", "hll"))
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketches (Spark's DataSketches
+    built-ins): per-returnflag partkey sketches, then a MERGE of the
+    group sketches into a global estimate — the mergeability is the
+    100 TB story (sketch each partition/day once, union at query time;
+    no re-scan, fixed sketch bytes over the wire). No SQL oracle: HLL
+    estimates are implementation-defined (DuckDB's approx_distinct
+    uses a different HLL), so the driver records the rows-only check;
+    the <2% error bound vs exact counts is asserted in
+    tests/test_sketch.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.lit("ALL").alias("l_returnflag"),
+    ).select(
+        "l_returnflag", F.col("est").alias("est_distinct"), F.lit(None).cast("long").alias("exact_distinct")
+    )
+    return (
+        per_flag.select(
+            "l_returnflag",
+            F.hll_sketch_estimate("sk").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .unionByName(merged)
+        .orderBy("l_returnflag")
+    )

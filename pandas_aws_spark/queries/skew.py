@@ -97,3 +97,54 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import sql_zorder_key
+
+    zexpr = sql_zorder_key(
+        "l_orderkey", "l_partkey",
+        a_min="b.alo", a_max="b.ahi", b_min="b.blo", b_max="b.bhi", bits=8,
+    )
+    return f"""
+WITH b AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+         MIN(l_partkey)  AS blo, MAX(l_partkey)  AS bhi
+  FROM lineitem
+),
+z AS (
+  SELECT l_orderkey, l_partkey, {zexpr} AS zval
+  FROM lineitem, b
+)
+SELECT zval >> 13 AS zbucket,
+       COUNT(*) AS n_rows,
+       MAX(l_orderkey) - MIN(l_orderkey) AS span_orderkey,
+       MAX(l_partkey)  - MIN(l_partkey)  AS span_partkey
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+@query("q_zorder_locality", oracle=_zorder_oracle(), tags=("zorder", "layout", "scale"))
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: per output bucket, the
+    min/max span of BOTH interleaved columns — the data-skipping
+    evidence (a linear sort would leave one column's span at full
+    range in every file; Z-order narrows both, which is what lets
+    parquet min/max stats prune scans on either predicate).
+    Deterministic integer bit-interleave — DuckDB replays it exactly.
+    """
+    from ..operators.zorder import zorder_write_layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_write_layout(li, "l_orderkey", "l_partkey", bits=8, n_buckets=8)
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("span_orderkey"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("span_partkey"),
+        )
+        .orderBy("zbucket")
+    )

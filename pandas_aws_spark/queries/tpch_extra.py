@@ -356,3 +356,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE — all 2^n grouping combinations (completes rollup/grouping-sets/
+# pivot/unpivot: the full multi-granularity aggregate family).
+# --------------------------------------------------------------------------
+_CUBE_ORACLE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS total_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@query("q_cube_price", oracle=_CUBE_ORACLE, tags=("cube", "agg"))
+def q_cube_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): one Expand pass emits all
+    four grouping sets before a single hash aggregate — same cost
+    shape as rollup, double the replication. Source flags are never
+    NULL, so the 'ALL' coalesce is unambiguous."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice").alias("total_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "total_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

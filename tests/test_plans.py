@@ -121,6 +121,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_sim_ivf_probe2",
         "q_dedup_embedding_cosine",
         "q22_global_sales_opportunity",  # one-row scalar-avg broadcast
+        "q11_important_parts",  # one-row threshold broadcast
+        "q_bloom_semi_join",  # one-row bitmap broadcast (the whole point)
+        "q_sim_ivf_kmeans",  # ANN scoring cross joins (same as fullprobe)
+        "q_text_tfidf",  # one-row corpus-size broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

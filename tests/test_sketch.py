@@ -32,3 +32,22 @@ def test_cms_exact_when_no_collisions(spark):
         for r in cms_estimate(sketch, df.select("k").distinct(), "k", depth=4, width=4096).collect()
     }
     assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
+    """HLL lgK=14 has ~0.8% relative standard error; assert per-group
+    and merged estimates land within 3 sigma (~2.5%) of exact, and the
+    merged union covers the global distinct count (mergeability — the
+    reason sketches beat exact count-distinct at 100 TB)."""
+    from pandas_aws_spark.registry import REGISTRY, load_registry
+
+    load_registry()
+    out = REGISTRY["q_sketch_hll_distinct"].fn(spark, sf_dir).collect()
+    rows = {r["l_returnflag"]: r for r in out}
+    li = load_table(spark, sf_dir, "lineitem")
+    global_exact = li.select("l_partkey").distinct().count()
+    for flag, r in rows.items():
+        if flag == "ALL":
+            assert abs(r["est_distinct"] - global_exact) / global_exact < 0.025
+        else:
+            assert abs(r["est_distinct"] - r["exact_distinct"]) / max(r["exact_distinct"], 1) < 0.025

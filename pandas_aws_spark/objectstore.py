@@ -308,3 +308,60 @@ def union_all(dfs: Iterable[DataFrame]) -> DataFrame | None:
     for d in dfs:
         out = d if out is None else out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def compact_prefix(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict:
+    """Small-files compaction: rewrite the files under ``path`` into
+    ``ceil(total_bytes / target_bytes_per_file)`` files of the same
+    format, atomically (write to a sibling temp dir, then swap).
+
+    The 100 TB operations problem this solves: streaming sinks and
+    per-trigger micro-batches leave thousands of KB-sized files per
+    partition; every downstream scan then pays one task + one object
+    GET per file, and the driver pays listing time — compaction
+    restores scan efficiency without changing content. Runs as a plain
+    Spark job (read -> repartition -> write): distributed, no driver
+    data path.
+
+    Returns ``{"files_before": n, "files_after": m, "bytes": b}``.
+    The swap is two renames (atomic per rename on HDFS/local; on S3
+    object stores renames copy — for production S3, point readers at a
+    manifest or versioned prefix instead).
+    """
+    import math
+
+    fs, base_path, jvm = _hadoop_fs(spark, path)
+    statuses = [
+        s for s in fs.listStatus(base_path) if s.isFile() and not s.getPath().getName().startswith("_")
+    ]
+    files_before = len(statuses)
+    total_bytes = sum(s.getLen() for s in statuses)
+    n_out = max(min_files, math.ceil(total_bytes / target_bytes_per_file))
+
+    df = spark.read.format(format).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    df.repartition(n_out).write.format(format).mode("overwrite").save(tmp)
+
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(old_path):
+        fs.delete(old_path, True)
+    if not fs.rename(base_path, old_path):
+        raise IOError(f"compact swap failed: {path} -> {old}")
+    if not fs.rename(tmp_path, base_path):
+        fs.rename(old_path, base_path)  # roll back
+        raise IOError(f"compact swap failed: {tmp} -> {path}")
+    fs.delete(old_path, True)
+
+    after = [
+        s for s in fs.listStatus(base_path) if s.isFile() and not s.getPath().getName().startswith("_")
+    ]
+    return {"files_before": files_before, "files_after": len(after), "bytes": total_bytes}

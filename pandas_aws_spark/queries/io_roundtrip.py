@@ -139,3 +139,46 @@ def q_io_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nations"), dsum("n_nationkey").alias("key_sum"))
         .orderBy("n_regionkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution — mergeSchema multi-file read (files written at
+# different pipeline versions carry different column sets).
+# --------------------------------------------------------------------------
+_EVOLVE_ORACLE = f"""
+WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+     v2 AS (SELECT o_orderkey, o_custkey    FROM orders WHERE o_orderkey % 2 = 1)
+SELECT COUNT(*)                    AS n_rows,
+       COUNT(o_totalprice)         AS n_with_price,
+       COUNT(o_custkey)            AS n_with_cust,
+       {sql_dsum('o_totalprice')}  AS total_price
+FROM (SELECT o_orderkey, o_totalprice, NULL::BIGINT AS o_custkey FROM v1
+      UNION ALL
+      SELECT o_orderkey, NULL::DOUBLE, o_custkey FROM v2)
+"""
+
+
+@query("q_io_schema_evolution", oracle=_EVOLVE_ORACLE, tags=("io", "schema"))
+def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet 'versions' of the orders feed — one with price, a
+    later one with custkey — land under the same prefix; a single
+    ``mergeSchema`` scan reconciles them (absent columns surface as
+    NULLs), the schema-on-read behavior the reference gets implicitly
+    from pandas concat (``s3.py:290-292``) but Spark does without
+    materializing anything driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="schema_evolution_")
+    base = f"file://{tmp}/orders_feed"
+    orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.parquet(
+        f"{base}/v1"
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_custkey").write.parquet(
+        f"{base}/v2"
+    )
+    back = spark.read.option("mergeSchema", True).option("recursiveFileLookup", True).parquet(base)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("o_custkey").alias("n_with_cust"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -323,3 +323,32 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"), dsum("p_value").alias("attributed_value"))
         .orderBy("user_id")
     )
+
+
+_SDD_ORACLE = """
+SELECT event_type, COUNT(*) AS n_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_stream_dedup_within_watermark", oracle=_SDD_ORACLE, tags=("streaming", "dedup"))
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup (``dropDuplicatesWithinWatermark``):
+    keeps one event per (user_id, event_type) with state expiring once
+    the watermark passes — the bounded-state complement to the custom
+    content-hash dedup operator (whose state is O(distinct keys)
+    forever). Which row survives is arrival-order dependent, so the
+    query counts surviving PAIRS per type — deterministic — and the
+    oracle is the batch DISTINCT."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    drained = run_to_completion(deduped, "stream_ddw_sink", output_mode="append")
+    return (
+        drained.groupBy("event_type").agg(F.count("*").alias("n_pairs")).orderBy("event_type")
+    )

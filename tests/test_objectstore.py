@@ -144,3 +144,25 @@ def test_xlsx_gated(spark, fdf, tmp_path):
         pass
     with pytest.raises(NotImplementedError):
         write_df(fdf, f"file://{tmp_path}/x.xlsx", format="xlsx")
+
+
+def test_compact_prefix_preserves_content(spark, tmp_path):
+    from pandas_aws_spark.objectstore import compact_prefix
+    from pandas_aws_spark.registry import load_table
+
+    from .conftest import SF_SMOKE
+
+    out = str(tmp_path / "many_small")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(16).write.parquet(out)
+
+    want_rows = orders.count()
+    want_sum = orders.groupBy().sum("o_totalprice").first()[0]
+
+    stats = compact_prefix(spark, out, target_bytes_per_file=1 << 40)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == want_rows
+    assert abs(back.groupBy().sum("o_totalprice").first()[0] - want_sum) < 1e-6

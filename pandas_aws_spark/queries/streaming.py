@@ -352,3 +352,45 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         drained.groupBy("event_type").agg(F.count("*").alias("n_pairs")).orderBy("event_type")
     )
+
+
+def _pystream_oracle() -> str:
+    from ..sources.pysource import sql_synthetic_events
+
+    return f"""
+WITH feed AS ({sql_synthetic_events(10_000, 100)})
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM feed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_source_python_stream", oracle=_pystream_oracle(), tags=("streaming", "source", "extensibility"))
+def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python Data Source (Spark 4
+    ``DataSourceStreamReader``): row-index offsets, 4 micro-batches of
+    2500 rows under availableNow, per-partition executor-side
+    generation — the full incremental-source lifecycle (offset log +
+    commit) for a connector Spark doesn't ship. Drained rows are
+    batch-aggregated through the decimal-stable sum and must equal the
+    DuckDB generate_series replay of the same formulas."""
+    from ..functions.stable import dsum
+    from ..sources import pysource
+
+    pysource.register(spark)
+    feed = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n_rows", 10_000)
+        .option("num_users", 100)
+        .option("batch_rows", 2_500)
+        .load()
+    )
+    drained = run_to_completion(feed, "pystream_sink", output_mode="append")
+    return (
+        drained.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("event_type")
+    )

@@ -148,3 +148,56 @@ def q_warehouse_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     out = out.localCheckpoint(eager=True)  # materialize before dropping the table
     wc.drop_table(name)
     return out
+
+
+# --------------------------------------------------------------------------
+# Custom Python Data Source (Spark 4 API) — source extensibility.
+# --------------------------------------------------------------------------
+def _pysource_oracle() -> str:
+    from ..functions.stable import sql_dsum
+    from ..sources.pysource import sql_synthetic_events
+
+    return f"""
+WITH feed AS ({sql_synthetic_events(10_000, 100)})
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value')} AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM feed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_source_python_datasource", oracle=_pysource_oracle(), tags=("source", "extensibility"))
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads a custom Python Data Source (Spark 4 ``DataSource`` API):
+    a deterministic synthetic event feed generated per-partition on
+    executors (8 independent row ranges — no driver data path), then
+    a normal Catalyst aggregate on top. The source's integer formulas
+    are replayed exactly by DuckDB generate_series, so even a custom
+    connector stays inside the oracle gate."""
+    from ..functions.stable import dsum
+    from ..sources import pysource
+
+    pysource.register(spark)
+    feed = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10_000)
+        .option("num_users", 100)
+        .option("num_partitions", 8)
+        .load()
+    )
+    return (
+        feed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -99,7 +99,7 @@ WITH pv AS (
 )
 SELECT l_partkey, part_value
 FROM pv
-WHERE part_value > (SELECT {sql_dsum('part_value')} * 0.001 FROM pv)
+WHERE part_value > (SELECT {sql_dsum('part_value')} / COUNT(*) * 2.0 FROM pv)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -108,9 +108,11 @@ ORDER BY part_value DESC, l_partkey
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: the per-part aggregate is computed ONCE and
     reused for both the detail rows and the global threshold (Spark
-    reuses the shuffle; no second lineitem scan). The threshold is a
-    one-row broadcast cross join, and both engines derive it from the
-    same decimal sum so the cut-off is bit-identical."""
+    reuses the shuffle; no second lineitem scan). The threshold —
+    2x the average part value, scale-invariant where Q11's fixed
+    fraction is not — is a one-row broadcast cross join, and both
+    engines derive it from the same decimal sum so the cut-off is
+    bit-identical."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -120,7 +122,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum("l_extendedprice").alias("part_value"))
     )
-    threshold = pv.agg((dsum("part_value") * 0.001).alias("cut"))
+    threshold = pv.agg((dsum("part_value") / F.count("*") * 2.0).alias("cut"))
     return (
         pv.crossJoin(F.broadcast(threshold))
         .filter(F.col("part_value") > F.col("cut"))

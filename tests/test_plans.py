@@ -140,3 +140,49 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
             bad[name] = dict(js)
     assert not bad, f"unintended cartesian/NLJ plans: {bad}"
     assert len(skipped) < 20
+
+
+def test_tfidf_plans_window_group_limit(spark, sf_dir):
+    """The rank<=3 filter must push into WindowGroupLimit (per-
+    partition top-k heaps) instead of ranking every (doc, term) pair
+    and filtering afterwards — at corpus scale that's the difference
+    between a bounded and an unbounded window sort."""
+    from pandas_aws_spark.plans.inspect import physical_plan
+
+    df = load_registry()["q_text_tfidf"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_q09_joins_part_before_orders(spark, sf_dir):
+    """Q9's selective part filter must semi-reduce lineitem BEFORE the
+    orders join: in the physical plan the part join appears deeper
+    (earlier) than the orders join. At 100 TB this ordering shuffles
+    ~4% of lineitem instead of all of it."""
+    from pandas_aws_spark.plans.inspect import formatted_plan
+
+    df = load_registry()["q09_product_profit"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted plan lists scans in join order: lineitem, part, ... orders last
+    import re
+
+    scan_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    part_idx = next(i for i, f in enumerate(scan_filters) if "p_name" in f)
+    orders_idx = next(i for i, f in enumerate(scan_filters) if "o_orderkey" in f)
+    assert part_idx < orders_idx
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of rewrite must cost ONE exchange on the key (the union
+    sweep), never a join explosion: no join nodes at all, exactly one
+    shuffle below the window."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.asof import asof_join
+    from pandas_aws_spark.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = asof_join(buys, clicks, ["user_id"], right_cols=["event_id"])
+    assert sum(join_strategies(out).values()) == 0
+    assert num_shuffles(out) == 1

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.streaming",
     "pandas_aws_spark.queries.skew",
     "pandas_aws_spark.queries.sketch",
+    "pandas_aws_spark.queries.advanced",
 )
 
 

@@ -323,3 +323,270 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_streaks"))
         .orderBy("streak_len")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs ordered together.
+# --------------------------------------------------------------------------
+_BASKET_ORACLE = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY p1, p2 ORDER BY n_orders DESC, p1, p2 LIMIT 20
+"""
+
+
+@query("q_market_basket", oracle=_BASKET_ORACLE, tags=("join", "cooccurrence"))
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining (which parts ship in the same order): a
+    self-equi-join on the order key, so both sides co-partition in one
+    shuffle and pair blow-up is bounded by order size (~4 lines/order),
+    never by table size. Top-k plans as TakeOrderedAndProject with a
+    total tie-broken order, so the cut is deterministic."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP): integral of a step function per user.
+# --------------------------------------------------------------------------
+_TWAP_ORACLE = f"""
+WITH seg AS (
+  SELECT user_id, value,
+         (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          - epoch_us(ts)) / 1000000.0 AS dur_s
+  FROM events
+)
+SELECT user_id,
+       CAST({sql_dsum('value * dur_s')} * 1000000 AS BIGINT)
+         // (CAST({sql_dsum('dur_s')} * 1000000 AS BIGINT) // 1000) AS twap_milli
+FROM seg WHERE dur_s IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q_events_twap", oracle=_TWAP_ORACLE, tags=("events", "window", "stats"))
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value holds
+    until the user's next event (lead window), weight = segment
+    duration. Weighted sums go through decimal fixed-point so the
+    shuffle's partial-agg order cannot move the result; the quotient
+    stays in integer milli-units (a decimal->double cast of a >2^53
+    fixed-point sum rounds differently across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_s = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))) / F.lit(1000000.0)
+    seg = ev.withColumn("dur_s", dur_s).filter(F.col("dur_s").isNotNull())
+    sv = (dsum(F.col("value") * F.col("dur_s")) * 1000000).cast("long")
+    sd = (dsum("dur_s") * 1000000).cast("long")
+    return (
+        seg.groupBy("user_id")
+        .agg(sv.alias("sv"), sd.alias("sd"))
+        .select("user_id", F.expr("sv div (sd div 1000)").alias("twap_milli"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the nearest prior
+# non-purchase event of the same user.
+# --------------------------------------------------------------------------
+_ATTR_ORACLE = f"""
+WITH attr AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+  FROM events
+)
+SELECT COALESCE(src, 'none') AS source_type,
+       COUNT(*) AS n_purchases,
+       {sql_dsum('value')} AS purchase_value
+FROM attr WHERE event_type = 'purchase'
+GROUP BY source_type ORDER BY source_type
+"""
+
+
+@query("q_attribution_last_touch", oracle=_ATTR_ORACLE, tags=("events", "window"))
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution as a single per-user
+    window pass (``last(..., ignorenulls)`` over preceding rows) — no
+    self-join, one shuffle on user_id, linear in events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("src", src)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("src"), F.lit("none")).alias("source_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"), dsum("value").alias("purchase_value"))
+        .orderBy("source_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram of order prices.
+# --------------------------------------------------------------------------
+_HIST_ORACLE = f"""
+SELECT LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
+       COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("q_histogram_prices", oracle=_HIST_ORACLE, tags=("stats", "histogram"))
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 x 25k buckets, top-clamped): bucket id
+    is a pure projection, so the whole query is one map-side-combined
+    hash aggregate over the scan — the cheapest possible distribution
+    profile at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long"), F.lit(19))
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Table reconciliation: classify keys as added/removed/changed/unchanged.
+# --------------------------------------------------------------------------
+_DIFF_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         o_custkey
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, o_orderstatus, o_custkey FROM orders WHERE o_orderkey % 19 = 0
+),
+j AS (
+  SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+         t.o_orderstatus AS tstat, s.o_orderstatus AS sstat,
+         t.o_custkey AS tcust, s.o_custkey AS scust
+  FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+SELECT CASE WHEN tk IS NULL THEN 'added'
+            WHEN sk IS NULL THEN 'removed'
+            WHEN tstat IS DISTINCT FROM sstat OR tcust IS DISTINCT FROM scust THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       COUNT(*) AS n_rows
+FROM j GROUP BY diff_class ORDER BY diff_class
+"""
+
+
+@query("q_table_diff", oracle=_DIFF_ORACLE, tags=("merge", "reconcile"))
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load reconciliation: a deterministically-perturbed copy of
+    ``orders`` (status flips, dropped keys, new keys) diffed against
+    the original with ``diff_tables`` — one full-outer hash join on the
+    key, column compares JVM-side, no row hashing (float-hashing is
+    bit-fragile across engines)."""
+    from ..operators.reconcile import diff_tables
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    kept = orders.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("Z")).otherwise(F.col("o_orderstatus")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 19 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 200000000
+    )
+    src = kept.unionByName(added)
+    diff = diff_tables(orders, src, ["o_orderkey"], ["o_orderstatus", "o_custkey"])
+    return (
+        diff.groupBy("diff_class").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("diff_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI-ranked bigram collocations with integer fixed-point scores.
+# --------------------------------------------------------------------------
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS ab
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY w1, w2
+)
+SELECT b.w1, b.w2, b.ab AS n_pair,
+       (b.ab * 1000 * n.n_total) // (ua.c * ub.c) AS score_fp
+FROM big b
+JOIN uni ua ON b.w1 = ua.tok
+JOIN uni ub ON b.w2 = ub.tok
+CROSS JOIN n
+WHERE b.ab >= 5
+ORDER BY score_fp DESC, w1, w2 LIMIT 15
+"""
+
+
+@query("q_text_pmi_bigrams", oracle=_PMI_ORACLE, tags=("text", "collocation"))
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigrams ranked by pointwise mutual
+    information. PMI's log is monotone, so ranking by the *rational*
+    p(ab)/(p(a)p(b)) in int64 fixed-point (x1000) sidesteps cross-
+    engine libm differences entirely. Unigram/bigram counts are two
+    hash aggregates; corpus size N broadcasts as one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    uni = toks.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = uni.agg(F.sum("c").alias("n_total"))
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("ab"))
+        .filter(F.col("ab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    return (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("ab").alias("n_pair"),
+            F.expr("(ab * 1000 * n_total) div (ca * cb)").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "w1", "w2")
+        .limit(15)
+    )

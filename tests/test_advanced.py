@@ -96,3 +96,21 @@ def test_blocked_levenshtein_join_blocks_and_filters(spark):
     ).collect()
     # same block + distance 1 matches; cross-block exact match is invisible
     assert len(out) == 1 and out[0].edit_distance == 1
+
+
+def test_diff_tables_classes(spark):
+    from pandas_aws_spark.operators.reconcile import diff_tables
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "k int, v string")
+    out = {r.k: r.diff_class for r in diff_tables(left, right, ["k"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_diff_tables_null_safe_compare(spark):
+    from pandas_aws_spark.operators.reconcile import diff_tables
+
+    left = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    right = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    out = {r.k: r.diff_class for r in diff_tables(left, right, ["k"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed"}

@@ -590,3 +590,122 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fp").desc(), "w1", "w2")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the co-order part graph.
+# --------------------------------------------------------------------------
+_TRI_ORACLE = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY src, dst HAVING COUNT(*) >= 2
+)
+SELECT e1.src AS p_apex, COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+GROUP BY p_apex ORDER BY n_triangles DESC, p_apex LIMIT 10
+"""
+
+
+@query("q_graph_triangles", oracle=_TRI_ORACLE, tags=("graph", "join"))
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the frequently-co-ordered part graph.
+    Edges orient small->large so each triangle (a<b<c) closes exactly
+    once; the two equi-joins shuffle on a vertex key each, so wedge
+    blow-up is Σdeg² spread across executors — the standard distributed
+    triangle algorithm. The support>=2 filter prunes the edge set
+    before any join."""
+    lp = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(e3, (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .groupBy(F.col("e1.src").alias("p_apex"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "p_apex")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: merge partial aggregates of base + delta.
+# --------------------------------------------------------------------------
+_IVM_ORACLE = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM events GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
+@query("q_incremental_agg", oracle=_IVM_ORACLE, tags=("agg", "incremental"))
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily aggregate
+    is computed as base partials (history) MERGED with delta partials
+    (new batch) — counts add, decimal sums add, so the merged view is
+    bit-identical to a full recompute (the oracle). At 100 TB this is
+    the difference between re-scanning everything and scanning only
+    the new day."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"), dsum("value").alias("s")
+        )
+
+    base = partials(ev.filter(F.col("ts") < cutoff))
+    delta = partials(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").cast("decimal(28,6)").alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report: the diagnostic behind salting decisions.
+# --------------------------------------------------------------------------
+_SKEWREP_ORACLE = """
+WITH k AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey)
+SELECT COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_cnt,
+       quantile_cont(c, 0.5) AS p50_cnt,
+       quantile_cont(c, 0.99) AS p99_cnt,
+       (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS top_share_ppm
+FROM k
+"""
+
+
+@query("q_skew_report", oracle=_SKEWREP_ORACLE, tags=("skew", "profile"))
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic for a prospective join/groupBy key:
+    cardinality, hottest-key count, exact p50/p99, and the top key's
+    share in ppm (integer fixed-point). This is the measurement that
+    justifies salting (operators/skew.py) before burning a shuffle on
+    a skewed key."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_cnt"),
+        F.expr("percentile(c, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(c, 0.99)").alias("p99_cnt"),
+        F.expr("(max(c) * 1000000) div sum(c)").alias("top_share_ppm"),
+    )

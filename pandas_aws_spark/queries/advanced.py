@@ -709,3 +709,145 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(c, 0.99)").alias("p99_cnt"),
         F.expr("(max(c) * 1000000) div sum(c)").alias("top_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations suite across the star schema.
+# --------------------------------------------------------------------------
+_EXPECT_ORACLE = """
+SELECT 'customer_nationkey_valid' AS rule,
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_violations,
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) = 0 AS passed
+UNION ALL
+SELECT 'events_value_in_range',
+       (SELECT COUNT(*) FROM events WHERE value < 0 OR value > 1000),
+       (SELECT COUNT(*) FROM events WHERE value < 0 OR value > 1000) = 0
+UNION ALL
+SELECT 'lineitem_orderkey_exists',
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0
+ORDER BY rule
+"""
+
+
+@query("q_expectations", oracle=_EXPECT_ORACLE, tags=("quality", "expectations"))
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-gate validation: uniqueness, value ranges, referential
+    integrity — each rule is a violation-counting plan (anti-joins /
+    pushed-down filters), unioned into one report. The load-then-
+    validate counterpart to the reference's API-level type checks
+    (s3.py:121-149)."""
+    from ..operators.expectations import (
+        expect_condition,
+        expect_ref_integrity,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    rules = {
+        "customer_nationkey_valid": expect_ref_integrity(
+            customer, "c_nationkey", nation, "n_nationkey"
+        ),
+        "events_value_in_range": expect_condition(
+            ev, (F.col("value") < 0) | (F.col("value") > 1000)
+        ),
+        "lineitem_orderkey_exists": expect_ref_integrity(
+            lineitem, "l_orderkey", orders, "o_orderkey"
+        ),
+        "orders_orderkey_unique": expect_unique(orders, ["o_orderkey"]),
+        "orders_totalprice_positive": expect_condition(orders, F.col("o_totalprice") <= 0),
+    }
+    return run_expectations(rules).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Exponential time-decay scoring with exact power-of-two weights.
+# --------------------------------------------------------------------------
+_DECAY_ORACLE = """
+WITH aged AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 /
+                    (1::BIGINT << date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                                            DATE '2024-01-31'))) AS BIGINT) AS dv_micro
+  FROM events
+)
+SELECT user_id, CAST(SUM(dv_micro) AS BIGINT) AS decay_score_fp
+FROM aged GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q_events_decayed_engagement", oracle=_DECAY_ORACLE, tags=("events", "stats"))
+def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: half-life decay of 1 day,
+    weight = 2^-age. Dividing a double by a power of two is EXACT, so
+    the weights carry no libm wobble; each term floors to integer
+    micro-units BEFORE summing (floor of identical doubles is
+    rounding-mode-free, unlike a decimal cast near a half boundary).
+    Pure projection + one hash aggregate — scan-speed at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(F.lit("2024-01-31").cast("date"), F.to_date("ts"))
+    dv_micro = F.floor(
+        F.col("value") * 1000000 / F.expr("shiftleft(1L, cast(age as int))")
+    )
+    return (
+        ev.withColumn("age", age)
+        .withColumn("dv_micro", dv_micro)
+        .groupBy("user_id")
+        .agg(F.sum("dv_micro").cast("long").alias("decay_score_fp"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile discretization (decile feature binning).
+# --------------------------------------------------------------------------
+_BINNING_ORACLE = f"""
+WITH b AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bnds FROM events
+)
+SELECT CAST(len(list_filter(b.bnds, x -> e.value >= x)) AS BIGINT) AS bin,
+       COUNT(*) AS n_events, {sql_dsum('e.value')} AS total_value
+FROM events e CROSS JOIN b
+GROUP BY bin ORDER BY bin
+"""
+
+
+@query("q_feature_binning", oracle=_BINNING_ORACLE, tags=("stats", "binning"))
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization: exact decile boundaries (sort-based
+    percentile, bit-stable across engines) broadcast as one row; each
+    value's bin = how many boundaries it clears. The ML feature-
+    engineering step (equal-frequency binning) as two aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").alias("bnds")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "value",
+            F.expr(
+                "CAST(aggregate(bnds, 0, (acc, x) -> acc + IF(value >= x, 1, 0)) AS BIGINT)"
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("bin")
+    )

@@ -114,3 +114,25 @@ def test_diff_tables_null_safe_compare(spark):
     right = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
     out = {r.k: r.diff_class for r in diff_tables(left, right, ["k"], ["v"]).collect()}
     assert out == {1: "unchanged", 2: "changed"}
+
+
+def test_expectations_report(spark):
+    from pandas_aws_spark.operators.expectations import (
+        expect_condition,
+        expect_ref_integrity,
+        expect_unique,
+        run_expectations,
+    )
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    rules = {
+        "orphans": expect_ref_integrity(child, "fk", parent, "pk"),
+        "unique_k": expect_unique(dup, ["k"]),
+        "no_negatives": expect_condition(dup, dup.k < 0),
+    }
+    out = {r.rule: (r.n_violations, r.passed) for r in run_expectations(rules).collect()}
+    assert out["orphans"] == (1, False)
+    assert out["unique_k"] == (1, False)
+    assert out["no_negatives"] == (0, True)

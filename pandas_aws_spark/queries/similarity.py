@@ -263,3 +263,25 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
     )
     return out.orderBy("query_id", "rank")
+
+
+@query("q_sim_pq_adc", oracle=None, tags=("similarity", "pq"))
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's compression half: vectors quantized to m=8 one-byte
+    codes (32x smaller than raw dim-64 floats), searched via
+    asymmetric distance (per-query LUT over sub-centroids). The 100 TB
+    path when raw vectors can't stay hot. No SQL oracle — the codebook
+    is iteratively trained (k-means per subspace), which SQL can't
+    express; rows-only check here, recall-vs-exact asserted in
+    tests/test_pq.py. The registered shape is the production two-stage
+    path: ADC shortlist (5x oversample) -> exact re-rank of only the
+    shortlisted raw vectors."""
+    from ..operators.pq import pq_encode, pq_topk_refined, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq_topk_refined(queries, codes, cb, emb, k=10, oversample=5).orderBy(
+        "query_id", "rank"
+    )

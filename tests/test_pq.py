@@ -1,0 +1,87 @@
+"""Product-quantization correctness: codebook shape, code determinism,
+ADC recall against exact L2 brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_aws_spark.operators.pq import pq_encode, pq_topk, pq_train
+from pandas_aws_spark.registry import load_table
+
+M, K = 8, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def codebook(emb):
+    return pq_train(emb, m=M, k=K, iters=3)
+
+
+def test_codebook_shape(codebook):
+    rows = codebook.collect()
+    assert {r.sub for r in rows} == set(range(M))
+    assert all(1 <= r.centroid_id <= K for r in rows)
+    assert all(len(r.cvec) == 64 // M for r in rows)
+
+
+def test_codes_shape_and_determinism(emb, codebook):
+    c1 = {r.vec_id: r.codes for r in pq_encode(emb, codebook).collect()}
+    c2 = {r.vec_id: r.codes for r in pq_encode(emb, codebook).collect()}
+    assert c1 == c2
+    assert all(len(v) == M for v in c1.values())
+
+
+def _exact_top10(data, qid):
+    qv = data[qid]
+    dists = sorted(((np.sum((v - qv) ** 2), vid) for vid, v in data.items() if vid != qid))
+    return {vid for _, vid in dists[:10]}
+
+
+def test_adc_recall_vs_exact(emb, codebook):
+    codes = pq_encode(emb, codebook)
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(queries, codes, codebook, k=10).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    recalls = [len(_exact_top10(data, qid) & by_q[qid]) / 10 for qid in by_q]
+    # These embeddings are near-isotropic (within-cluster std ~ global
+    # std), the hard case for PQ: raw ADC recall@10 lands ~0.3 — an
+    # order of magnitude above chance (10/500 = 0.02) but far from
+    # exact. The refined two-stage test below is the production path.
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_refined_recall_vs_exact(emb, codebook):
+    from pandas_aws_spark.operators.pq import pq_topk_refined
+
+    codes = pq_encode(emb, codebook)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk_refined(queries, codes, codebook, emb, k=10, oversample=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    recalls = [len(_exact_top10(data, qid) & by_q[qid]) / 10 for qid in by_q]
+    # exact re-rank of the 50-candidate ADC shortlist roughly doubles
+    # recall on this corpus (~0.6 observed)
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_adc_ranks_are_dense_and_deterministic(emb, codebook):
+    codes = pq_encode(emb, codebook)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = pq_topk(queries, codes, codebook, k=10).orderBy("rank").collect()
+    assert [r.rank for r in out] == list(range(1, 11))
+    out2 = pq_topk(queries, codes, codebook, k=10).orderBy("rank").collect()
+    assert [(r.neighbor_id, r.adc_fp) for r in out] == [
+        (r.neighbor_id, r.adc_fp) for r in out2
+    ]

@@ -31,7 +31,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["dec", "dsum", "dsum_mul", "davg", "SCALE", "sql_dsum", "sql_dsum_mul", "sql_davg"]
+__all__ = [
+    "dec",
+    "dsum",
+    "dsum_mul",
+    "davg",
+    "dsum_micro",
+    "SCALE",
+    "sql_dsum",
+    "sql_dsum_mul",
+    "sql_davg",
+    "sql_dsum_micro",
+]
 
 SCALE = 6
 _DEC = T.DecimalType(18, SCALE)
@@ -52,6 +63,15 @@ def dsum_mul(a: Column | str, b: Column | str) -> Column:
     return F.sum(dec(a) * dec(b)).cast("double")
 
 
+def dsum_micro(c: Column | str) -> Column:
+    """Exact integer micro-units of a decimal SUM — NO double roundtrip
+    anywhere (``dsum``'s final double cast loses the last micro once the
+    scaled sum exceeds 2^53; this stays decimal end to end).
+    Spark types: sum(decimal(18,6)) -> decimal(28,6); x decimal(7,0)
+    -> decimal(36,6), still exact; cast long."""
+    return (F.sum(dec(c)) * F.lit(1000000).cast("decimal(7,0)")).cast("long")
+
+
 def davg(c: Column | str) -> Column:
     """Order-independent AVG: decimal sum, then one double division."""
     c = F.col(c) if isinstance(c, str) else c
@@ -67,6 +87,16 @@ def sql_dsum(expr: str) -> str:
 
 def sql_dsum_mul(a: str, b: str) -> str:
     return f"CAST(SUM(CAST({a} AS DECIMAL(18,{SCALE})) * CAST({b} AS DECIMAL(18,{SCALE}))) AS DOUBLE)"
+
+
+def sql_dsum_micro(expr: str) -> str:
+    """DuckDB mirror of :func:`dsum_micro`. The inner DECIMAL(25,6)
+    re-cast keeps the product within DuckDB's 38-digit cap — a direct
+    DECIMAL(38,6) x INT multiply silently falls back to DOUBLE."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{SCALE}))) AS DECIMAL(25,{SCALE}))"
+        f" * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)"
+    )
 
 
 def sql_davg(expr: str) -> str:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.stable import dsum, sql_dsum
+from ..functions.stable import dsum, dsum_micro, sql_dsum, sql_dsum_micro
 from ..operators.fuzzy import blocked_levenshtein_join
 from ..operators.intervaljoin import interval_join
 from ..operators.profile import profile_columns
@@ -373,8 +373,8 @@ WITH seg AS (
   FROM events
 )
 SELECT user_id,
-       CAST({sql_dsum('value * dur_s')} * 1000000 AS BIGINT)
-         // (CAST({sql_dsum('dur_s')} * 1000000 AS BIGINT) // 1000) AS twap_milli
+       {sql_dsum_micro('value * dur_s')}
+         // ({sql_dsum_micro('dur_s')} // 1000) AS twap_milli
 FROM seg WHERE dur_s IS NOT NULL
 GROUP BY user_id ORDER BY user_id
 """
@@ -392,8 +392,8 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dur_s = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))) / F.lit(1000000.0)
     seg = ev.withColumn("dur_s", dur_s).filter(F.col("dur_s").isNotNull())
-    sv = (dsum(F.col("value") * F.col("dur_s")) * 1000000).cast("long")
-    sd = (dsum("dur_s") * 1000000).cast("long")
+    sv = dsum_micro(F.col("value") * F.col("dur_s"))
+    sd = dsum_micro("dur_s")
     return (
         seg.groupBy("user_id")
         .agg(sv.alias("sv"), sd.alias("sd"))
@@ -850,4 +850,193 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
         .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking with overlap (training-pipeline windowing).
+# --------------------------------------------------------------------------
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT source, len(string_split_regex(trim(text), '\\s+')) AS n FROM documents
+),
+chunks AS (
+  SELECT source, LEAST(32, n - s.start) AS chunk_len
+  FROM toks, UNNEST(range(0, n, 24)) AS s(start)
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+       CAST(SUM(CASE WHEN chunk_len = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_chunks
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_chunk_overlap", oracle=_CHUNK_ORACLE, tags=("text", "chunking"))
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 32, stride 24, overlap 8) — how a
+    training pipeline slices documents into model-context windows.
+    Chunk starts materialize via sequence+explode (pure projection, no
+    shuffle until the final per-source rollup); only counts leave the
+    operator, the text itself never re-serializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    )
+    chunks = toks.select(
+        "source",
+        "n",
+        F.explode(F.expr("sequence(0, n - 1, 24)")).alias("start"),
+    ).select("source", F.least(F.lit(32), F.col("n") - F.col("start")).alias("chunk_len"))
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("sum_chunk_tokens"),
+            F.sum(F.when(F.col("chunk_len") == 32, 1).otherwise(0))
+            .cast("long")
+            .alias("n_full_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of its region's revenue (ppm).
+# --------------------------------------------------------------------------
+_SHARE_ORACLE = f"""
+WITH nrev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         {sql_dsum_micro('o.o_totalprice')} AS rev_micro
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY region, nation
+)
+SELECT region, nation, rev_micro,
+       rev_micro // (SUM(rev_micro) OVER (PARTITION BY region) // 1000000) AS share_ppm
+FROM nrev ORDER BY region, nation
+"""
+
+
+@query("q_revenue_share_ppm", oracle=_SHARE_ORACLE, tags=("window", "ratio"))
+def q_revenue_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: nation revenue as ppm of its region, all in
+    exact integer micro-units (window SUM of longs, integer division)
+    — no float division anywhere. Dimension joins broadcast; the only
+    shuffles are the group-by and the per-region window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nrev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum_micro("o_totalprice").alias("rev_micro"))
+    )
+    w = Window.partitionBy("region")
+    return nrev.select(
+        "region",
+        "nation",
+        "rev_micro",
+        F.expr("rev_micro div (sum(rev_micro) over (partition by region) div 1000000)").alias(
+            "share_ppm"
+        ),
+    ).orderBy("region", "nation")
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users (WAU) via contribution explode.
+# --------------------------------------------------------------------------
+_WAU_ORACLE = """
+WITH contrib AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) + CAST(s.off AS INTEGER) AS bucket_day, user_id
+  FROM events, UNNEST(range(0, 7)) AS s(off)
+)
+SELECT bucket_day, COUNT(DISTINCT user_id) AS wau
+FROM contrib GROUP BY bucket_day ORDER BY bucket_day
+"""
+
+
+@query("q_events_wau_rolling", oracle=_WAU_ORACLE, tags=("events", "window", "distinct"))
+def q_events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day. COUNT(DISTINCT) doesn't
+    compose over sliding windows, so each activity day *contributes*
+    to the 7 window-end days instead (explode of 7 offsets), turning
+    the rolling distinct into a plain per-day distinct count — 7x row
+    inflation on the (user, day) deduped set, fully partial-aggregated,
+    vs an unbounded window sort. At extreme scale, swap the exact
+    distinct for mergeable HLL sketches per day."""
+    ev = load_table(spark, sf_dir, "events")
+    contrib = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .select("user_id", F.explode(F.expr("sequence(0, 6)")).alias("off"), "d")
+        .select(F.expr("date_add(d, off)").alias("bucket_day"), "user_id")
+        .distinct()
+    )
+    return (
+        contrib.groupBy("bucket_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("bucket_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto (80/20) concentration analysis of supplier revenue.
+# --------------------------------------------------------------------------
+_PARETO_ORACLE = f"""
+WITH srev AS (
+  SELECT l_suppkey,
+         {sql_dsum_micro('l_extendedprice * (1 - l_discount)')} AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(rev) OVER () AS total
+  FROM srev
+)
+SELECT COUNT(*) AS n_suppliers,
+       CAST(SUM(CASE WHEN (cum - rev) * 5 < total * 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_for_80pct,
+       MAX(CASE WHEN cum = rev THEN rev ELSE 0 END) // (MAX(total) // 1000000)
+         AS top_share_ppm
+FROM ranked
+"""
+
+
+@query("q_supplier_pareto", oracle=_PARETO_ORACLE, tags=("window", "pareto"))
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration analysis: how many suppliers cover 80% of revenue,
+    and the top supplier's share (ppm) — cumulative window sums over
+    exact integer micro-units, so the 80% cut is an integer comparison
+    ((cum-rev)*5 < total*4), no float thresholds. The global-order
+    window runs over per-supplier aggregates (one row each), not raw
+    lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    srev = li.groupBy("l_suppkey").agg(
+        dsum_micro(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    wcum = (
+        Window.orderBy(F.col("rev").desc(), "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = srev.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.when((F.col("cum") - F.col("rev")) * 5 < F.col("total") * 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_for_80pct"),
+        F.expr("max(CASE WHEN cum = rev THEN rev ELSE 0 END) div (max(total) div 1000000)").alias(
+            "top_share_ppm"
+        ),
     )

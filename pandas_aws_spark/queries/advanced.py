@@ -1040,3 +1040,137 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling with forward fill (dense hourly calendar).
+# --------------------------------------------------------------------------
+_GAPFILL_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+cal AS (
+  SELECT t.h AS hour, et.event_type
+  FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS t(h),
+       (SELECT DISTINCT event_type FROM events) et
+),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, {sql_dsum_micro('value')} AS val_micro
+  FROM events GROUP BY hour, event_type
+),
+joined AS (
+  SELECT c.hour, c.event_type, a.val_micro,
+         CASE WHEN a.val_micro IS NULL THEN 0 ELSE 1 END AS observed
+  FROM cal c LEFT JOIN agg a ON c.hour = a.hour AND c.event_type = a.event_type
+),
+filled AS (
+  SELECT hour, event_type, observed,
+         COALESCE(last_value(val_micro IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_micro
+  FROM joined
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(COUNT(*) - SUM(observed) AS BIGINT) AS n_filled,
+       CAST(SUM(filled_micro) AS BIGINT) AS total_filled_micro
+FROM filled GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_events_gap_fill", oracle=_GAPFILL_ORACLE, tags=("events", "window", "gapfill"))
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: generate the full calendar
+    (sequence + explode — no driver loop), left-join the sparse hourly
+    aggregates, forward-fill holes with the last observation
+    (``last(ignorenulls)`` running window). The gap-filling shape every
+    monitoring/reporting pipeline needs; values stay in exact integer
+    micro-units so the fill is bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(dsum_micro("value").alias("val_micro"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    joined = cal.join(agg, ["hour", "event_type"], "left").withColumn(
+        "observed", F.when(F.col("val_micro").isNull(), 0).otherwise(1)
+    )
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumn(
+        "filled_micro",
+        F.coalesce(F.last("val_micro", ignorenulls=True).over(wfill), F.lit(0)),
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            (F.count(F.lit(1)) - F.sum("observed")).cast("long").alias("n_filled"),
+            F.sum("filled_micro").cast("long").alias("total_filled_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles).
+# --------------------------------------------------------------------------
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(25,6))
+              * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS money_micro
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY money_micro, o_custkey) AS m_score
+  FROM cust
+)
+SELECT r_score * 100 + f_score * 10 + m_score AS rfm_segment, COUNT(*) AS n_customers
+FROM scored GROUP BY rfm_segment ORDER BY rfm_segment
+"""
+
+
+@query("q_customer_rfm", oracle=_RFM_ORACLE, tags=("window", "segmentation"))
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintiles (ntile with full tie-breaks -> deterministic), combined
+    into a 3-digit segment code. Monetary stays in exact integer
+    micro-units. Global ntiles run over one row per customer, not raw
+    orders; at extreme cardinality swap ntile for bucketing on exact
+    percentile boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum_micro("o_totalprice").alias("money_micro"),
+    )
+    scored = cust.select(
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("money_micro", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+                "rfm_segment"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("rfm_segment")
+    )

@@ -1174,3 +1174,35 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("rfm_segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Arbitrary-SQL passthrough: ONE dialect-portable string, run verbatim
+# by Spark and by the DuckDB oracle.
+# --------------------------------------------------------------------------
+_PASSTHROUGH_SQL = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+)
+SELECT segment, priority, n_orders, revenue,
+       ROW_NUMBER() OVER (PARTITION BY segment
+                          ORDER BY revenue DESC, priority) AS rev_rank
+FROM seg ORDER BY segment, rev_rank
+"""
+
+
+@query("q_sql_passthrough", oracle=_PASSTHROUGH_SQL, tags=("sql", "passthrough"))
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's de-facto query surface is 'whatever SQL the
+    warehouse speaks' (RedshiftClient.get_df, redshift.py:417-448;
+    SURVEY.md S7). Here the SAME ANSI string runs verbatim through
+    spark.sql() AND through the DuckDB oracle — dialect-portable SQL
+    with decimal-stabilized aggregates. Catalyst gets full freedom:
+    the customer join broadcasts, the aggregate partials map-side."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PASSTHROUGH_SQL)

@@ -182,3 +182,43 @@ def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_custkey").alias("n_with_cust"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+_DPO_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_io_dynamic_partition_overwrite", oracle=_DPO_ORACLE, tags=("io", "partition"))
+def q_io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE of ONE partition without touching the others —
+    partitionOverwriteMode=dynamic replaces only partitions present in
+    the incoming batch (the warehouse 'reload one day' operation; with
+    static overwrite Spark would wipe the whole table). Oracle = the
+    expected post-overwrite state computed from the original data."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="dpo_")
+    path = f"file://{tmp}/orders_part"
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    urgent_fixed = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    (
+        urgent_fixed.write.partitionBy("o_orderpriority")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )

@@ -136,3 +136,17 @@ def test_expectations_report(spark):
     assert out["orphans"] == (1, False)
     assert out["unique_k"] == (1, False)
     assert out["no_negatives"] == (0, True)
+
+
+def test_dsum_micro_partitioning_invariance(spark):
+    from pandas_aws_spark.functions.stable import dsum_micro
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.uniform(0, 500000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    vals = set()
+    for n in (1, 7, 32):
+        vals.add(df.repartition(n).agg(dsum_micro("v").alias("s")).collect()[0].s)
+    assert len(vals) == 1  # exact integer micro-units, any partitioning

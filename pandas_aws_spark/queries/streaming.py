@@ -394,3 +394,40 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .orderBy("event_type")
     )
+
+
+_GAP_ALERT_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          - epoch_us(ts)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us // 1000000) AS BIGINT) AS total_gap_s
+FROM g WHERE gap_us > 48::BIGINT * 3600 * 1000000
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q_stream_heartbeat_gaps", oracle=_GAP_ALERT_ORACLE, tags=("streaming", "stateful"))
+def q_stream_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-man's-switch monitoring as a custom stateful operator:
+    per-user last-seen timestamp in the state store, an alert row per
+    silence > 48 h. Drained with AvailableNow the alerts equal the
+    batch lead()-window oracle; integer micro arithmetic keeps gap
+    seconds bit-identical."""
+    from ..streaming.pipeline import events_stream, heartbeat_gap_alerts, run_to_completion
+
+    ev = events_stream(spark, sf_dir)
+    alerts = run_to_completion(
+        heartbeat_gap_alerts(ev, threshold_hours=48),
+        "stream_gap_alerts_sink",
+        output_mode="append",
+    )
+    return (
+        alerts.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"), F.sum("gap_s").cast("long").alias("total_gap_s"))
+        .orderBy("user_id")
+    )

@@ -91,6 +91,42 @@ def query(
     return deco
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``pandas_aws_spark`` importable on Python workers no matter
+    what directory the driver process started in.
+
+    Queries built on ``applyInPandas(WithState)`` / ``mapInPandas``
+    serialize closures that reference this package; workers resolve the
+    import through their own ``sys.path``, which only contains the repo
+    when the driver happened to ``cd`` there. Shipping a source zip via
+    ``addPyFile`` (once per SparkContext) removes that assumption — the
+    exact mechanism a real cluster deployment uses (``--py-files``).
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"pandas_aws_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-generated parquet table (TESTDATA.md layout).
 
@@ -102,6 +138,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

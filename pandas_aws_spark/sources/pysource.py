@@ -135,6 +135,21 @@ class SyntheticEventsStreamSource(DataSource):
 
 
 def register(spark) -> None:
+    # Data-source classes are cloudpickled to separate Python planner/
+    # reader processes, which resolve by-reference pickles through
+    # their own sys.path — broken whenever the driver didn't start in
+    # the repo. Registering this module for by-value pickling ships the
+    # class code inside the pickle itself (this module only imports
+    # pyspark, so the closure is self-contained); addPyFile covers the
+    # task-side imports.
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..registry import ship_package
+
+    ship_package(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SyntheticEventsSource)
     spark.dataSource.register(SyntheticEventsStreamSource)
 

@@ -44,6 +44,7 @@ __all__ = [
     "stream_sessionize",
     "stream_click_attribution",
     "user_running_totals",
+    "heartbeat_gap_alerts",
     "run_to_completion",
     "documents_stream",
     "stream_exact_dedup",
@@ -76,6 +77,9 @@ def events_stream(
     Same rows the batch ``load_table`` yields; ns->us truncation keeps
     event-time semantics identical across modes.
     """
+    from ..registry import ship_package
+
+    ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
@@ -267,6 +271,9 @@ def documents_stream(
 ) -> DataFrame:
     """Streaming scan of the documents table (same glob trick as
     :func:`events_stream`)."""
+    from ..registry import ship_package
+
+    ship_package(spark)
     reader = spark.readStream.schema(_DOCS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -301,3 +308,49 @@ def stream_upsert_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# Heartbeat-gap detection: alert when a user's inter-event silence
+# exceeds a threshold. Order-sensitive custom state (last-seen
+# timestamp per user); with the AvailableNow drain of one landing file
+# each user's events arrive in a single sorted batch, so the result is
+# batch-equivalent (the lead()-window oracle). A production deployment
+# with many landing files adds a watermark-sorted pre-stage or event-
+# time session windows instead of relying on arrival order.
+# --------------------------------------------------------------------------
+_GAP_SCHEMA = "user_id long, gap_s long"
+_GAP_STATE_SCHEMA = "last_us long"
+
+
+def _gap_alert_fn(key, pdfs, state, threshold_us: int):
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
+    last = state.get[0] if state.exists else None
+    gaps = []
+    for t in us:
+        if last is not None and t - last > threshold_us:
+            gaps.append((t - last) // 1_000_000)
+        last = t
+    state.update((last,))
+    yield pd.DataFrame({"user_id": [key[0]] * len(gaps), "gap_s": gaps})
+
+
+def heartbeat_gap_alerts(events: DataFrame, threshold_hours: int = 48) -> DataFrame:
+    """Per-gap alert rows (user_id, gap_s) for silences longer than the
+    threshold — the monitoring primitive behind dead-sensor / churn
+    detection. State = one int64 per user."""
+    threshold_us = threshold_hours * 3_600_000_000
+
+    def fn(key, pdfs, state):
+        yield from _gap_alert_fn(key, pdfs, state, threshold_us)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_GAP_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1206,3 +1206,46 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (MAD).
+# --------------------------------------------------------------------------
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, m.med, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type, COUNT(*) AS n_outliers, {sql_dsum('e.value')} AS outlier_value
+FROM events e JOIN mad d ON e.event_type = d.event_type
+WHERE abs(e.value - d.med) > 2.5 * d.mad
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@query("q_events_mad_outliers", oracle=_MAD_ORACLE, tags=("events", "stats"))
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: |x - median| > 2.5 x MAD. Unlike the
+    z-score variant, immune to the outliers it hunts (median/MAD have
+    a 50% breakdown point). Exact percentile is a sort-based aggregate
+    that is bit-identical across engines, and the threshold uses the
+    same double expression both sides — no classification flicker.
+    Two aggregation passes + one broadcast join back onto the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 2.5 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"), dsum("value").alias("outlier_value"))
+        .orderBy("event_type")
+    )

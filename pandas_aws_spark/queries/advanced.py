@@ -1249,3 +1249,118 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_outliers"), dsum("value").alias("outlier_value"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Running balance + maximum drawdown per user (ledger analytics).
+# --------------------------------------------------------------------------
+_DRAWDOWN_ORACLE = """
+WITH moves AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN -CAST(round(value * 1000000) AS BIGINT)
+              ELSE CAST(round(value * 1000000) AS BIGINT) END AS delta_micro
+  FROM events
+),
+bals AS (
+  SELECT user_id, ts, event_id,
+         SUM(delta_micro) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+  FROM moves
+),
+ledger AS (
+  SELECT user_id, bal,
+         MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bals
+)
+SELECT user_id,
+       CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_micro,
+       CAST(MAX(bal) AS BIGINT) AS peak_balance_micro
+FROM ledger GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q_events_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("events", "window", "ledger"))
+def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger analytics: credits/debits per user, running balance, and
+    maximum drawdown (deepest dip below the running peak) — the nested
+    running-extremum window shape from finance. All arithmetic in
+    integer micro-units (round once at ingestion, exact thereafter);
+    one shuffle on user_id serves every window."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "error"),
+        -F.round(F.col("value") * 1000000).cast("long"),
+    ).otherwise(F.round(F.col("value") * 1000000).cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ledger = (
+        ev.withColumn("delta_micro", delta)
+        .withColumn("bal", F.sum("delta_micro").over(w))
+        .withColumn("peak", F.max("bal").over(w))
+    )
+    return (
+        ledger.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("bal")).cast("long").alias("max_drawdown_micro"),
+            F.max("bal").cast("long").alias("peak_balance_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Path analysis: most common opening event-type sequences per session day.
+# --------------------------------------------------------------------------
+_PATHS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, d, string_agg(event_type, '->' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 3 GROUP BY user_id, d
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15
+"""
+
+
+@query("q_events_path_analysis", oracle=_PATHS_ORACLE, tags=("events", "window", "paths"))
+def q_events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-path mining: each user-day's first three event types
+    joined into a path string, top paths counted. The rank<=3 filter
+    hits WindowGroupLimit (per-partition heaps), the path assembles
+    from a sorted struct array — no Python, no cross-row UDF; final
+    top-k is TakeOrderedAndProject with a full tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    opening = (
+        ev.withColumn("d", F.to_date("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = (
+        opening.groupBy("user_id", "d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                "->",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

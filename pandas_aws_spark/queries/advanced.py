@@ -1364,3 +1364,48 @@ def q_events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral diversity (Gini impurity of event-type mix) per user.
+# --------------------------------------------------------------------------
+_DIVERSITY_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+  SELECT user_id,
+         (1000000 * (SUM(c) * SUM(c) - SUM(c * c))) // (SUM(c) * SUM(c)) AS gini_ppm
+  FROM counts GROUP BY user_id
+)
+SELECT gini_ppm // 100000 AS gini_decile,
+       COUNT(*) AS n_users,
+       CAST(MIN(gini_ppm) AS BIGINT) AS min_gini_ppm,
+       CAST(MAX(gini_ppm) AS BIGINT) AS max_gini_ppm
+FROM per_user GROUP BY gini_decile ORDER BY gini_decile
+"""
+
+
+@query("q_events_user_diversity", oracle=_DIVERSITY_ORACLE, tags=("events", "stats"))
+def q_events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Gini impurity of each user's event-type
+    mix, 1 - sum((c_i/n)^2), kept RATIONAL — (n^2 - sum(c_i^2)) / n^2
+    in int64 ppm — so no float division and no libm (the entropy
+    alternative needs log). Two hash aggregates, fully map-side
+    combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = counts.groupBy("user_id").agg(
+        F.expr("(1000000 * (sum(c) * sum(c) - sum(c * c))) div (sum(c) * sum(c))").alias(
+            "gini_ppm"
+        )
+    )
+    return (
+        per_user.groupBy(F.expr("gini_ppm div 100000").alias("gini_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("gini_ppm").cast("long").alias("min_gini_ppm"),
+            F.max("gini_ppm").cast("long").alias("max_gini_ppm"),
+        )
+        .orderBy("gini_decile")
+    )

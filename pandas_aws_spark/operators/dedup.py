@@ -442,9 +442,11 @@ def connected_components(
     cluster_id = min doc id reachable through the pair graph.
 
     Iterative min-label propagation: each round, every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(log(diameter)) rounds for dedup graphs (clusters are small and
-    dense). Each round is one join + one groupBy over the EDGE list —
+    smallest label among itself and its neighbors, so the minimum
+    advances one hop per round — O(diameter) rounds. Dedup graphs have
+    small, dense clusters (diameter << 20); for adversarial chain-shaped
+    graphs raise ``max_iter`` — non-convergence raises rather than
+    returning wrong labels. Each round is one join + one groupBy over the EDGE list —
     never a transitive-closure materialization — so at corpus scale the
     cost is rounds x O(|edges|) shuffle. The loop checks convergence
     via a count of changed labels (a driver-side scalar, not data) and
@@ -482,4 +484,13 @@ def connected_components(
         labels = cp.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # Exiting via max_iter with labels still moving means the
+        # output would be silently WRONG (a >max_iter-hop chain keeps
+        # distinct labels inside one component) — refuse, don't guess.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph has a "
+            f"component with diameter > {max_iter} — raise max_iter."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -31,7 +31,31 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe"]
+__all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe"]
+
+# The brute-force paths replicate the QUERY side to every task (broadcast
+# crossJoin / driver toPandas + sc.broadcast). That contract only holds for
+# a small query set; a 100x-scale caller must get a clear error instead of
+# a driver OOM or an 8GB-broadcast failure mid-job.
+MAX_QUERY_SIDE_ROWS = 100_000
+
+
+def _guard_query_side(queries: DataFrame, cap: int | None, op_name: str) -> None:
+    """Raise if the query side exceeds ``cap`` rows.
+
+    Uses ``limit(cap+1).count()`` so the probe stops scanning as soon as
+    the cap is exceeded — it never counts an unbounded query set.
+    """
+    if cap is None:
+        return
+    n = queries.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{op_name}: query side exceeds max_query_rows={cap}; the query "
+            "matrix is replicated to every task, so this would not scale — "
+            "slice the query set (or raise max_query_rows deliberately), or "
+            "use the IVF/LSH paths which keep both sides partitioned."
+        )
 
 
 def brute_force_topk(
@@ -42,12 +66,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    max_query_rows: int | None = MAX_QUERY_SIDE_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Returns (query_id, neighbor_id, rank, cos_sim); ties broken on
-    neighbor id so ranks are deterministic.
+    neighbor id so ranks are deterministic. The query side is broadcast
+    — guarded by ``max_query_rows`` (pass ``None`` to opt out).
     """
+    _guard_query_side(queries, max_query_rows, "brute_force_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
@@ -307,6 +334,7 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    max_query_rows: int | None = MAX_QUERY_SIDE_ROWS,
 ) -> DataFrame:
     """Exact top-k via vectorized matrix products (``mapInPandas``).
 
@@ -323,6 +351,7 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    _guard_query_side(queries, max_query_rows, "brute_force_topk_arrow")
     spark = corpus.sparkSession
     qpdf = queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")).toPandas()
     qids = qpdf["qid"].to_numpy()

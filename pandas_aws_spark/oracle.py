@@ -67,7 +67,21 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, float_rtol
         return f"row-count mismatch: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        a_float = pd.api.types.is_float_dtype(av)
+        b_float = pd.api.types.is_float_dtype(bv)
+        if a_float != b_float:
+            # Dtype-strict: the driver hashes values dtype-sensitively, so an
+            # int64 column on one side and float64 on the other (the DuckDB
+            # HUGEINT-promotion class: SUM(<int>) -> HUGEINT -> pandas float)
+            # is a hard FAIL even when the values are numerically equal.
+            # Coercing both to float here would mask exactly what the driver
+            # catches — local green must imply driver green.
+            return (
+                f"dtype mismatch in {c!r}: spark={av.dtype} oracle={bv.dtype} "
+                "(int-vs-float breaks the driver's dtype-sensitive hash; "
+                "CAST the oracle aggregate, e.g. CAST(SUM(..) AS BIGINT))"
+            )
+        if a_float and b_float:
             av_f = av.astype("float64").to_numpy()
             bv_f = bv.astype("float64").to_numpy()
             exact = np.array_equal(av_f, bv_f, equal_nan=True)

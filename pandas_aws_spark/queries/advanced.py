@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.stable import dsum, dsum_micro, sql_dsum, sql_dsum_micro
+from ..functions.stable import dec, dsum, dsum_micro, sql_dsum, sql_dsum_micro
 from ..operators.fuzzy import blocked_levenshtein_join
 from ..operators.intervaljoin import interval_join
 from ..operators.profile import profile_columns
@@ -665,8 +665,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2024-01-20").cast("timestamp")
 
     def partials(df):
+        # Partials stay DECIMAL (associative) — merging them and then
+        # casting to double is bit-identical to a full decimal recompute,
+        # which is exactly what the oracle's sql_dsum produces.
         return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-            F.count(F.lit(1)).alias("n"), dsum("value").alias("s")
+            F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("s")
         )
 
     base = partials(ev.filter(F.col("ts") < cutoff))
@@ -674,7 +677,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.unionByName(delta)
         .groupBy("day", "event_type")
-        .agg(F.sum("n").alias("n_events"), F.sum("s").cast("decimal(28,6)").alias("total_value"))
+        .agg(F.sum("n").alias("n_events"), F.sum("s").cast("double").alias("total_value"))
         .orderBy("day", "event_type")
     )
 
@@ -915,7 +918,7 @@ WITH nrev AS (
   GROUP BY region, nation
 )
 SELECT region, nation, rev_micro,
-       rev_micro // (SUM(rev_micro) OVER (PARTITION BY region) // 1000000) AS share_ppm
+       CAST(rev_micro // (SUM(rev_micro) OVER (PARTITION BY region) // 1000000) AS BIGINT) AS share_ppm
 FROM nrev ORDER BY region, nation
 """
 
@@ -1004,8 +1007,8 @@ ranked AS (
 SELECT COUNT(*) AS n_suppliers,
        CAST(SUM(CASE WHEN (cum - rev) * 5 < total * 4 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_for_80pct,
-       MAX(CASE WHEN cum = rev THEN rev ELSE 0 END) // (MAX(total) // 1000000)
-         AS top_share_ppm
+       CAST(MAX(CASE WHEN cum = rev THEN rev ELSE 0 END) // (MAX(total) // 1000000)
+            AS BIGINT) AS top_share_ppm
 FROM ranked
 """
 
@@ -1098,7 +1101,7 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds.select(
             F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
         )
-        .crossJoin(ev.select("event_type").distinct())
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
     )
     joined = cal.join(agg, ["hour", "event_type"], "left").withColumn(
         "observed", F.when(F.col("val_micro").isNull(), 0).otherwise(1)
@@ -1378,7 +1381,7 @@ per_user AS (
          (1000000 * (SUM(c) * SUM(c) - SUM(c * c))) // (SUM(c) * SUM(c)) AS gini_ppm
   FROM counts GROUP BY user_id
 )
-SELECT gini_ppm // 100000 AS gini_decile,
+SELECT CAST(gini_ppm // 100000 AS BIGINT) AS gini_decile,
        COUNT(*) AS n_users,
        CAST(MIN(gini_ppm) AS BIGINT) AS min_gini_ppm,
        CAST(MAX(gini_ppm) AS BIGINT) AS max_gini_ppm

@@ -54,7 +54,7 @@ _EXACT_ORACLE = """
 WITH d2 AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
 g AS (SELECT md5(text) AS h, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
       FROM d2 GROUP BY md5(text))
-SELECT d.source, COUNT(*) AS n_kept, SUM(g.n_copies) AS n_rows
+SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(g.n_copies) AS BIGINT) AS n_rows
 FROM g JOIN documents d ON d.doc_id = g.kept_id
 GROUP BY d.source
 ORDER BY d.source
@@ -321,7 +321,7 @@ hits AS (
 )
 SELECT source,
        COUNT(*) AS n_contaminated,
-       SUM(n_shared) AS total_shared_shingles
+       CAST(SUM(n_shared) AS BIGINT) AS total_shared_shingles
 FROM hits
 GROUP BY source
 ORDER BY source

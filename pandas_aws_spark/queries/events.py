@@ -131,7 +131,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _JSON_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -255,9 +255,9 @@ WITH bounds AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN e.value < b.p25 - 1.5 * (b.p75 - b.p25)
+       CAST(SUM(CASE WHEN e.value < b.p25 - 1.5 * (b.p75 - b.p25)
                   OR e.value > b.p75 + 1.5 * (b.p75 - b.p25)
-                THEN 1 ELSE 0 END) AS n_outliers
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN bounds b ON b.event_type = e.event_type
 GROUP BY e.event_type
 ORDER BY e.event_type
@@ -344,7 +344,7 @@ p AS (
 SELECT p.user_id,
        COUNT(*) AS n_purchases,
        COUNT(c.click_id) AS n_attributed,
-       COALESCE(SUM(date_diff('microseconds', c.ts, p.ts)), 0) AS total_lag_us
+       CAST(COALESCE(SUM(date_diff('microseconds', c.ts, p.ts)), 0) AS BIGINT) AS total_lag_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 GROUP BY p.user_id
 ORDER BY p.user_id

@@ -15,7 +15,7 @@ from ..registry import load_table, query
 _META_ORACLE = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_checksums,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents

@@ -1042,8 +1042,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_ORACLE = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS n_late,
-       SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS n_fast
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_fast
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 ORDER BY 1

@@ -129,7 +129,7 @@ WITH dim AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN e.ts = d.first_seen THEN 1 ELSE 0 END) AS n_first_events
+       CAST(SUM(CASE WHEN e.ts = d.first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_first_events
 FROM events e JOIN dim d ON d.user_id = e.user_id
 GROUP BY e.event_type
 ORDER BY e.event_type
@@ -171,7 +171,7 @@ WITH g AS (
   SELECT md5(text) AS h, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
   FROM documents GROUP BY md5(text)
 )
-SELECT d.source, COUNT(*) AS n_kept, SUM(g.n_copies) AS n_rows
+SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(g.n_copies) AS BIGINT) AS n_rows
 FROM g JOIN documents d ON d.doc_id = g.kept_id
 GROUP BY d.source
 ORDER BY d.source
@@ -247,7 +247,7 @@ deduped AS (
 )
 SELECT g.source,
        COUNT(*) AS n_kept,
-       SUM(d.n_copies) - COUNT(*) AS n_dropped_dups
+       CAST(SUM(d.n_copies) - COUNT(*) AS BIGINT) AS n_dropped_dups
 FROM deduped d JOIN gated g ON g.doc_id = d.kept_id
 GROUP BY g.source
 ORDER BY g.source

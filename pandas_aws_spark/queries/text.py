@@ -35,7 +35,7 @@ WITH t AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {sql_davg('n_chars_actual')} AS avg_chars,
        {sql_davg('mean_token_len')} AS avg_token_len
 FROM t GROUP BY lang ORDER BY lang
@@ -74,7 +74,7 @@ WITH scored AS (
 )
 SELECT CAST(FLOOR(quality * 10) AS BIGINT) AS quality_bucket,
        COUNT(*) AS n_docs,
-       SUM(CAST(FLOOR(quality * 1000) AS BIGINT)) AS quality_millis
+       CAST(SUM(CAST(FLOOR(quality * 1000) AS BIGINT)) AS BIGINT) AS quality_millis
 FROM scored
 GROUP BY quality_bucket
 ORDER BY quality_bucket
@@ -199,9 +199,9 @@ deduped AS (
 )
 SELECT g.source,
        COUNT(*) AS n_kept,
-       SUM(d.n_copies) - COUNT(*) AS n_dropped_dups,
-       SUM(g.n_tokens) AS total_tokens,
-       SUM(CAST(FLOOR(g.quality * 1000) AS BIGINT)) AS quality_millis
+       CAST(SUM(d.n_copies) - COUNT(*) AS BIGINT) AS n_dropped_dups,
+       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(FLOOR(g.quality * 1000) AS BIGINT)) AS BIGINT) AS quality_millis
 FROM deduped d JOIN gated g ON g.doc_id = d.kept_id
 GROUP BY g.source
 ORDER BY g.source
@@ -363,11 +363,12 @@ c AS (
   FROM t
 ),
 p AS (
-  SELECT source, doc_id, n_tokens, (cum - n_tokens) // 2048 AS pack_id FROM c
+  SELECT source, doc_id, n_tokens,
+         CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id FROM c
 )
 SELECT source, pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM p
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -426,9 +427,9 @@ rules AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(keep) AS n_kept,
-       SUM(ttr_millis) AS ttr_millis_sum,
-       SUM(topshare_millis) AS topshare_millis_sum
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(ttr_millis) AS BIGINT) AS ttr_millis_sum,
+       CAST(SUM(topshare_millis) AS BIGINT) AS topshare_millis_sum
 FROM rules
 GROUP BY source
 ORDER BY source
@@ -507,7 +508,7 @@ g AS (
   SELECT md5(norm_text) AS h, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
   FROM norm GROUP BY 1
 )
-SELECT n.source, COUNT(*) AS n_kept, SUM(g.n_copies) AS n_rows
+SELECT n.source, COUNT(*) AS n_kept, CAST(SUM(g.n_copies) AS BIGINT) AS n_rows
 FROM g JOIN norm n ON n.doc_id = g.kept_id
 GROUP BY n.source
 ORDER BY n.source
@@ -541,9 +542,9 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_ORACLE = r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS n_email,
-       SUM(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))) AS n_phone,
-       SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS n_ipv4
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT) AS n_email,
+       CAST(SUM(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))) AS BIGINT) AS n_phone,
+       CAST(SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS n_ipv4
 FROM documents
 GROUP BY source
 ORDER BY source

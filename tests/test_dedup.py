@@ -104,3 +104,20 @@ def test_minhash_band_bucket_cap_drops_hot_buckets(spark):
     cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in unc and len(unc) > 1, "uncapped finds boilerplate pairs too"
     assert cap == {(100, 101)}, f"cap must drop the hot bucket, got {cap}"
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Min-label propagation advances one hop per round; a chain longer
+    than max_iter must raise instead of returning wrong cluster ids."""
+    import pytest
+
+    from pandas_aws_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # enough rounds: the same chain converges to a single cluster
+    labels = connected_components(chain, max_iter=10)
+    assert {r["cluster_id"] for r in labels.collect()} == {0}

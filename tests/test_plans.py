@@ -189,3 +189,13 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     out = asof_join(buys, clicks, ["user_id"], right_cols=["event_id"])
     assert sum(join_strategies(out).values()) == 0
     assert num_shuffles(out) == 1
+
+
+def test_gap_fill_dimension_join_is_broadcast(spark, sf_dir):
+    """The calendar x event_type dimension join is intentionally a
+    nested loop, but it must be the BROADCAST variant — plan-pinned so
+    a stats mis-estimate can never pick a non-broadcast path."""
+    df = _q(spark, sf_dir, "q_events_gap_fill")
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) >= 1

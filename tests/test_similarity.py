@@ -167,3 +167,25 @@ def test_kmeans_improves_inertia_and_fullprobe_exact(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     assert bf.exceptAll(full).count() == 0 and full.exceptAll(bf).count() == 0
+
+
+def test_query_side_guard_rejects_oversized_query_set(spark, sf_dir):
+    """The brute-force paths replicate the query side to every task;
+    a query set over the cap must fail fast with a clear error, not
+    OOM the driver at 100x scale."""
+    import pytest
+
+    from pandas_aws_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from pandas_aws_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(10)
+    with pytest.raises(ValueError, match="query side exceeds"):
+        brute_force_topk(q, emb, max_query_rows=5).count()
+    with pytest.raises(ValueError, match="query side exceeds"):
+        brute_force_topk_arrow(q, emb, max_query_rows=5).count()
+    # at/under the cap both paths still run
+    assert brute_force_topk(q, emb, k=1, max_query_rows=10).count() == 10

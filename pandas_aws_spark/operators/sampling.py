@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "sql_hash_bucket", "hash_split", "stratified_hash_sample"]
+__all__ = ["hash_bucket", "sql_hash_bucket", "hash_split", "stratified_hash_sample", "temperature_rates"]
 
 _BUCKETS = 10_000
 
@@ -60,3 +60,34 @@ def stratified_hash_sample(
     for stratum, frac in fractions.items():
         cond = cond | ((F.col(stratum_col) == stratum) & (b < int(round(frac * _BUCKETS))))
     return df.filter(cond)
+
+
+def temperature_rates(
+    per_source_tokens: DataFrame,
+    *,
+    source_col: str = "source",
+    tokens_col: str = "src_tokens",
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Per-source sampling rates (ppm) for temperature-flattened
+    mixture sampling: rate_s ∝ sqrt(tokens_s) (alpha = 0.5), the
+    standard multi-source rebalancing that upweights small sources.
+
+    Stays in exact integer arithmetic: the weight is floor(sqrt(tokens))
+    — floor of a correctly-rounded IEEE sqrt is engine-independent —
+    and the normalization is integer division by the summed weights, so
+    the rates are bit-identical on any engine and partitioning. The
+    per-source table is tiny (one row per source) and meant to be
+    broadcast back onto the corpus.
+    """
+    w = (
+        F.expr(f"CAST(floor(sqrt(CAST({tokens_col} AS DOUBLE))) AS BIGINT)")
+        if alpha_sqrt
+        else F.col(tokens_col).cast("long")
+    )
+    weights = per_source_tokens.select(F.col(source_col), w.alias("wgt"))
+    total = weights.agg(F.sum("wgt").alias("tw"))
+    return (
+        weights.crossJoin(F.broadcast(total))
+        .select(source_col, F.expr("(1000000 * wgt) div tw").alias("rate_ppm"))
+    )

@@ -24,6 +24,7 @@ __all__ = [
     "pack_documents",
     "normalize_text",
     "pii_scan",
+    "repetition_stats",
     "PII_PATTERNS",
     "STOPWORDS",
     "PUNCT_CLASS",
@@ -215,3 +216,28 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat)))
         )
     return out
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:
+    """Within-document repetition: the share of duplicated k-word
+    shingles, in integer ppm (Gopher's "fraction of duplicate n-grams"
+    rule; reference has no text surface — north-star extension).
+
+    Entirely array expressions inside whole-stage codegen — the k-grams
+    never explode into rows, so a 100 TB corpus pays one projection,
+    zero shuffles, and the per-doc score travels as one int64. Integer
+    ``div`` keeps the ppm exact (no float division to disagree with the
+    oracle's ``//``). Docs shorter than k tokens score 0.
+    """
+    from ..functions.texthash import word_shingles
+
+    grams = word_shingles(tokens(F.col(text_col)), k)
+    return (
+        df.withColumn("_ng", F.size(grams))
+        .withColumn("_nd", F.size(F.array_distinct(grams)))
+        .withColumn(
+            "dup_ngram_ppm",
+            F.expr("CASE WHEN _ng > 0 THEN (1000000 * (_ng - _nd)) div _ng ELSE CAST(0 AS BIGINT) END"),
+        )
+        .drop("_ng", "_nd")
+    )

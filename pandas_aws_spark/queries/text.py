@@ -634,3 +634,156 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition filter (Gopher duplicate-n-gram rule).
+# --------------------------------------------------------------------------
+_REPETITION_ORACLE = f"""
+WITH g AS (
+  SELECT source,
+         CASE WHEN len({_TOKS}) >= 10 THEN len({_TOKS}) - 9 ELSE 0 END AS ng,
+         CASE WHEN len({_TOKS}) >= 10 THEN
+           len(list_distinct(list_transform(range(1, len({_TOKS}) - 8),
+               i -> array_to_string(list_slice({_TOKS}, i, i + 9), ' '))))
+         ELSE 0 END AS nd
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CASE WHEN ng > 0 THEN (1000000 * (ng - nd)) // ng ELSE 0 END AS dup_ppm
+  FROM g
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(dup_ppm) AS BIGINT) AS dup_ppm_sum
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_text_repetition_filter", oracle=_REPETITION_ORACLE, tags=("text", "quality", "repetition"))
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition removal (Gopher's duplicate 10-gram share):
+    flag docs where >10% of 10-word shingles are repeats — the filter
+    that catches boilerplate/template spam exact- and near-dedup both
+    miss (the repetition is INSIDE one doc). Shingles stay in an array
+    expression (no explode), so the per-doc score is one codegen'd
+    projection and the only shuffle carries (source, two int64 sums)."""
+    from ..operators.text import repetition_stats
+
+    d = repetition_stats(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dup_ngram_ppm") > 100000, 1).otherwise(0)).alias("n_flagged"),
+            F.sum("dup_ngram_ppm").alias("dup_ppm_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-mixture planning: epochs per source to hit a uniform target.
+# --------------------------------------------------------------------------
+_MIXTURE_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM s
+)
+SELECT s.source, s.src_tokens,
+       CAST(((tot.total_tokens // tot.n_sources) * 1000000) // s.src_tokens AS BIGINT)
+         AS repeat_ppm
+FROM s, tot
+ORDER BY s.source
+"""
+
+
+@query("q_text_mixture_plan", oracle=_MIXTURE_ORACLE, tags=("text", "sampling", "mixture"))
+def q_text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: how many epochs (ppm repeat factor) of each
+    source yield a UNIFORM token budget per source — the table a
+    data-loading config is generated from. One agg to per-source token
+    counts, a one-row broadcast of the global budget, integer ppm
+    arithmetic end to end. At 100 TB the plan input is the same
+    per-source agg, so cost is one scan + one tiny shuffle."""
+    from ..operators.text import token_stats
+
+    s = (
+        token_stats(load_table(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    tot = s.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.count("*").alias("n_sources")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "src_tokens",
+            F.expr("((total_tokens div n_sources) * 1000000) div src_tokens").alias("repeat_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic temperature sampling (alpha=0.5 source rebalancing).
+# --------------------------------------------------------------------------
+_TEMPERATURE_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS wgt FROM s
+),
+tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS tw FROM w),
+r AS (SELECT source, CAST((1000000 * wgt) // tw AS BIGINT) AS rate_ppm FROM w, tot)
+SELECT d.source,
+       COUNT(*) AS n_sampled,
+       CAST(MAX(r.rate_ppm) AS BIGINT) AS rate_ppm
+FROM documents d
+JOIN r ON r.source = d.source
+WHERE (CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)),1,7)) AS BIGINT) % 1000000)
+      < r.rate_ppm
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q_sample_temperature", oracle=_TEMPERATURE_ORACLE, tags=("sampling", "mixture"))
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source sampling (rate ∝ sqrt(tokens),
+    alpha=0.5): the standard rebalancing that keeps big sources from
+    drowning small ones. Rates are exact integer ppm (floor-sqrt
+    weights, integer normalization — engine-independent bits), the
+    keep/drop decision is a pure hash of doc_id (reproducible under
+    any partitioning, any rerun), and the tiny rate table broadcasts
+    onto the corpus — the scan never shuffles."""
+    from ..operators.sampling import hash_bucket, temperature_rates
+    from ..operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        token_stats(docs)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    rates = temperature_rates(s)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id"), 1_000_000) < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.max("rate_ppm").alias("rate_ppm"))
+        .orderBy("source")
+    )

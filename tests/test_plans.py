@@ -128,6 +128,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_text_pmi_bigrams",  # one-row corpus-size broadcast
         "q_feature_binning",  # one-row quantile-bounds broadcast
         "q_events_gap_fill",  # calendar build: 1-row bounds explode x tiny type dim
+        "q_text_mixture_plan",  # one-row global-budget broadcast
+        "q_sample_temperature",  # one-row weight-total broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

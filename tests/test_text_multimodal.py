@@ -138,3 +138,30 @@ def test_hash_split_disjoint_exhaustive_and_stable(spark, docs):
         a = {r["doc_id"] for r in s1[k].select("doc_id").collect()}
         b = {r["doc_id"] for r in s2[k].select("doc_id").collect()}
         assert a == b, f"split {k} changed under repartition"
+
+
+def test_repetition_stats_scores_repeats(spark):
+    from pandas_aws_spark.operators.text import repetition_stats
+
+    rep = " ".join(["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 5)
+    uniq = " ".join(f"w{i}" for i in range(50))
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, rep), (2, uniq), (3, short)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["dup_ngram_ppm"] for r in repetition_stats(df).collect()}
+    assert got[1] > 500000  # heavy 10-gram repetition
+    assert got[2] == 0  # all shingles unique
+    assert got[3] == 0  # under 10 tokens -> no shingles, score 0
+
+
+def test_temperature_rates_flatten_toward_small_sources(spark):
+    from pandas_aws_spark.operators.sampling import temperature_rates
+
+    s = spark.createDataFrame(
+        [("big", 1000000), ("small", 10000)], "source string, src_tokens long"
+    )
+    rates = {r["source"]: r["rate_ppm"] for r in temperature_rates(s).collect()}
+    # sqrt flattening: big/small token ratio 100x -> rate ratio 10x
+    assert 9 <= rates["big"] / rates["small"] <= 11
+    assert sum(rates.values()) <= 1000000

@@ -285,3 +285,68 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_refined(queries, codes, cb, emb, k=10, oversample=5).orderBy(
         "query_id", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 symmetric quantization of the embedding store.
+# --------------------------------------------------------------------------
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS ma
+  FROM e
+),
+qt AS (
+  SELECT vec_id, label,
+         CASE WHEN ma > 0
+              THEN list_transform(v, x -> CAST(round(127.0 * x / ma) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM m
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b)) AS BIGINT)
+         AS sum_q,
+       CAST(MAX(list_max(q)) AS BIGINT) AS max_q,
+       CAST(MIN(list_min(q)) AS BIGINT) AS min_q
+FROM qt
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("q_embed_quantize_int8", oracle=_QUANT_ORACLE, tags=("similarity", "quantization"))
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (q_i =
+    round(127 * x_i / max_abs)) — the 4x storage/bandwidth cut every
+    100 TB embedding store takes before ANN. All array expressions in
+    codegen (transform/aggregate), one row-local pass, no shuffle of
+    vectors; the groupBy carries three int64 counters per label. The
+    identical expression tree runs on both engines, so the rounded
+    codes are bit-reproducible (ties round away from zero on both)."""
+    from ..functions.vector import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn("v", as_double("embedding"))
+    ma = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    d = e.withColumn("ma", ma).withColumn(
+        "q",
+        F.when(
+            F.col("ma") > 0,
+            F.transform(F.col("v"), lambda x: F.round(F.lit(127.0) * x / F.col("ma")).cast("long")),
+        ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0).cast("long"))),
+    )
+    sum_q = F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        d.select("label", F.col("q"), sum_q.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("sq").alias("sum_q"),
+            F.max(F.array_max("q")).alias("max_q"),
+            F.min(F.array_min("q")).alias("min_q"),
+        )
+        .orderBy("label")
+    )

@@ -787,3 +787,46 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"), F.max("rate_ppm").alias("rate_ppm"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style pre-tokenizer counting (regex, not whitespace).
+# --------------------------------------------------------------------------
+# Disjoint alternatives (letter runs / single digits / single punct), so
+# greedy-match semantics agree between Java regex (Spark) and RE2 (DuckDB).
+_BPE_PAT = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+_BPE_ORACLE = rf"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_text_bpe_token_count", oracle=_BPE_ORACLE, tags=("text", "tokenizer"))
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (letter runs,
+    single digits, single punctuation — the GPT-2-family pre-split)
+    next to the whitespace count: the budget number every mixture /
+    packing decision is denominated in. Pure regexp_extract_all column
+    expressions — counts happen inside the scan projection, the only
+    shuffle carries (source, two int64 counters)."""
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0))).alias(
+                "bpe_tokens"
+            ),
+            F.sum(F.size(tokens("text"))).alias("ws_tokens"),
+        )
+        .orderBy("source")
+    )

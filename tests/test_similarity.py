@@ -189,3 +189,24 @@ def test_query_side_guard_rejects_oversized_query_set(spark, sf_dir):
         brute_force_topk_arrow(q, emb, max_query_rows=5).count()
     # at/under the cap both paths still run
     assert brute_force_topk(q, emb, k=1, max_query_rows=10).count() == 10
+
+
+def test_int8_quantization_range_and_zero_vector(spark):
+    """Quantized codes stay in [-127, 127]; all-zero vectors quantize
+    to zeros instead of dividing by zero."""
+    from pandas_aws_spark.registry import load_registry
+
+    df = load_registry()["q_embed_quantize_int8"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["min_q"] <= r["max_q"] <= 127
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.functions.vector import as_double
+
+    z = spark.createDataFrame([(1, [0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int")
+    v = as_double("embedding")
+    ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(ma > 0, F.lit(None)).otherwise(F.lit("zeros"))
+    assert z.select(q.alias("path")).first()["path"] == "zeros"

@@ -202,16 +202,37 @@ def run_to_completion(
     store + commit log), which is what the oracle checks rely on. In
     production swap for ``writeStream.format('parquet').option(
     'checkpointLocation', ...)`` with a processing-time trigger.
+
+    Streaming state cost scales with the PARTITION count, not the data:
+    every shuffle partition owns a state-store instance per trigger
+    (open/commit/snapshot each cycle). Under a caller session left at
+    the 200-partition default, a small drain pays 200 state stores of
+    pure overhead — so pin a sane count for the drain and restore the
+    caller's setting after. Size this to cores (or state volume) in
+    production, never the default.
     """
-    q = (
-        result.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
-    return result.sparkSession.table(sink_table)
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            # caller never set it explicitly — drop our override so the
+            # session falls back to its own default
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return spark.table(sink_table)
 
 
 # --------------------------------------------------------------------------

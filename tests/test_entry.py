@@ -32,3 +32,22 @@ def test_all_queries_return_dataframes(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.schema is not None, name
+
+
+def test_driver_window_curated_and_first():
+    """The driver's correctness gate verifies registry slots 1-50 in
+    insertion order; pin that the curated window IS those slots, covers
+    every north-star family, and is (almost) fully oracle-backed."""
+    from pandas_aws_spark.registry import _DRIVER_WINDOW, load_registry
+
+    reg = load_registry()
+    names = list(reg)
+    assert len(_DRIVER_WINDOW) == 50
+    assert names[:50] == list(_DRIVER_WINDOW)
+    families = ("q_io_", "q_upsert", "q_dedup_", "q_sim_", "q_text_",
+                "q_multimodal_", "q_stream_", "q_sketch_", "q_skew_")
+    for fam in families:
+        assert any(n.startswith(fam) for n in _DRIVER_WINDOW), f"family {fam} missing"
+    rows_only = {n for n in _DRIVER_WINDOW if reg[n].oracle is None}
+    # only the two genuinely non-SQL-expressible ops may be rows-only
+    assert rows_only <= {"q_sim_pq_adc", "q_sketch_hll_distinct"}

@@ -130,21 +130,32 @@ def ship_package(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-generated parquet table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    read as a timestamp. We read nanos as long (runtime-settable SQL
-    conf, so this works under any caller's session) and truncate to
-    microseconds — exactly what DuckDB's us-precision TIMESTAMP does,
-    keeping oracle comparisons aligned.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some data
+    drops (which Spark 4 refuses to read as a timestamp) and plain
+    TIMESTAMP(MICROS) in others. Handle both: read nanos as long
+    (runtime-settable SQL conf, so this works under any caller's
+    session) and truncate to microseconds — exactly what DuckDB's
+    us-precision TIMESTAMP does — or, when the file is already
+    micros, just normalize NTZ to the session-UTC timestamp type the
+    rest of the engine (and the pandas-side oracle compare) expects.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer division (ns -> us) in the JVM long domain: ns-epoch
-        # values overflow double precision, so never divide as float.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division (ns -> us) in the JVM long domain: ns-epoch
+            # values overflow double precision, so never divide as float.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # TIMESTAMP_NTZ (or TIMESTAMP) micros: wall-clock values are
+            # UTC by convention; session tz is pinned UTC so this cast is
+            # a pure type-tag change, no instant shift.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -52,8 +52,10 @@ __all__ = [
 ]
 
 # File-stream sources need an explicit schema (no inference pass at
-# stream start). ``ts`` arrives as parquet TIMESTAMP(NANOS), read as
-# long (see registry.load_table) and truncated to micros here.
+# stream start). ``ts`` has shipped both as parquet TIMESTAMP(NANOS)
+# (read as long — see registry.load_table — and truncated to micros
+# here) and as TIMESTAMP(MICROS); events_stream probes the landing
+# file's footer and picks the matching raw schema.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -81,7 +83,19 @@ def events_stream(
 
     ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    # Footer probe (metadata-only batch read): nanos files surface ts as
+    # long under nanosAsLong, micros files as a (NTZ) timestamp.
+    probe_path = path or f"{sf_dir}/events.parquet"
+    ts_is_long = isinstance(
+        spark.read.parquet(probe_path).schema["ts"].dataType, T.LongType
+    )
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", f.dataType if ts_is_long else T.TimestampNTZType())
+            for f in _EVENTS_RAW_SCHEMA.fields
+        ]
+    )
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # FileStreamSource wants a directory or glob (its basePath must be a
@@ -89,7 +103,9 @@ def events_stream(
     # a glob whose base is the sf dir. On a deployment this is the
     # landing directory new files drop into.
     df = reader.parquet(path or f"{sf_dir}/events.parque[t]")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -40,22 +40,35 @@ __all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", 
 MAX_QUERY_SIDE_ROWS = 100_000
 
 
-def _guard_query_side(queries: DataFrame, cap: int | None, op_name: str) -> None:
-    """Raise if the query side exceeds ``cap`` rows.
+def _guard_message(op_name: str, cap: int) -> str:
+    return (
+        f"{op_name}: query side exceeds max_query_rows={cap}; the query "
+        "matrix is replicated to every task, so this would not scale — "
+        "slice the query set (or raise max_query_rows deliberately), or "
+        "use the IVF/LSH paths which keep both sides partitioned."
+    )
 
-    Uses ``limit(cap+1).count()`` so the probe stops scanning as soon as
-    the cap is exceeded — it never counts an unbounded query set.
-    """
+
+def _guarded_query_side(queries: DataFrame, cap: int | None, op_name: str) -> DataFrame:
+    """Enforce the query-row cap INSIDE the main job — zero extra Spark
+    actions (an earlier ``limit(cap+1).count()`` probe cost a full
+    scheduling round trip per call, ~25% of the whole brute-force query
+    at bench scale). ``limit(cap+1)`` bounds how much of an unbounded
+    query set is ever scanned, a whole-frame count window measures the
+    (small, soon-to-be-broadcast) side, and ``assert_true`` fails the
+    job with the clear cap message the moment the count exceeds the
+    cap. On success ``assert_true`` yields NULL so the filter passes
+    every row; sitting inside a filter predicate it cannot be pruned
+    by the optimizer the way an unused projection column would be."""
     if cap is None:
-        return
-    n = queries.limit(cap + 1).count()
-    if n > cap:
-        raise ValueError(
-            f"{op_name}: query side exceeds max_query_rows={cap}; the query "
-            "matrix is replicated to every task, so this would not scale — "
-            "slice the query set (or raise max_query_rows deliberately), or "
-            "use the IVF/LSH paths which keep both sides partitioned."
-        )
+        return queries
+    w = Window.partitionBy()
+    return (
+        queries.limit(cap + 1)
+        .withColumn("_qn", F.count(F.lit(1)).over(w))
+        .filter(F.assert_true(F.col("_qn") <= cap, F.lit(_guard_message(op_name, cap))).isNull())
+        .drop("_qn")
+    )
 
 
 def brute_force_topk(
@@ -74,8 +87,7 @@ def brute_force_topk(
     neighbor id so ranks are deterministic. The query side is broadcast
     — guarded by ``max_query_rows`` (pass ``None`` to opt out).
     """
-    _guard_query_side(queries, max_query_rows, "brute_force_topk")
-    q = queries.select(
+    q = _guarded_query_side(queries, max_query_rows, "brute_force_topk").select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
     c = corpus.select(
@@ -351,9 +363,14 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    _guard_query_side(queries, max_query_rows, "brute_force_topk_arrow")
     spark = corpus.sparkSession
-    qpdf = queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")).toPandas()
+    # The cap check folds into the toPandas collection this path needs
+    # anyway: pull at most cap+1 rows (bounding driver memory even for
+    # an unbounded query set), then fail fast if the cap was exceeded.
+    q_src = queries if max_query_rows is None else queries.limit(max_query_rows + 1)
+    qpdf = q_src.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")).toPandas()
+    if max_query_rows is not None and len(qpdf) > max_query_rows:
+        raise ValueError(_guard_message("brute_force_topk_arrow", max_query_rows))
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qv"].to_numpy())
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

@@ -75,12 +75,12 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAMES_ORACLE = """
-SELECT doc_id,
-       list_transform(range(0, 4),
-                      i -> CAST(FLOOR(octet_length(encode(text)) * i / 4) AS BIGINT)) AS frame_offsets
-FROM documents
-WHERE doc_id % 20 = 0
-ORDER BY doc_id
+SELECT d.doc_id,
+       CAST(r.i AS INT) AS frame_idx,
+       CAST(FLOOR(octet_length(encode(d.text)) * r.i / 4) AS BIGINT) AS frame_offset
+FROM documents d, (SELECT unnest(range(0, 4)) AS i) r
+WHERE d.doc_id % 20 = 0
+ORDER BY d.doc_id, frame_idx
 """
 
 
@@ -88,11 +88,18 @@ ORDER BY doc_id
 def q_multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic frame-sampling plan for video payloads: evenly
     spaced byte offsets per blob (a real sampler swaps in frame
-    timestamps; the offset arithmetic and array schema are the
-    contract). Pure column math over the metadata — blobs untouched."""
+    timestamps; the offset arithmetic is the contract). Pure column
+    math over the metadata — blobs untouched. Output is exploded to
+    one (doc_id, frame_idx, frame_offset) row per frame: scalar
+    columns only, so any downstream comparator/hasher that sorts rows
+    can canonicalize it (array cells are unsortable in pandas)."""
     from ..operators.multimodal import sample_frame_offsets
 
     docs = with_binary_payload(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0), "text"
     )
-    return sample_frame_offsets(docs, n_frames=4).select("doc_id", "frame_offsets").orderBy("doc_id")
+    return (
+        sample_frame_offsets(docs, n_frames=4)
+        .select("doc_id", F.posexplode("frame_offsets").alias("frame_idx", "frame_offset"))
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -76,17 +76,39 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_hll_distinct", oracle=None, tags=("sketch", "hll"))
+_HLL_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+       TRUE AS est_within_2pct
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL',
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+       TRUE
+FROM lineitem
+ORDER BY l_returnflag
+"""
+
+
+@query("q_sketch_hll_distinct", oracle=_HLL_ORACLE, tags=("sketch", "hll"))
 def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketches (Spark's DataSketches
     built-ins): per-returnflag partkey sketches, then a MERGE of the
     group sketches into a global estimate — the mergeability is the
     100 TB story (sketch each partition/day once, union at query time;
-    no re-scan, fixed sketch bytes over the wire). No SQL oracle: HLL
-    estimates are implementation-defined (DuckDB's approx_distinct
-    uses a different HLL), so the driver records the rows-only check;
-    the <2% error bound vs exact counts is asserted in
-    tests/test_sketch.py."""
+    no re-scan, fixed sketch bytes over the wire).
+
+    The raw HLL estimate is implementation-defined (DuckDB's
+    approx_distinct is a different HLL), so the *estimate* can't be
+    hash-compared — but the error CONTRACT can: the query outputs the
+    exact distinct count plus ``est_within_2pct`` (|est-exact| <= 2%
+    of exact, computed from the live sketch), and the oracle asserts
+    the same exact counts with the bound literally TRUE. Spark's
+    sketch is deterministic for fixed data (register maxes are
+    order-independent under union), so the boolean is stable. A raw
+    estimate readout stays covered by tests/test_sketch.py. The exact
+    count here is test-scale scaffolding for the contract; production
+    keeps only the sketches."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk"),
@@ -95,15 +117,22 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.lit("ALL").alias("l_returnflag"),
-    ).select(
-        "l_returnflag", F.col("est").alias("est_distinct"), F.lit(None).cast("long").alias("exact_distinct")
+    ).join(
+        li.agg(F.countDistinct("l_partkey").alias("exact_distinct")), how="cross"
     )
+    within = (
+        F.abs(F.col("est") - F.col("exact_distinct"))
+        <= F.lit(0.02) * F.col("exact_distinct")
+    ).alias("est_within_2pct")
     return (
         per_flag.select(
             "l_returnflag",
-            F.hll_sketch_estimate("sk").alias("est_distinct"),
             "exact_distinct",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+                <= F.lit(0.02) * F.col("exact_distinct")
+            ).alias("est_within_2pct"),
         )
-        .unionByName(merged)
+        .unionByName(merged.select("l_returnflag", "exact_distinct", within))
         .orderBy("l_returnflag")
     )

@@ -21,9 +21,16 @@ Squared-L2 metric throughout (for cosine, L2-normalize vectors first —
 then L2 ranking equals cosine ranking). Deterministic end to end:
 first-k-by-id init, fixed iteration count, ties broken on centroid id.
 
-Not SQL-oracle-expressible (iterative training), so the registry entry
-is rows-only checked; correctness is asserted in tests via recall
-against exact brute force.
+Bit-portable across engines, so the whole train -> encode -> ADC ->
+re-rank pipeline is SQL-oracle-expressible (the fixed iteration count
+unrolls into CTEs — see queries/similarity.py): every cross-row float
+reduction is a *sorted sequential fold* (centroid means fold the
+group's values in ascending order; ADC folds per-subspace distances in
+subspace order), and every within-row reduction is the same
+left-to-right fold ``functions.vector`` uses. IEEE-754 addition of
+identical operands in identical order is deterministic, so Spark and
+DuckDB produce bit-identical codebooks, codes, and distances — plain
+``avg``/``sum`` would not survive partial-aggregation reorder.
 """
 
 from __future__ import annotations
@@ -82,10 +89,23 @@ def pq_train(
     schema = "sub int, centroid_id int, cvec array<double>"
     for _ in range(iters):
         assigned = _pq_assign(subs, cb)
+        # Centroid mean = ascending-sorted sequential fold / count: the
+        # one cross-row float reduction in training, made deterministic
+        # AND engine-portable (DuckDB mirrors it with
+        # list(x ORDER BY x) + list_reduce). F.avg would give
+        # partial-agg-order-dependent last ULPs.
         means = (
             assigned.select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
             .groupBy("sub", "code", "pos")
-            .agg(F.avg("x").alias("mval"))
+            .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+            .select(
+                "sub",
+                "code",
+                "pos",
+                (
+                    F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x) / F.size("xs")
+                ).alias("mval"),
+            )
             .groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
             .select(
@@ -170,7 +190,20 @@ def pq_topk(
     pairs = expanded.join(F.broadcast(lut), ["sub", "code"])
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.groupBy("query_id", "neighbor_id").agg(F.sum("dist").alias("adc"))
+    # ADC = subspace-ordered sequential fold of the m per-subspace
+    # distances (not F.sum: m is tiny, and the fixed fold order keeps
+    # the double bit-identical across partitionings and engines)
+    scored = (
+        pairs.groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "dist"))).alias("sd"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform("sd", lambda s: s["dist"]), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("adc"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -265,26 +265,141 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
-@query("q_sim_pq_adc", oracle=None, tags=("similarity", "pq"))
+# --------------------------------------------------------------------------
+# Product quantization: full SQL replay of train -> encode -> ADC ->
+# exact re-rank. The fixed iteration count (2) unrolls into CTE pairs;
+# every float reduction in operators/pq.py is a sorted sequential fold,
+# so DuckDB reproduces the codebook, codes, ADC distances, and final
+# ranks bit-for-bit.
+# --------------------------------------------------------------------------
+_PQ_M = 8          # subspaces
+_PQ_K = 16         # sub-centroids per subspace
+_PQ_ITERS = 2
+_PQ_D = _DIM // _PQ_M
+_PQ_TOPK = 10
+_PQ_OVERSAMPLE = 5
+
+
+def _sql_l2sq(a: str, b: str, d: int) -> str:
+    """Sequential-fold squared L2 over d elements — mirrors pq._l2sq
+    (zip_with then left fold, identical element order)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_iteration_ctes(t: int) -> str:
+    """assign{t} (argmin vs cb{t-1}) + cb{t} (sorted-fold means)."""
+    dist = _sql_l2sq("s.subvec", "cb.cvec", _PQ_D)
+    return f"""
+assign{t} AS (
+  SELECT vec_id, sub, subvec, code FROM (
+    SELECT s.vec_id, s.sub, s.subvec, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {dist}, cb.centroid_id) AS rn
+    FROM subs s JOIN cb{t - 1} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cb{t} AS (
+  SELECT sub, code AS centroid_id, list(mval ORDER BY pos) AS cvec
+  FROM (
+    SELECT sub, code, pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY x)),
+                       (a, b) -> a + b) / COUNT(*) AS mval
+    FROM (SELECT a.sub, a.code, p.pos, a.subvec[p.pos] AS x
+          FROM assign{t} a, (SELECT unnest(range(1, {_PQ_D + 1})) AS pos) p)
+    GROUP BY sub, code, pos)
+  GROUP BY sub, code
+)"""
+
+
+_PQ_SHORTLIST = _PQ_TOPK * _PQ_OVERSAMPLE
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1).strip()},
+{_pq_iteration_ctes(2).strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query("q_sim_pq_adc", oracle=_PQ_ORACLE, tags=("similarity", "pq"))
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ's compression half: vectors quantized to m=8 one-byte
     codes (32x smaller than raw dim-64 floats), searched via
-    asymmetric distance (per-query LUT over sub-centroids). The 100 TB
-    path when raw vectors can't stay hot. No SQL oracle — the codebook
-    is iteratively trained (k-means per subspace), which SQL can't
-    express; rows-only check here, recall-vs-exact asserted in
-    tests/test_pq.py. The registered shape is the production two-stage
-    path: ADC shortlist (5x oversample) -> exact re-rank of only the
-    shortlisted raw vectors."""
+    asymmetric distance (per-query LUT over sub-centroids), then the
+    production two-stage shape: ADC shortlist (5x oversample) ->
+    exact re-rank of only the shortlisted raw vectors. The 100 TB
+    path when raw vectors can't stay hot. Oracle-checked end to end:
+    the 2 Lloyd's iterations unroll into SQL CTEs and every float
+    reduction is a sorted sequential fold (see operators/pq.py), so
+    DuckDB replays training, encoding, and both ranking stages
+    bit-for-bit. Recall-vs-exact is additionally asserted in
+    tests/test_pq.py."""
     from ..operators.pq import pq_encode, pq_topk_refined, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_train(emb, m=8, k=16, iters=2)
+    cb = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     codes = pq_encode(emb, cb)
     queries = emb.filter(F.col("vec_id") < 3)
-    return pq_topk_refined(queries, codes, cb, emb, k=10, oversample=5).orderBy(
-        "query_id", "rank"
-    )
+    return pq_topk_refined(
+        queries, codes, cb, emb, k=_PQ_TOPK, oversample=_PQ_OVERSAMPLE
+    ).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------

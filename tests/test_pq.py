@@ -76,6 +76,49 @@ def test_refined_recall_vs_exact(emb, codebook):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
+def _exact_topn(data, qid, n):
+    qv = data[qid]
+    dists = sorted(((np.sum((v - qv) ** 2), vid) for vid, v in data.items() if vid != qid))
+    return {vid for _, vid in dists[:n]}
+
+
+@pytest.mark.parametrize("k", [5, 10])
+def test_recall_at_k_curve_rerank_dominates_adc(emb, codebook, k):
+    """The standard recall@k-vs-exact curve for the two retrieval
+    stages: raw ADC over codes, and ADC shortlist + exact re-rank.
+    Contract at every k: re-rank recall >= raw ADC recall (the exact
+    stage can only improve the ordering of a superset shortlist), and
+    both clear a floor far above chance (k/500). k=1 is excluded:
+    on this near-isotropic corpus the top-1 gap is below quantization
+    noise, so recall@1 is statistically 0 for any PQ configuration
+    (observed 0.0 for both stages over 10 queries) and asserts
+    nothing."""
+    from pandas_aws_spark.operators.pq import pq_topk_refined
+
+    codes = pq_encode(emb, codebook)
+    queries = emb.filter(F.col("vec_id") < 10)
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def mean_recall(rows):
+        by_q = {}
+        for r in rows:
+            if r.rank <= k:
+                by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(_exact_topn(data, qid, k) & hits) / k for qid, hits in by_q.items()]
+        return sum(recalls) / len(recalls)
+
+    adc = mean_recall(pq_topk(queries, codes, codebook, k=k).collect())
+    refined = mean_recall(
+        pq_topk_refined(queries, codes, codebook, emb, k=k, oversample=5).collect()
+    )
+    # near-isotropic embeddings are PQ's hard case; floors are ~5-10x
+    # above the chance rate k/500 rather than near 1.0
+    floor = {5: 0.1, 10: 0.15}[k]
+    assert refined >= adc - 1e-9, (k, adc, refined)
+    assert adc >= floor, (k, adc)
+    assert refined >= 2 * floor, (k, refined)
+
+
 def test_adc_ranks_are_dense_and_deterministic(emb, codebook):
     codes = pq_encode(emb, codebook)
     queries = emb.filter(F.col("vec_id") == 0)

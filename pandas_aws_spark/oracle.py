@@ -50,9 +50,19 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             pdf[c] = s.astype("int64")
         elif s.dtype == object:
-            # lists/arrays (e.g. embeddings) -> tuples so sorting/equality work
-            if s.map(lambda v: isinstance(v, (list, np.ndarray))).any():
-                pdf[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            # REFUSE array/map cells instead of papering over them: the
+            # driver's canonicalizer sorts rows via pandas sort_values,
+            # which dies on list cells ('unhashable type: list' — the
+            # exact r2 q_multimodal_frame_offsets failure; an earlier
+            # list->tuple fallback here masked it, so local green did
+            # not imply driver green). Queries must emit scalar columns
+            # (explode / concat_ws the array).
+            if s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any():
+                raise TypeError(
+                    f"column {c!r} contains array/map cells — driver-unsafe: "
+                    "the driver's row sort cannot canonicalize them; reshape "
+                    "the query output to scalar columns"
+                )
     if len(pdf) and len(pdf.columns):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
     return pdf

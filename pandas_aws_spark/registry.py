@@ -132,12 +132,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some data
     drops (which Spark 4 refuses to read as a timestamp) and plain
-    TIMESTAMP(MICROS) in others. Handle both: read nanos as long
-    (runtime-settable SQL conf, so this works under any caller's
-    session) and truncate to microseconds — exactly what DuckDB's
-    us-precision TIMESTAMP does — or, when the file is already
-    micros, just normalize NTZ to the session-UTC timestamp type the
-    rest of the engine (and the pandas-side oracle compare) expects.
+    TIMESTAMP(MICROS) in others. Handle both, under ANY caller session
+    timezone: nanos read as long (runtime-settable SQL conf) and
+    truncated to microseconds with epoch integer math — exactly what
+    DuckDB's us-precision TIMESTAMP does; NTZ micros (wall-clock UTC
+    by convention) go through ``convert_timezone('UTC', session_tz)``
+    before the timestamp cast, which yields the correct instant
+    regardless of session timezone (a bare ``cast('timestamp')``
+    would shift instants under a non-UTC session); adjusted-to-UTC
+    TIMESTAMP micros are already instants and pass through.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -151,11 +154,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division (ns -> us) in the JVM long domain: ns-epoch
             # values overflow double precision, so never divide as float.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:
-            # TIMESTAMP_NTZ (or TIMESTAMP) micros: wall-clock values are
-            # UTC by convention; session tz is pinned UTC so this cast is
-            # a pure type-tag change, no instant shift.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit("UTC"), F.current_timezone(), F.col("ts")
+                ).cast("timestamp"),
+            )
+        # TimestampType (isAdjustedToUTC=true micros): already an instant.
     return df
 
 
@@ -166,67 +172,77 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (dedup / similarity / text / multimodal / streaming / sketch / warehouse /
 # io / skew), instead of whatever module import order happens to produce.
 # Everything not listed keeps its natural registration order after these.
+#
+# Round-3 rotation: entries hash-verified by the driver in BOTH r1 and r2
+# (q01/q03/q05, csv/parquet roundtrips, grouping sets, segment top-k) and
+# most single-round-proven rows rotate OUT (they stay covered by the local
+# strict sweep and bench); 27 entries the driver has NEVER checked rotate
+# IN, plus the three r2 red slots now repaired (frame offsets reshaped,
+# PQ ADC and HLL given real oracles). Every window entry has an oracle and
+# a scalar-only output shape (tests/test_entry.py gates both).
 _DRIVER_WINDOW = (
-    # --- I/O roundtrips (S2/S3/K1/K2/K5/K6/R5/R13/R15) ---
-    "q_io_roundtrip_csv_gzip",
-    "q_io_roundtrip_parquet_partitioned",
+    # --- I/O roundtrips (S2/S3/K1/K2/K5/K6/R5/R13/R15; csv+gzip and
+    #     partitioned-parquet proven r1+r2, rotated out) ---
     "q_io_multifile_union",
     "q_io_dynamic_partition_overwrite",
+    "q_io_roundtrip_orc",
+    "q_io_schema_evolution",
+    # --- sources (S7 federated/native + Spark 4 Python DataSource) ---
+    "q_source_python_stream",
+    "q_sql_passthrough",
     # --- warehouse ops (S7/K8/K9/K10/M1-M4/R6-R9) ---
     "q_upsert_merge",
-    "q_upsert_duplicate_keys",
     "q_warehouse_catalog_roundtrip",
-    "q_source_python_datasource",
+    "q_scd2_dimension",
+    "q_table_diff",
     # --- dedup family ---
     "q_dedup_exact",
-    "q_dedup_normalized",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding_cosine",
     "q_dedup_clusters",
     "q_dedup_decontaminate",
     # --- similarity search ---
     "q_sim_bruteforce_topk",
-    "q_sim_ivf_fullprobe",
-    "q_sim_lsh_bucketed",
-    "q_sim_lsh_multiprobe",
     "q_sim_ivf_kmeans",
     "q_sim_pq_adc",
+    "q_sim_ivf_probe2",
+    "q_embed_quantize_int8",
     # --- text analysis / curation ---
     "q_text_token_stats",
-    "q_text_quality_score",
-    "q_text_lang_id",
-    "q_text_fingerprint",
     "q_text_curation_pipeline",
-    "q_text_trigram_classifier",
-    "q_text_gopher_rules",
-    "q_text_pii_scan",
+    "q_text_tfidf",
+    "q_text_repetition_filter",
+    "q_text_mixture_plan",
+    "q_text_bpe_token_count",
+    "q_text_hash_split",
+    "q_text_pack_sequences",
+    "q_sample_temperature",
     # --- multimodal ---
     "q_multimodal_payload_meta",
     "q_multimodal_byte_features",
     "q_multimodal_frame_offsets",
     # --- streaming ---
-    "q_stream_tumbling_hourly",
     "q_stream_user_running_totals",
     "q_stream_dedup_incremental",
-    "q_stream_stream_join",
+    "q_stream_sessionize",
+    "q_stream_static_enrich",
+    "q_stream_dedup_within_watermark",
+    "q_stream_heartbeat_gaps",
     # --- sketches ---
     "q_sketch_count_min",
     "q_sketch_hll_distinct",
     # --- scale patterns ---
     "q_skew_salted_join",
-    "q_bloom_semi_join",
-    # --- relational / TPC-H representatives (incl. the 4 r1 hash fixes) ---
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_revenue",
+    "q_skew_two_phase_distinct",
+    "q_zorder_locality",
+    # --- relational / events analytics ---
     "q12_shipping_latency",
-    "q_events_json_extract",
-    "q_events_iqr_outliers",
     "q_events_asof_join",
-    "q_top_customers_per_segment",
-    "q_grouping_sets",
+    "q_events_interval_join",
+    "q_fuzzy_entity_match",
+    "q_customer_rfm",
+    "q_market_basket",
+    "q_events_gap_fill",
+    "q_incremental_agg",
 )
 
 

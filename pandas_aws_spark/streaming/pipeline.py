@@ -78,20 +78,34 @@ def events_stream(
 
     Same rows the batch ``load_table`` yields; ns->us truncation keeps
     event-time semantics identical across modes.
+
+    The ``ts`` encoding (nanos-as-long vs micros NTZ vs adjusted-to-UTC
+    micros) is decided ONCE, from a footer probe of whatever files
+    exist at stream construction; an empty / not-yet-created landing
+    directory falls back to the long-shaped nanos schema (the
+    historical default), so the stream can start before any data
+    lands — the explicit-schema property file sources exist for.
+    LIMITATION: a landing directory must be homogeneous in ts
+    encoding; a later drop with the other encoding will error (or
+    misread) mid-stream, because a file source's schema is fixed at
+    start. Normalize encodings at ingest if drops can be mixed.
     """
     from ..registry import ship_package
 
     ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Footer probe (metadata-only batch read): nanos files surface ts as
-    # long under nanosAsLong, micros files as a (NTZ) timestamp.
+    # long under nanosAsLong, micros files as TIMESTAMP_NTZ, and
+    # isAdjustedToUTC=true micros files as TIMESTAMP — use the probed
+    # type verbatim so batch and stream agree on the same data drop.
     probe_path = path or f"{sf_dir}/events.parquet"
-    ts_is_long = isinstance(
-        spark.read.parquet(probe_path).schema["ts"].dataType, T.LongType
-    )
+    try:
+        ts_type = spark.read.parquet(probe_path).schema["ts"].dataType
+    except Exception:
+        ts_type = T.LongType()  # no files yet: nanos-as-long default
     raw_schema = T.StructType(
         [
-            f if f.name != "ts" else T.StructField("ts", f.dataType if ts_is_long else T.TimestampNTZType())
+            f if f.name != "ts" else T.StructField("ts", ts_type)
             for f in _EVENTS_RAW_SCHEMA.fields
         ]
     )
@@ -103,9 +117,19 @@ def events_stream(
     # a glob whose base is the sf dir. On a deployment this is the
     # landing directory new files drop into.
     df = reader.parquet(path or f"{sf_dir}/events.parque[t]")
-    if ts_is_long:
+    if isinstance(ts_type, T.LongType):
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # NTZ wall clock is UTC by convention; convert_timezone keeps
+        # the instant correct under any session timezone (see
+        # registry.load_table)
+        return df.withColumn(
+            "ts",
+            F.convert_timezone(F.lit("UTC"), F.current_timezone(), F.col("ts")).cast(
+                "timestamp"
+            ),
+        )
+    return df  # TimestampType: already an instant
 
 
 def stream_tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -29,9 +29,29 @@ def test_queries_and_oracles_consistent():
 
 
 def test_all_queries_return_dataframes(spark, sf_dir):
+    """Every registry fn builds a plan; driver-window entries must also
+    emit scalar-only columns — the driver canonicalizes results with a
+    pandas row sort, which cannot handle array/map/struct cells (the
+    r2 q_multimodal_frame_offsets failure mode)."""
+    from pyspark.sql import types as T
+
+    from pandas_aws_spark.registry import _DRIVER_WINDOW
+
+    window = set(_DRIVER_WINDOW)
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.schema is not None, name
+        if name in window:
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            assert not complex_cols, (
+                f"{name}: driver-window query outputs non-scalar columns "
+                f"{complex_cols}; reshape (explode / concat_ws) for the "
+                "driver's row-sort canonicalization"
+            )
 
 
 def test_driver_window_curated_and_first():
@@ -48,6 +68,7 @@ def test_driver_window_curated_and_first():
                 "q_multimodal_", "q_stream_", "q_sketch_", "q_skew_")
     for fam in families:
         assert any(n.startswith(fam) for n in _DRIVER_WINDOW), f"family {fam} missing"
+    # every window slot is a verified slot: no rows-only entries (PQ and
+    # HLL gained real oracles in round 3)
     rows_only = {n for n in _DRIVER_WINDOW if reg[n].oracle is None}
-    # only the two genuinely non-SQL-expressible ops may be rows-only
-    assert rows_only <= {"q_sim_pq_adc", "q_sketch_hll_distinct"}
+    assert rows_only == set(), f"window entries without oracles: {rows_only}"

@@ -301,3 +301,52 @@ def test_stream_stream_join_across_triggers(spark, split_events_dir, sf_dir):
         & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert drained.count() == want
+
+
+def test_events_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """A stream must be constructible before any data lands (the reason
+    file sources take explicit schemas): an empty landing directory
+    falls back to the nanos-as-long raw schema instead of letting the
+    footer probe's batch read raise."""
+    from pyspark.sql import types as T
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ev = events_stream(spark, sf_dir=str(tmp_path), path=str(landing))
+    assert ev.isStreaming
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+
+
+def test_micros_events_read_is_timezone_independent(spark, tmp_path):
+    """NTZ-micros and adjusted-to-UTC-micros events files must yield
+    the same instants as the nanos source under ANY session timezone
+    (a bare NTZ->timestamp cast would shift instants off-UTC)."""
+    src = load_table(spark, SF_SMOKE, "events")
+    base = [
+        r.us
+        for r in src.selectExpr("unix_micros(ts) AS us").orderBy("event_id").limit(50).collect()
+    ]
+    ntz_dir = tmp_path / "ntz"
+    ntz_dir.mkdir()
+    src.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        str(ntz_dir / "events.parquet")
+    )
+    utc_dir = tmp_path / "utc"
+    utc_dir.mkdir()
+    src.write.parquet(str(utc_dir / "events.parquet"))
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for d in (ntz_dir, utc_dir):
+            got = [
+                r.us
+                for r in load_table(spark, str(d), "events")
+                .selectExpr("unix_micros(ts) AS us")
+                .orderBy("event_id")
+                .limit(50)
+                .collect()
+            ]
+            assert got == base, f"instant shift reading {d.name} under non-UTC session"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

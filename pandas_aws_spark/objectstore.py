@@ -39,7 +39,14 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["list_keys", "read_df", "read_df_from_prefix", "write_df", "SUPPORTED_FORMATS"]
+__all__ = [
+    "list_keys",
+    "list_keys_boto",
+    "read_df",
+    "read_df_from_prefix",
+    "write_df",
+    "SUPPORTED_FORMATS",
+]
 
 SUPPORTED_FORMATS = ("csv", "parquet", "json", "orc", "xlsx", "pickle")
 # formats attempted (in order) by mixed-mode reads, mirroring the
@@ -86,6 +93,42 @@ def list_keys(
         if rel.startswith(prefix) and rel.endswith(suffix):
             out.append(rel)
     return sorted(out)
+
+
+def list_keys_boto(
+    s3_client,
+    bucket: str,
+    prefix: str = "",
+    suffix: str = "",
+    **list_kwargs,
+):
+    """Generator over S3 object keys via a boto3 client — the direct
+    twin of the reference's ``get_keys`` (``s3.py:18-53``): prefix is
+    pushed server-side into ListObjectsV2, suffix filtered client-side
+    (``s3.py:45``), and pagination follows ``ContinuationToken``
+    transparently (``s3.py:38-53``; extra kwargs such as ``MaxKeys``
+    pass through, as the reference's tests exercise).
+
+    This is the control-plane path for clusters where key enumeration
+    happens on the driver (e.g. to build an explicit path list for
+    ``read_df``); the data plane stays on the executors' S3A connector
+    (:func:`list_keys` / ``spark.read``). Works against any
+    S3-compatible endpoint the client is configured for (moto, MinIO,
+    AWS).
+    """
+    kwargs = dict(list_kwargs)
+    kwargs["Bucket"] = bucket
+    if prefix:
+        kwargs["Prefix"] = prefix
+    while True:
+        resp = s3_client.list_objects_v2(**kwargs)
+        for obj in resp.get("Contents", []):
+            key = obj["Key"]
+            if key.endswith(suffix):
+                yield key
+        if not resp.get("IsTruncated"):
+            break
+        kwargs["ContinuationToken"] = resp["NextContinuationToken"]
 
 
 def _detect_format(key: str) -> str:

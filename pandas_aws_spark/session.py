@@ -24,7 +24,7 @@ from typing import Mapping
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "s3a_credential_conf", "stop_spark"]
 
 # Defaults tuned for "local[N] correctness runs that still behave like a
 # cluster": AQE on (runtime coalesce + skew-join handling), shuffle
@@ -43,6 +43,45 @@ _BASE_CONF: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
 }
+
+
+def s3a_credential_conf(
+    *,
+    aws_profile: str | None = None,
+    aws_role_arn: str | None = None,
+    aws_access_key_id: str | None = None,
+    aws_secret_access_key: str | None = None,
+    aws_session_token: str | None = None,
+) -> dict[str, str]:
+    """Pure conf assembly for the three S3A auth modes — split out of
+    :func:`get_spark` so the credential wiring is unit-testable without
+    building a session (``getOrCreate`` reuses a live session and would
+    silently skip fresh conf). Precedence mirrors the reference's COPY
+    builder (``redshift.py:145-156``): explicit keys > role ARN >
+    profile > default chain."""
+    conf: dict[str, str] = {}
+    if aws_access_key_id and aws_secret_access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = aws_access_key_id
+        conf["spark.hadoop.fs.s3a.secret.key"] = aws_secret_access_key
+        if aws_session_token:
+            conf["spark.hadoop.fs.s3a.session.token"] = aws_session_token
+            conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+            )
+        else:
+            conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+            )
+    elif aws_role_arn:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+        )
+        conf["spark.hadoop.fs.s3a.assumed.role.arn"] = aws_role_arn
+    elif aws_profile:
+        # The default AWS chain honours AWS_PROFILE, matching boto3's
+        # Session(profile_name=...) fallback behaviour in the reference.
+        os.environ["AWS_PROFILE"] = aws_profile
+    return conf
 
 
 def get_spark(
@@ -77,27 +116,15 @@ def get_spark(
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
 
-    if aws_access_key_id and aws_secret_access_key:
-        conf["spark.hadoop.fs.s3a.access.key"] = aws_access_key_id
-        conf["spark.hadoop.fs.s3a.secret.key"] = aws_secret_access_key
-        if aws_session_token:
-            conf["spark.hadoop.fs.s3a.session.token"] = aws_session_token
-            conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
-                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
-            )
-        else:
-            conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
-                "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
-            )
-    elif aws_role_arn:
-        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
-            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+    conf.update(
+        s3a_credential_conf(
+            aws_profile=aws_profile,
+            aws_role_arn=aws_role_arn,
+            aws_access_key_id=aws_access_key_id,
+            aws_secret_access_key=aws_secret_access_key,
+            aws_session_token=aws_session_token,
         )
-        conf["spark.hadoop.fs.s3a.assumed.role.arn"] = aws_role_arn
-    elif aws_profile:
-        # The default AWS chain honours AWS_PROFILE, matching boto3's
-        # Session(profile_name=...) fallback behaviour in the reference.
-        os.environ["AWS_PROFILE"] = aws_profile
+    )
 
     if extra_conf:
         conf.update(extra_conf)

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Generate a 10x scale point (sf1-equivalent) from the sf0.1 testdata.
+
+The driver testdata stops at sf0.1; plan audits can't catch runtime
+scale cliffs (state growth, band skew, quadratic candidate blowups), so
+this builds a 10x dataset under a writable directory by replicating the
+sf0.1 tables with key offsets:
+
+* fact tables (lineitem, orders, events, documents, embeddings) scale
+  10x with offset primary keys — orders/lineitem keep their customer /
+  supplier / part foreign keys so each dimension row serves 10x the
+  facts, which is exactly how a real 10x scale-up loads the join graph;
+* events replicas shift timestamps by +36 days each so session/window
+  state grows with data instead of stacking identical instants;
+* document replicas get a one-token suffix so near-dup candidates grow
+  realistically instead of everything collapsing into one dup cluster;
+* dimension tables (region, nation, customer, supplier, part) copy
+  unchanged.
+
+Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 -> /tmp/scale_sf1, factor 10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def gen(table: str, sql_per_replica: str) -> None:
+        parts = " UNION ALL ".join(
+            sql_per_replica.format(r=r, src=f"'{src}/{table}.parquet'")
+            for r in range(factor)
+        )
+        con.sql(f"COPY ({parts}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    for d in DIMS:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{src}/{d}.parquet')) "
+            f"TO '{dst}/{d}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{d}: copied")
+
+    def span(table: str, key: str) -> int:
+        return con.sql(
+            f"SELECT max({key}) + 1 FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+
+    okey = span("orders", "o_orderkey")
+    gen(
+        "orders",
+        "SELECT * REPLACE (o_orderkey + {r} * " + str(okey) + " AS o_orderkey) "
+        "FROM read_parquet({src})",
+    )
+    gen(
+        "lineitem",
+        "SELECT * REPLACE (l_orderkey + {r} * " + str(okey) + " AS l_orderkey) "
+        "FROM read_parquet({src})",
+    )
+    ev = span("events", "event_id")
+    gen(
+        "events",
+        "SELECT * REPLACE (event_id + {r} * " + str(ev) + " AS event_id, "
+        "ts + INTERVAL ({r} * 36) DAY AS ts) FROM read_parquet({src})",
+    )
+    doc = span("documents", "doc_id")
+    gen(
+        "documents",
+        "SELECT * REPLACE (doc_id + {r} * " + str(doc) + " AS doc_id, "
+        "CASE WHEN {r} = 0 THEN text ELSE text || ' r{r}' END AS text, "
+        "n_chars + CASE WHEN {r} = 0 THEN 0 ELSE length(' r{r}') END AS n_chars) "
+        "FROM read_parquet({src})",
+    )
+    vec = span("embeddings", "vec_id")
+    gen(
+        "embeddings",
+        "SELECT * REPLACE (vec_id + {r} * " + str(vec) + " AS vec_id) "
+        "FROM read_parquet({src})",
+    )
+    print(f"wrote {dst} at {factor}x {src}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

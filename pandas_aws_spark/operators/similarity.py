@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe"]
+__all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe", "recommended_n_planes"]
 
 # The brute-force paths replicate the QUERY side to every task (broadcast
 # crossJoin / driver toPandas + sc.broadcast). That contract only holds for
@@ -280,6 +280,26 @@ def sql_lsh_bucket(vec_ref: str, dim: int, n_planes: int) -> str:
         )
         terms.append(f"(CASE WHEN {sql_dot(vec_ref, hp)} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def recommended_n_planes(corpus_rows: int, target_bucket_rows: int = 100_000) -> int:
+    """Plane count that keeps the expected LSH bucket near
+    ``target_bucket_rows`` as the corpus grows: ``ceil(log2(corpus /
+    target))``, clamped to [1, 8] (the derived-plane family size).
+
+    With a FIXED plane count, bucketed ANN is still asymptotically
+    quadratic once both sides scale (measured in SCALE.md); growing
+    planes logarithmically with the corpus holds per-bucket — and so
+    per-query — candidate work roughly constant, which is what makes
+    hyperplane LSH subquadratic in deployment. At 100 TB
+    (~1e9 vectors, default target): ceil(log2(1e9/1e5)) = 14 -> clamped
+    to 8 planes / 256 buckets; raise ``target_bucket_rows`` or extend
+    the plane family for finer fan-out."""
+    import math
+
+    if corpus_rows <= target_bucket_rows:
+        return 1
+    return max(1, min(len(_LSH_A), math.ceil(math.log2(corpus_rows / target_bucket_rows))))
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 4) -> Column:

@@ -126,6 +126,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_sim_ivf_kmeans",  # ANN scoring cross joins (same as fullprobe)
         "q_text_tfidf",  # one-row corpus-size broadcast
         "q_text_pmi_bigrams",  # one-row corpus-size broadcast
+        "q_sketch_hll_distinct",  # one-row x one-row: merged-sketch estimate joins global exact count for the error contract
+
         "q_feature_binning",  # one-row quantile-bounds broadcast
         "q_events_gap_fill",  # calendar build: 1-row bounds explode x tiny type dim
         "q_text_mixture_plan",  # one-row global-budget broadcast

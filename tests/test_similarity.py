@@ -214,3 +214,23 @@ def test_int8_quantization_range_and_zero_vector(spark):
     ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
     q = F.when(ma > 0, F.lit(None)).otherwise(F.lit("zeros"))
     assert z.select(q.alias("path")).first()["path"] == "zeros"
+
+
+def test_recommended_n_planes_scaling():
+    """Plane count grows logarithmically with the corpus and clamps to
+    the derived-plane family — the knob that keeps bucketed LSH
+    subquadratic as both sides scale (SCALE.md)."""
+    from pandas_aws_spark.operators.similarity import recommended_n_planes
+
+    assert recommended_n_planes(1_000) == 1            # fits one bucket
+    assert recommended_n_planes(100_000) == 1
+    assert recommended_n_planes(200_000) == 1
+    assert recommended_n_planes(1_600_000) == 4        # ceil(log2(16))
+    assert recommended_n_planes(100_000_000) == 8      # clamped to family size
+    assert recommended_n_planes(10**9) == 8
+    # monotone non-decreasing
+    sizes = [10**k for k in range(3, 10)]
+    planes = [recommended_n_planes(n) for n in sizes]
+    assert planes == sorted(planes)
+    # custom bucket target shifts the curve
+    assert recommended_n_planes(1_600_000, target_bucket_rows=800_000) == 1

@@ -40,13 +40,33 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "pq_topk_refined"]
+__all__ = ["l2_normalize", "pq_train", "pq_encode", "pq_topk", "pq_topk_refined", "ivf_pq_topk"]
 
 
 def _l2sq(a: Column, b: Column) -> Column:
     """Sequential-fold squared L2 (deterministic element order)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_normalize(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Row-local L2 normalization of an embedding column (in place).
+
+    Norm is the same sequential fold the rest of the vector math uses,
+    so normalized components are bit-portable across engines. After
+    normalization, squared-L2 ranking equals cosine ranking
+    (||a-b||^2 = 2 - 2*cos), which is what lets one PQ index serve a
+    cosine workload. Zero vectors normalize to zeros."""
+    v = as_double(vec_col)
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p)
+    )
+    return df.withColumn(
+        vec_col,
+        F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(
+            F.transform(v, lambda x: x * F.lit(0.0))
+        ),
     )
 
 
@@ -251,6 +271,129 @@ def pq_topk_refined(
     w = Window.partitionBy("query_id").orderBy("_l2", "neighbor_id")
     return (
         exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("_l2") * 1000000).cast("long").alias("l2sq_fp"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    oversample: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN architecture — a coarse inverted
+    file prunes WHICH vectors each query scores (``nprobe`` of
+    ``n_centroids`` cells), product quantization prunes WHAT is read to
+    score them (m one-byte codes instead of raw floats), and an exact
+    re-rank of the ``k * oversample`` ADC shortlist restores precision.
+    Scan fraction ~ nprobe/n_centroids of the corpus, touched at ~1/32
+    the bytes, with only shortlisted raw vectors ever fetched.
+
+    Both sides are L2-normalized first (squared-L2 ranking then equals
+    cosine ranking), so the one index serves the engine's cosine
+    workloads. Fully deterministic — static first-C coarse centroids
+    (cosine assignment, id tie-break; swap in ``kmeans_fit`` output for
+    production quality), sorted-fold PQ training — so the whole
+    pipeline is SQL-replayable (``q_sim_ivf_pq``'s oracle).
+
+    Distribution shape: coarse assignment and probe selection are
+    broadcast joins (centroids are kilobytes); codes + cell ride one
+    narrow table; the ADC join shuffles code rows, never vectors; the
+    re-rank fetches oversample*k raw rows per query.
+    """
+    from .similarity import ivf_assign
+    from ..functions.vector import cosine
+
+    qn = l2_normalize(
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")),
+        vec_col="qv",
+    )
+    cn = l2_normalize(
+        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
+    )
+    cents = (
+        cn.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col),
+        )
+    )
+    indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
+
+    cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
+        indexed.select(F.col(id_col), "cell"), id_col
+    )
+
+    cc = cents.select("centroid_id", F.col(vec_col).alias("cvec_c"))
+    qc = qn.crossJoin(F.broadcast(cc)).withColumn(
+        "_sim", cosine(F.col("qv"), F.col("cvec_c"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+
+    d = cb.select(F.size("cvec")).first()[0]
+    qsubs = _subvectors(qn.select("query_id", F.col("qv")), "query_id", "qv", m, d)
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", F.col("centroid_id").alias("code"),
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("dist"),
+    )
+
+    expanded = codes.select(
+        F.col(id_col).alias("neighbor_id"), "cell", F.posexplode("codes").alias("sub", "code")
+    )
+    pairs = expanded.join(F.broadcast(lut), ["sub", "code"]).join(
+        F.broadcast(probes), ["query_id", "cell"]
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        pairs.groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "dist"))).alias("sd"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform("sd", lambda s: s["dist"]), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (
+        scored.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+
+    raw = cn.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    exact = (
+        short.join(raw, "neighbor_id")
+        .join(F.broadcast(qn.select("query_id", F.col("qv").alias("_qv"))), "query_id")
+        .withColumn("_l2", _l2sq(F.col("_qv"), F.col("_nv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy("_l2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

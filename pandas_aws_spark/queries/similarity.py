@@ -403,6 +403,134 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ composed: coarse cells prune WHICH vectors are scored, PQ codes
+# prune WHAT is read to score them, exact re-rank restores precision.
+# Oracle = the PQ replay above + normalized base + coarse cell filter.
+# --------------------------------------------------------------------------
+_IVFPQ_NPROBE = 2
+
+_IVFPQ_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1).strip()},
+{_pq_iteration_ctes(2).strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, cent ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query("q_sim_ivf_pq", oracle=_IVFPQ_ORACLE, tags=("similarity", "pq", "ivf"))
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed — the production 100 TB ANN architecture: a
+    coarse inverted file prunes WHICH vectors each query scores
+    (nprobe=2 of 8 cells -> ~1/4 scan fraction), PQ prunes WHAT is
+    read to score them (8 one-byte codes, 32x smaller than raw), and
+    an exact re-rank of the 5x-oversampled ADC shortlist restores
+    precision on only oversample*k raw rows per query. Vectors are
+    L2-normalized first so squared-L2 ranking equals cosine ranking.
+    Fully oracle-checked: every stage (normalization, coarse
+    assignment, Lloyd's PQ training, ADC, re-rank) is a deterministic
+    sorted/sequential fold DuckDB replays bit-for-bit."""
+    from ..operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_pq_topk(
+        queries,
+        emb,
+        n_centroids=_NCENT,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        iters=_PQ_ITERS,
+        k=_PQ_TOPK,
+        oversample=_PQ_OVERSAMPLE,
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # Int8 symmetric quantization of the embedding store.
 # --------------------------------------------------------------------------
 _QUANT_ORACLE = """

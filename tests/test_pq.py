@@ -128,3 +128,59 @@ def test_adc_ranks_are_dense_and_deterministic(emb, codebook):
     assert [(r.neighbor_id, r.adc_fp) for r in out] == [
         (r.neighbor_id, r.adc_fp) for r in out2
     ]
+
+
+def test_ivf_pq_fullprobe_equals_pq_refined_on_normalized(emb):
+    """Composition invariant: probing EVERY coarse cell disables the
+    IVF pruning, so IVF-PQ must equal plain PQ+re-rank run on the
+    normalized corpus (same codebook params)."""
+    from pandas_aws_spark.operators.pq import (
+        ivf_pq_topk,
+        l2_normalize,
+        pq_encode,
+        pq_topk_refined,
+        pq_train,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = ivf_pq_topk(
+        queries, emb, n_centroids=8, nprobe=8, m=M, k_codes=K, iters=2, k=10, oversample=5
+    ).collect()
+
+    cn = l2_normalize(emb.select("vec_id", "embedding"))
+    cb = pq_train(cn, m=M, k=K, iters=2)
+    codes = pq_encode(cn, cb)
+    plain = pq_topk_refined(
+        l2_normalize(queries.select("vec_id", "embedding")), codes, cb, cn, k=10, oversample=5
+    ).collect()
+
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.l2sq_fp) for r in rows)
+    assert key(full) == key(plain)
+
+
+def test_ivf_pq_partial_probe_recall_floor(emb):
+    """nprobe=2 of 8 cells scans ~1/4 of the corpus; recall@10 vs the
+    exact cosine top-10 must still clear a floor well above chance
+    (10/500 = 0.02) — the pruning is informed, not random."""
+    from pandas_aws_spark.operators.pq import ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_pq_topk(
+        queries, emb, n_centroids=8, nprobe=2, m=M, k_codes=K, iters=2, k=10, oversample=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def cosine_top10(qid):
+        qv = data[qid] / np.linalg.norm(data[qid])
+        sims = sorted(
+            ((-np.dot(qv, v / np.linalg.norm(v)), vid) for vid, v in data.items() if vid != qid)
+        )
+        return {vid for _, vid in sims[:10]}
+
+    recalls = [len(cosine_top10(q) & hits) / 10 for q, hits in by_q.items()]
+    assert len(recalls) == 10
+    assert sum(recalls) / len(recalls) >= 0.1, recalls

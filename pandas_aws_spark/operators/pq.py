@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
 
-__all__ = ["l2_normalize", "pq_train", "pq_encode", "pq_topk", "pq_topk_refined", "ivf_pq_topk"]
+__all__ = ["l2_normalize", "pq_train", "pq_encode", "pq_topk", "pq_topk_refined", "ivf_pq_build", "ivf_pq_topk"]
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -281,6 +281,42 @@ def pq_topk_refined(
     )
 
 
+def ivf_pq_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the reusable IVF-PQ index triple over the L2-normalized
+    corpus: ``(centroids, codebook, codes)`` — codes carry the coarse
+    ``cell`` column. Build once (at 100 TB: train on a sample, encode
+    the full corpus in one pass), then hand the triple to
+    :func:`ivf_pq_topk` for every search."""
+    from .similarity import ivf_assign
+
+    cn = l2_normalize(
+        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
+    )
+    cents = (
+        cn.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col),
+        )
+    )
+    cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
+    indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
+        indexed.select(F.col(id_col), "cell"), id_col
+    )
+    return cents, cb, codes
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -295,6 +331,9 @@ def ivf_pq_topk(
     k: int = 10,
     oversample: int = 5,
     exclude_self: bool = True,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture — a coarse inverted
     file prunes WHICH vectors each query scores (``nprobe`` of
@@ -303,6 +342,14 @@ def ivf_pq_topk(
     re-rank of the ``k * oversample`` ADC shortlist restores precision.
     Scan fraction ~ nprobe/n_centroids of the corpus, touched at ~1/32
     the bytes, with only shortlisted raw vectors ever fetched.
+
+    Index reuse (the deployment shape — build once, search many):
+    pass ``centroids`` (centroid_id, vec), ``codebook`` (sub,
+    centroid_id, cvec), and ``codes`` (id_col, codes, cell) from a
+    prior build to skip training, encoding, and cell assignment
+    entirely; all three must come from the same L2-normalized corpus.
+    Per-call training here exists so the registry entry is a
+    self-contained, oracle-replayable pipeline.
 
     Both sides are L2-normalized first (squared-L2 ranking then equals
     cosine ranking), so the one index serves the engine's cosine
@@ -326,20 +373,25 @@ def ivf_pq_topk(
     cn = l2_normalize(
         corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
     )
-    cents = (
-        cn.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col),
+    if centroids is not None:
+        cents = centroids.select("centroid_id", F.col(vec_col))
+    else:
+        cents = (
+            cn.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.col(vec_col),
+            )
         )
-    )
-    indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
-
-    cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
-        indexed.select(F.col(id_col), "cell"), id_col
-    )
+    cb = codebook
+    if cb is None:
+        cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
+            indexed.select(F.col(id_col), "cell"), id_col
+        )
 
     cc = cents.select("centroid_id", F.col(vec_col).alias("cvec_c"))
     qc = qn.crossJoin(F.broadcast(cc)).withColumn(

@@ -184,3 +184,19 @@ def test_ivf_pq_partial_probe_recall_floor(emb):
     recalls = [len(cosine_top10(q) & hits) / 10 for q, hits in by_q.items()]
     assert len(recalls) == 10
     assert sum(recalls) / len(recalls) >= 0.1, recalls
+
+
+def test_ivf_pq_prebuilt_index_matches_self_contained(emb):
+    """Index reuse (build once, search many) must return exactly what
+    the self-contained train-per-call path returns."""
+    from pandas_aws_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    kw = dict(n_centroids=8, nprobe=2, m=M, k_codes=K, iters=2, k=10, oversample=5)
+    self_contained = ivf_pq_topk(queries, emb, **kw).collect()
+    cents, cb, codes = ivf_pq_build(emb, n_centroids=8, m=M, k_codes=K, iters=2)
+    reused = ivf_pq_topk(
+        queries, emb, centroids=cents, codebook=cb, codes=codes, **kw
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.l2sq_fp) for r in rows)
+    assert key(self_contained) == key(reused)

@@ -124,6 +124,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q11_important_parts",  # one-row threshold broadcast
         "q_bloom_semi_join",  # one-row bitmap broadcast (the whole point)
         "q_sim_ivf_kmeans",  # ANN scoring cross joins (same as fullprobe)
+        "q_sim_ivf_pq",  # centroid fan-out cross joins (broadcast kilobyte model, same as other ANN entries)
         "q_text_tfidf",  # one-row corpus-size broadcast
         "q_text_pmi_bigrams",  # one-row corpus-size broadcast
         "q_sketch_hll_distinct",  # one-row x one-row: merged-sketch estimate joins global exact count for the error contract

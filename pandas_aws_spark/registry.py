@@ -173,6 +173,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # io / skew), instead of whatever module import order happens to produce.
 # Everything not listed keeps its natural registration order after these.
 #
+# Round-4 rotation queue (still never externally verified once the r3
+# window lands; all green in the local strict sweep): q_sim_ivf_pq,
+# q_stream_curation, q_profile_orders, q_stratified_sample,
+# q_events_{zscore,mad}_outliers, q_events_streaks, q_events_twap,
+# q_attribution_last_touch, q_histogram_prices, q_text_pmi_bigrams,
+# q_graph_triangles, q_skew_report, q_expectations,
+# q_events_decayed_engagement, q_feature_binning, q_text_chunk_overlap,
+# q_revenue_share_ppm, q_events_wau_rolling, q_supplier_pareto,
+# q_events_max_drawdown, q_events_path_analysis, q_events_user_diversity
+# (23 entries) — swap them in for r3-proven rows next round.
+#
 # Round-3 rotation: entries hash-verified by the driver in BOTH r1 and r2
 # (q01/q03/q05, csv/parquet roundtrips, grouping sets, segment top-k) and
 # most single-round-proven rows rotate OUT (they stay covered by the local

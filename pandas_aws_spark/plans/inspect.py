@@ -29,6 +29,7 @@ __all__ = [
     "scans",
     "ScanInfo",
     "codegen_ids",
+    "unpartitioned_windows",
     "assert_broadcast_only",
     "assert_pushed_filter",
     "assert_max_scan_columns",
@@ -98,6 +99,43 @@ def scans(df: DataFrame) -> list[ScanInfo]:
             elif line.startswith("ReadSchema:"):
                 cur.read_schema = line.split(":", 1)[1].strip()
                 cur.columns = re.findall(r"(\w+):", cur.read_schema)
+    return out
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec — each one funnels its
+    whole input through a single task (``WindowExec: No Partition
+    Defined`` at runtime). Returns the offending plan lines so tests
+    can gate them: safe only over provably bounded inputs.
+
+    Parse rule (see the node's ``toString``): a Window line prints
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — three top-level
+    bracket groups when partitioned. Two groups is either global-
+    ordered (second group carries ASC/DESC sort markers -> flag) or
+    partition-only (no markers -> fine); one group is a global
+    unordered frame (flag).
+    """
+    out = []
+    for line in physical_plan(df).splitlines():
+        m = re.match(r"^[\s:+\-*()\d]*Window (\[.*)$", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        # split the tail into top-level [...] groups
+        groups, depth, start = [], 0, None
+        for i, ch in enumerate(m.group(1)):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(m.group(1)[start : i + 1])
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) == 2 and not re.search(r" (ASC|DESC) ", groups[1]):
+            continue  # partition spec without order — still partitioned
+        out.append(line.strip())
     return out
 
 

@@ -1018,22 +1018,24 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concentration analysis: how many suppliers cover 80% of revenue,
     and the top supplier's share (ppm) — cumulative window sums over
     exact integer micro-units, so the 80% cut is an integer comparison
-    ((cum-rev)*5 < total*4), no float thresholds. The global-order
-    window runs over per-supplier aggregates (one row each), not raw
-    lineitems."""
+    ((cum-rev)*5 < total*4), no float thresholds.
+
+    Scale shape: the running revenue sum is a two-phase
+    :func:`~pandas_aws_spark.operators.twophase.distributed_cumsum`
+    (range-partitioned partial cumsums + broadcast prefix offsets), and
+    the grand total is a one-row broadcast — no single-partition window
+    over the supplier dimension, which grows with SF."""
+    from ..operators.twophase import distributed_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     srev = li.groupBy("l_suppkey").agg(
         dsum_micro(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    wcum = (
-        Window.orderBy(F.col("rev").desc(), "l_suppkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = distributed_cumsum(
+        srev, [F.col("rev").desc(), "l_suppkey"], "rev", out="cum"
     )
-    ranked = srev.select(
-        "rev",
-        F.sum("rev").over(wcum).alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
-    )
+    total = srev.agg(F.sum("rev").alias("total"))
+    ranked = cum.crossJoin(F.broadcast(total)).select("rev", "cum", "total")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.when((F.col("cum") - F.col("rev")) * 5 < F.col("total") * 4, 1).otherwise(0))
@@ -1154,20 +1156,32 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
     quintiles (ntile with full tie-breaks -> deterministic), combined
     into a 3-digit segment code. Monetary stays in exact integer
-    micro-units. Global ntiles run over one row per customer, not raw
-    orders; at extreme cardinality swap ntile for bucketing on exact
-    percentile boundaries."""
+    micro-units.
+
+    Scale shape: each quintile score comes from
+    :func:`~pandas_aws_spark.operators.twophase.distributed_ntile`
+    (range-partitioned two-phase rank, bit-identical to SQL NTILE) —
+    no single-partition global sort anywhere in the plan, so the
+    customer dimension can be 10^8+ rows. The three scores re-join on
+    ``o_custkey`` (hash shuffles on a well-distributed key)."""
+    from ..operators.twophase import distributed_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         dsum_micro("o_totalprice").alias("money_micro"),
     )
-    scored = cust.select(
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("money_micro", "o_custkey")).alias("m_score"),
-    )
+    r = distributed_ntile(
+        cust.select("o_custkey", "last_order"), 5, ["last_order", "o_custkey"], out="r_score"
+    ).select("o_custkey", "r_score")
+    f = distributed_ntile(
+        cust.select("o_custkey", "freq"), 5, ["freq", "o_custkey"], out="f_score"
+    ).select("o_custkey", "f_score")
+    m = distributed_ntile(
+        cust.select("o_custkey", "money_micro"), 5, ["money_micro", "o_custkey"], out="m_score"
+    ).select("o_custkey", "m_score")
+    scored = r.join(f, "o_custkey").join(m, "o_custkey")
     return (
         scored.groupBy(
             (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(

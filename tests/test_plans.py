@@ -133,6 +133,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_events_gap_fill",  # calendar build: 1-row bounds explode x tiny type dim
         "q_text_mixture_plan",  # one-row global-budget broadcast
         "q_sample_temperature",  # one-row weight-total broadcast
+        "q_customer_rfm",  # one-row NTILE total-count broadcast (two-phase ntile)
+        "q_supplier_pareto",  # one-row revenue grand-total broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
@@ -148,6 +150,45 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
             bad[name] = dict(js)
     assert not bad, f"unintended cartesian/NLJ plans: {bad}"
     assert len(skipped) < 20
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Repo-wide guard (sibling of the cartesian gate above): no
+    registered query may plan a Window with an empty partition spec
+    over an unbounded input — that funnels the whole input through ONE
+    task at cluster scale. Allowlisted sites must be provably bounded,
+    with the bound stated here; each flagged plan line must carry the
+    expected marker so a new global window can't hide behind an
+    existing allowlist entry."""
+    from pandas_aws_spark.plans.inspect import unpartitioned_windows
+
+    bounded_ok = {
+        # two-phase rank/cumsum summary windows: input is the
+        # per-range-partition counts table, <= shuffle-partitions rows
+        "q_customer_rfm": "_tp_pid",
+        "q_supplier_pareto": "_tp_pid",
+        # in-plan query-row-cap guard: scalar count over the broadcast
+        # query side, which the operator caps at <= 100k rows
+        "q_sim_bruteforce_topk": "count(1)",
+        # first-C coarse-centroid init: window input is
+        # .limit(n_centroids), i.e. <= C rows (kilobytes)
+        "q_sim_ivf_fullprobe": "row_number()",
+        "q_sim_ivf_probe2": "row_number()",
+        "q_sim_ivf_pq": "row_number()",
+    }
+    streaming_prefixes = ("q_stream_",)
+    io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
+    bad = {}
+    for name, spec in sorted(load_registry().items()):
+        if name.startswith(streaming_prefixes) or name.startswith(io_side_effects):
+            continue
+        flagged = unpartitioned_windows(spec.fn(spark, sf_dir))
+        if not flagged:
+            continue
+        marker = bounded_ok.get(name)
+        if marker is None or not all(marker in line for line in flagged):
+            bad[name] = flagged
+    assert not bad, f"unpartitioned windows over unbounded input: {bad}"
 
 
 def test_tfidf_plans_window_group_limit(spark, sf_dir):

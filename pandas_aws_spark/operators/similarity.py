@@ -59,7 +59,16 @@ def _guarded_query_side(queries: DataFrame, cap: int | None, op_name: str) -> Da
     job with the clear cap message the moment the count exceeds the
     cap. On success ``assert_true`` yields NULL so the filter passes
     every row; sitting inside a filter predicate it cannot be pruned
-    by the optimizer the way an unused projection column would be."""
+    by the optimizer the way an unused projection column would be.
+
+    BEHAVIOR CHANGE (vs the eager probe): an over-cap query side now
+    fails lazily, as a ``SparkRuntimeException`` when the action runs,
+    not a ``ValueError`` at plan-build time. Callers catching the old
+    ValueError should catch the runtime exception instead (the cap
+    message is preserved inside it). An eager plan-build-time check is
+    not recoverable cheaply: PySpark local inputs plan as LogicalRDD
+    (no static row count), so any eager count would re-introduce the
+    extra scheduling round trip this in-plan guard exists to avoid."""
     if cap is None:
         return queries
     w = Window.partitionBy()

@@ -57,11 +57,15 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             # list->tuple fallback here masked it, so local green did
             # not imply driver green). Queries must emit scalar columns
             # (explode / concat_ws the array).
-            if s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any():
+            # Row (struct) cells are tuple subclasses and hit the same
+            # unsortable failure mode — refuse them too.
+            from pyspark.sql import Row
+
+            if s.map(lambda v: isinstance(v, (list, np.ndarray, dict, Row, tuple))).any():
                 raise TypeError(
-                    f"column {c!r} contains array/map cells — driver-unsafe: "
-                    "the driver's row sort cannot canonicalize them; reshape "
-                    "the query output to scalar columns"
+                    f"column {c!r} contains array/map/struct cells — driver-"
+                    "unsafe: the driver's row sort cannot canonicalize them; "
+                    "reshape the query output to scalar columns"
                 )
     if len(pdf) and len(pdf.columns):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)

@@ -79,7 +79,7 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
-       TRUE AS est_within_2pct
+       TRUE AS est_within_tol
 FROM lineitem GROUP BY l_returnflag
 UNION ALL
 SELECT 'ALL',
@@ -101,9 +101,11 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw HLL estimate is implementation-defined (DuckDB's
     approx_distinct is a different HLL), so the *estimate* can't be
     hash-compared — but the error CONTRACT can: the query outputs the
-    exact distinct count plus ``est_within_2pct`` (|est-exact| <= 2%
-    of exact, computed from the live sketch), and the oracle asserts
-    the same exact counts with the bound literally TRUE. Spark's
+    exact distinct count plus ``est_within_tol`` (|est-exact| <= 2.5%
+    of exact, computed from the live sketch — an EMPIRICAL margin for
+    lgK=14 on this data, the same bound tests/test_sketch.py asserts
+    on the raw estimates), and the oracle asserts the same exact
+    counts with the bound literally TRUE. Spark's
     sketch is deterministic for fixed data (register maxes are
     order-independent under union), so the boolean is stable. A raw
     estimate readout stays covered by tests/test_sketch.py. The exact
@@ -122,16 +124,16 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = (
         F.abs(F.col("est") - F.col("exact_distinct"))
-        <= F.lit(0.02) * F.col("exact_distinct")
-    ).alias("est_within_2pct")
+        <= F.lit(0.025) * F.col("exact_distinct")
+    ).alias("est_within_tol")
     return (
         per_flag.select(
             "l_returnflag",
             "exact_distinct",
             (
                 F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
-                <= F.lit(0.02) * F.col("exact_distinct")
-            ).alias("est_within_2pct"),
+                <= F.lit(0.025) * F.col("exact_distinct")
+            ).alias("est_within_tol"),
         )
         .unionByName(merged.select("l_returnflag", "exact_distinct", within))
         .orderBy("l_returnflag")

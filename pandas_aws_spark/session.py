@@ -58,7 +58,13 @@ def s3a_credential_conf(
     building a session (``getOrCreate`` reuses a live session and would
     silently skip fresh conf). Precedence mirrors the reference's COPY
     builder (``redshift.py:145-156``): explicit keys > role ARN >
-    profile > default chain."""
+    profile > default chain.
+
+    Truly pure — no process state is touched here. The profile mode
+    returns an ``env:AWS_PROFILE`` entry (the default AWS chain reads
+    the env var, not a Hadoop conf key); :func:`get_spark` applies
+    ``env:``-prefixed entries to ``os.environ`` and passes the rest to
+    the builder."""
     conf: dict[str, str] = {}
     if aws_access_key_id and aws_secret_access_key:
         conf["spark.hadoop.fs.s3a.access.key"] = aws_access_key_id
@@ -80,7 +86,7 @@ def s3a_credential_conf(
     elif aws_profile:
         # The default AWS chain honours AWS_PROFILE, matching boto3's
         # Session(profile_name=...) fallback behaviour in the reference.
-        os.environ["AWS_PROFILE"] = aws_profile
+        conf["env:AWS_PROFILE"] = aws_profile
     return conf
 
 
@@ -129,7 +135,10 @@ def get_spark(
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
-        builder = builder.config(k, v)
+        if k.startswith("env:"):  # see s3a_credential_conf — profile mode
+            os.environ[k[4:]] = v
+        else:
+            builder = builder.config(k, v)
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

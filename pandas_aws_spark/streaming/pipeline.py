@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.errors import AnalysisException
 
 from ..functions.stable import dsum
 
@@ -101,8 +102,14 @@ def events_stream(
     probe_path = path or f"{sf_dir}/events.parquet"
     try:
         ts_type = spark.read.parquet(probe_path).schema["ts"].dataType
-    except Exception:
-        ts_type = T.LongType()  # no files yet: nanos-as-long default
+    except AnalysisException as exc:
+        # Only the empty/not-yet-created landing dir falls back to the
+        # nanos-as-long default; any other probe failure (permissions,
+        # corrupt footer) must surface, not silently pick an encoding.
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            ts_type = T.LongType()  # no files yet: nanos-as-long default
+        else:
+            raise
     raw_schema = T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", ts_type)

@@ -125,6 +125,14 @@ def test_s3a_credential_conf_modes():
         aws_access_key_id="AK", aws_secret_access_key="SK", aws_role_arn="arn:x"
     )
     assert "spark.hadoop.fs.s3a.assumed.role.arn" not in both
+    # profile mode is PURE: returned as an env: entry for get_spark to
+    # apply, never written to os.environ by the helper itself
+    import os
+
+    before = os.environ.get("AWS_PROFILE")
+    prof = s3a_credential_conf(aws_profile="analytics")
+    assert prof == {"env:AWS_PROFILE": "analytics"}
+    assert os.environ.get("AWS_PROFILE") == before
 
 
 def _jvm_has_s3a(spark) -> bool:

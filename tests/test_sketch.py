@@ -58,4 +58,4 @@ def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
     assert abs(merged - global_exact) / global_exact < 0.025
     # and the registry query's exported contract holds everywhere
     out = REGISTRY["q_sketch_hll_distinct"].fn(spark, sf_dir).collect()
-    assert len(out) > 1 and all(r["est_within_2pct"] for r in out)
+    assert len(out) > 1 and all(r["est_within_tol"] for r in out)

@@ -290,25 +290,42 @@ def ivf_pq_build(
     m: int = 8,
     k_codes: int = 16,
     iters: int = 2,
+    coarse: str = "first",
+    coarse_iters: int = 3,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the reusable IVF-PQ index triple over the L2-normalized
     corpus: ``(centroids, codebook, codes)`` — codes carry the coarse
     ``cell`` column. Build once (at 100 TB: train on a sample, encode
     the full corpus in one pass), then hand the triple to
-    :func:`ivf_pq_topk` for every search."""
-    from .similarity import ivf_assign
+    :func:`ivf_pq_topk` for every search.
+
+    ``coarse`` picks the coarse-quantizer training: ``"first"`` (the
+    SQL-replayable static init — first ``n_centroids`` vectors by id)
+    or ``"kmeans"`` (``coarse_iters`` Lloyd rounds via
+    :func:`~pandas_aws_spark.operators.similarity.kmeans_fit` — the
+    production choice: trained cells track the data distribution, so
+    nprobe cells hold more of each query's true neighbors; measured
+    recall delta in SCALE.md)."""
+    from .similarity import ivf_assign, kmeans_fit
 
     cn = l2_normalize(
         corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
     )
-    cents = (
-        cn.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col),
+    if coarse == "kmeans":
+        cents = kmeans_fit(
+            cn, k=n_centroids, iters=coarse_iters, id_col=id_col, vec_col=vec_col
         )
-    )
+    elif coarse == "first":
+        cents = (
+            cn.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.col(vec_col),
+            )
+        )
+    else:
+        raise ValueError(f"coarse must be 'first' or 'kmeans', got {coarse!r}")
     cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
     indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(

@@ -173,87 +173,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # io / skew), instead of whatever module import order happens to produce.
 # Everything not listed keeps its natural registration order after these.
 #
-# Round-4 rotation queue (still never externally verified once the r3
-# window lands; all green in the local strict sweep): q_sim_ivf_pq,
-# q_stream_curation, q_profile_orders, q_stratified_sample,
-# q_events_{zscore,mad}_outliers, q_events_streaks, q_events_twap,
-# q_attribution_last_touch, q_histogram_prices, q_text_pmi_bigrams,
-# q_graph_triangles, q_skew_report, q_expectations,
-# q_events_decayed_engagement, q_feature_binning, q_text_chunk_overlap,
-# q_revenue_share_ppm, q_events_wau_rolling, q_supplier_pareto,
-# q_events_max_drawdown, q_events_path_analysis, q_events_user_diversity
-# (23 entries) — swap them in for r3-proven rows next round.
-#
-# Round-3 rotation: entries hash-verified by the driver in BOTH r1 and r2
-# (q01/q03/q05, csv/parquet roundtrips, grouping sets, segment top-k) and
-# most single-round-proven rows rotate OUT (they stay covered by the local
-# strict sweep and bench); 27 entries the driver has NEVER checked rotate
-# IN, plus the three r2 red slots now repaired (frame offsets reshaped,
-# PQ ADC and HLL given real oracles). Every window entry has an oracle and
-# a scalar-only output shape (tests/test_entry.py gates both).
+# Round-4 rotation (this window): the 23 entries the driver has NEVER
+# hash-verified across r1-r3 rotate IN (led by q_sim_ivf_pq, the
+# flagship ANN composition), plus q_customer_rfm (r3-green but its
+# plan was rewritten this round — two-phase ntile — so it needs fresh
+# external proof) and the 26 oldest single-round-proven entries (r1
+# evidence only). Union across r1-r4 then covers all 139 distinct
+# queries, every one green on its latest driver check. Every window
+# entry has an oracle and a scalar-only output shape
+# (tests/test_entry.py gates both).
 _DRIVER_WINDOW = (
-    # --- I/O roundtrips (S2/S3/K1/K2/K5/K6/R5/R13/R15; csv+gzip and
-    #     partitioned-parquet proven r1+r2, rotated out) ---
-    "q_io_multifile_union",
-    "q_io_dynamic_partition_overwrite",
-    "q_io_roundtrip_orc",
-    "q_io_schema_evolution",
-    # --- sources (S7 federated/native + Spark 4 Python DataSource) ---
-    "q_source_python_stream",
-    "q_sql_passthrough",
-    # --- warehouse ops (S7/K8/K9/K10/M1-M4/R6-R9) ---
-    "q_upsert_merge",
-    "q_warehouse_catalog_roundtrip",
-    "q_scd2_dimension",
-    "q_table_diff",
-    # --- dedup family ---
-    "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_decontaminate",
-    # --- similarity search ---
-    "q_sim_bruteforce_topk",
-    "q_sim_ivf_kmeans",
-    "q_sim_pq_adc",
-    "q_sim_ivf_probe2",
-    "q_embed_quantize_int8",
-    # --- text analysis / curation ---
-    "q_text_token_stats",
-    "q_text_curation_pipeline",
-    "q_text_tfidf",
-    "q_text_repetition_filter",
-    "q_text_mixture_plan",
-    "q_text_bpe_token_count",
-    "q_text_hash_split",
-    "q_text_pack_sequences",
-    "q_sample_temperature",
-    # --- multimodal ---
-    "q_multimodal_payload_meta",
-    "q_multimodal_byte_features",
-    "q_multimodal_frame_offsets",
-    # --- streaming ---
-    "q_stream_user_running_totals",
-    "q_stream_dedup_incremental",
-    "q_stream_sessionize",
-    "q_stream_static_enrich",
-    "q_stream_dedup_within_watermark",
-    "q_stream_heartbeat_gaps",
-    # --- sketches ---
-    "q_sketch_count_min",
-    "q_sketch_hll_distinct",
-    # --- scale patterns ---
-    "q_skew_salted_join",
-    "q_skew_two_phase_distinct",
-    "q_zorder_locality",
-    # --- relational / events analytics ---
-    "q12_shipping_latency",
-    "q_events_asof_join",
-    "q_events_interval_join",
-    "q_fuzzy_entity_match",
+    # --- never externally verified (the r4 queue from the r3 verdict) ---
+    "q_sim_ivf_pq",
+    "q_supplier_pareto",  # also rewritten this round (two-phase cumsum)
+    "q_stream_curation",
+    "q_profile_orders",
+    "q_stratified_sample",
+    "q_events_zscore_outliers",
+    "q_events_mad_outliers",
+    "q_events_streaks",
+    "q_events_twap",
+    "q_attribution_last_touch",
+    "q_histogram_prices",
+    "q_text_pmi_bigrams",
+    "q_graph_triangles",
+    "q_skew_report",
+    "q_expectations",
+    "q_events_decayed_engagement",
+    "q_feature_binning",
+    "q_text_chunk_overlap",
+    "q_revenue_share_ppm",
+    "q_events_wau_rolling",
+    "q_events_max_drawdown",
+    "q_events_path_analysis",
+    "q_events_user_diversity",
+    # --- rewritten this round: re-verify under the new plan ---
     "q_customer_rfm",
-    "q_market_basket",
-    "q_events_gap_fill",
-    "q_incremental_agg",
+    # --- oldest evidence (r1-only): double-check ---
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q_cube_price",
+    "q_quantile_stats",
+    "q_ntile_quartiles",
+    "q_pivot_status",
+    "q_unpivot_metrics",
+    "q_set_ops",
+    "q_scalar_functions",
+    "q_events_sessionize",
+    "q_events_tumbling_hourly",
 )
 
 

@@ -64,10 +64,26 @@ def test_driver_window_curated_and_first():
     names = list(reg)
     assert len(_DRIVER_WINDOW) == 50
     assert names[:50] == list(_DRIVER_WINDOW)
-    families = ("q_io_", "q_upsert", "q_dedup_", "q_sim_", "q_text_",
-                "q_multimodal_", "q_stream_", "q_sketch_", "q_skew_")
-    for fam in families:
-        assert any(n.startswith(fam) for n in _DRIVER_WINDOW), f"family {fam} missing"
+    # r4 charter: every entry the driver has never hash-verified across
+    # r1-r3 must sit in this window (external proof is the bar), led by
+    # the flagship IVF-PQ composition; the rest of the window re-checks
+    # the rewritten-this-round plans and the oldest (r1-only) evidence.
+    never_verified = {
+        "q_sim_ivf_pq", "q_stream_curation", "q_profile_orders",
+        "q_stratified_sample", "q_events_zscore_outliers",
+        "q_events_mad_outliers", "q_events_streaks", "q_events_twap",
+        "q_attribution_last_touch", "q_histogram_prices",
+        "q_text_pmi_bigrams", "q_graph_triangles", "q_skew_report",
+        "q_expectations", "q_events_decayed_engagement",
+        "q_feature_binning", "q_text_chunk_overlap",
+        "q_revenue_share_ppm", "q_events_wau_rolling",
+        "q_supplier_pareto", "q_events_max_drawdown",
+        "q_events_path_analysis", "q_events_user_diversity",
+    }
+    missing = never_verified - set(_DRIVER_WINDOW)
+    assert not missing, f"never-verified entries left out of the window: {missing}"
+    rewritten_this_round = {"q_customer_rfm", "q_supplier_pareto"}
+    assert rewritten_this_round <= set(_DRIVER_WINDOW)
     # every window slot is a verified slot: no rows-only entries (PQ and
     # HLL gained real oracles in round 3)
     rows_only = {n for n in _DRIVER_WINDOW if reg[n].oracle is None}

@@ -1426,3 +1426,53 @@ def q_events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gini_decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized (clipped) feature scaling — robust feature engineering.
+# --------------------------------------------------------------------------
+_WINSOR_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       {sql_dsum('greatest(q.lo, least(q.hi, e.value))')} AS winsorized_total
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@query("q_feature_winsorize", oracle=_WINSOR_ORACLE, tags=("features", "stats"))
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each feature at its exact per-group p05/p95
+    before aggregation — the robust-scaling step a training pipeline
+    runs before normalizing outlier-heavy features (sibling of
+    ``q_events_mad_outliers``, which *detects* instead of *clipping*).
+    Exact sort-based percentile is bit-identical across engines, and
+    the clip expression is the same double arithmetic both sides.
+    Two aggregation passes + one broadcast join back onto the scan —
+    no global sort, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(q), "event_type")
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            dsum(F.greatest("lo", F.least("hi", F.col("value")))).alias("winsorized_total"),
+        )
+        .orderBy("event_type")
+    )

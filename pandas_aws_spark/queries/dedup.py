@@ -357,3 +357,63 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-split exact-content leakage: the eval set must not share content
+# with the train split of the same corpus.
+# --------------------------------------------------------------------------
+_LEAKAGE_ORACLE = f"""
+WITH train AS (
+  SELECT DISTINCT md5(text) AS h
+  FROM documents WHERE {{bucket}} < 8000
+),
+eval_set AS (
+  SELECT doc_id + 1000000 AS eval_id, source, md5(text) AS h
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT e.source,
+       COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_leaked
+FROM eval_set e LEFT JOIN train t ON e.h = t.h
+GROUP BY e.source ORDER BY e.source
+"""
+
+
+def _leakage_oracle() -> str:
+    from ..operators.sampling import sql_hash_bucket
+
+    return _LEAKAGE_ORACLE.format(bucket=sql_hash_bucket("doc_id"))
+
+
+@query("q_split_leakage", oracle=_leakage_oracle(), tags=("dedup", "contamination", "sampling"))
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit: an eval benchmark (re-keyed doc
+    subset, simulating an external set whose texts overlap the crawl)
+    is joined on exact content hash against the TRAIN split of the
+    hash-split corpus; any match is leakage that would inflate eval
+    scores. Complements ``q_dedup_decontaminate`` (shingle overlap):
+    this is the exact-duplicate variant run split-aware.
+
+    Scale shape: content join on md5 only — text never crosses the
+    wire; the train hash set is the build side (bloom/bucket it at
+    100 TB). One shuffle each side."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})["train"]
+    train_h = train.select(F.md5("text").alias("h")).distinct()
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("eval_id"),
+        "source",
+        F.md5("text").alias("h"),
+    )
+    return (
+        eval_set.join(train_h.withColumn("_hit", F.lit(1)), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.when(F.col("_hit").isNull(), 0).otherwise(1)).cast("long").alias("n_leaked"),
+        )
+        .orderBy("source")
+    )

@@ -138,3 +138,52 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(merged.select("l_returnflag", "exact_distinct", within))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable approximate quantiles with a rank-error contract.
+# --------------------------------------------------------------------------
+_QSKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_sketch_quantile", oracle=_QSKETCH_ORACLE, tags=("sketch", "quantile"))
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from Spark's mergeable Greenwald-Khanna
+    sketch (``percentile_approx``, accuracy=100 => rank error
+    eps <= 1%): the sketch per partition/day merges associatively, so
+    at 100 TB you sketch once per partition and combine at query time
+    — never a global sort.
+
+    Like the HLL entry, the raw estimate is implementation-defined, so
+    the hash-compared output is the CONTRACT, not the estimate: for
+    each p in (0.5, 0.9, 0.99) the query computes the estimate's true
+    rank (one aggregated pass, no re-sort) and asserts
+    |rank - p*n| <= n/accuracy + 1 — the documented GK guarantee. The
+    oracle pins the same groups with the bound literally TRUE."""
+    acc = 100
+    ev = load_table(spark, sf_dir, "events")
+    appx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], F.lit(acc)).alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranked = (
+        ev.join(F.broadcast(appx), "event_type")
+        .groupBy("event_type", "n_rows")
+        .agg(
+            *[
+                F.sum(F.when(F.col("value") <= F.col("ap")[i], 1).otherwise(0)).alias(f"r{i}")
+                for i in range(3)
+            ]
+        )
+    )
+    tol = F.col("n_rows") / acc + 1
+    cols = [
+        (F.abs(F.col(f"r{i}") - p * F.col("n_rows")) <= tol).alias(name)
+        for i, (p, name) in enumerate([(0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")])
+    ]
+    return ranked.select("event_type", "n_rows", *cols).orderBy("event_type")

@@ -209,6 +209,10 @@ _DRIVER_WINDOW = (
     "q_events_user_diversity",
     # --- rewritten this round: re-verify under the new plan ---
     "q_customer_rfm",
+    # --- NEW this round (no external evidence yet, verify first) ---
+    "q_split_leakage",
+    "q_sketch_quantile",
+    "q_feature_winsorize",
     # --- oldest evidence (r1-only): double-check ---
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -230,13 +234,13 @@ _DRIVER_WINDOW = (
     "q_cube_price",
     "q_quantile_stats",
     "q_ntile_quartiles",
-    "q_pivot_status",
-    "q_unpivot_metrics",
-    "q_set_ops",
     "q_scalar_functions",
     "q_events_sessionize",
     "q_events_tumbling_hourly",
 )
+# r1-proven entries displaced by the three new queries (still covered
+# by the local 139-entry strict sweep): q_pivot_status,
+# q_unpivot_metrics, q_set_ops.
 
 
 def load_registry() -> dict[str, QuerySpec]:

@@ -149,7 +149,15 @@ def test_s3a_read_write_against_moto_server(spark, tmp_path):
     """Full executor-side s3a:// round trip against a moto server.
     Activates automatically once hadoop-aws is on the classpath; until
     then skips (this image ships pyspark without the AWS connector
-    jars, so the JVM cannot open s3a:// URIs at all)."""
+    jars, so the JVM cannot open s3a:// URIs at all).
+
+    Provisioning was attempted and is impossible here: no hadoop-aws /
+    aws-sdk jar exists anywhere on the image (no ivy/m2 caches), and
+    the build host has no network route to Maven Central (DNS fails),
+    so ``spark.jars.packages`` cannot fetch it either. The boto3
+    control plane (listing, pagination, bytes, credential wiring) IS
+    covered against moto above — only the executor data plane awaits
+    an image with the connector jars."""
     if not _jvm_has_s3a(spark):
         pytest.skip(
             "hadoop-aws (org.apache.hadoop.fs.s3a.S3AFileSystem) not on the "

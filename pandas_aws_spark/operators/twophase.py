@@ -48,6 +48,11 @@ _PID = "_tp_pid"
 def _ranged(
     df: DataFrame, order_by: Sequence[Column | str], num_partitions: int | None
 ) -> DataFrame:
+    clash = [c for c in df.columns if c.startswith("_tp_")]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the _tp_ scratch namespace"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is not None:
         d = df.repartitionByRange(num_partitions, *cols)

@@ -75,6 +75,12 @@ def test_cumsum_matches_global_window(spark, data):
     assert _rows(got, "id", "c") == _rows(want, "id", "c")
 
 
+def test_scratch_namespace_collision_rejected(spark):
+    df = spark.range(5).withColumnRenamed("id", "_tp_x")
+    with pytest.raises(ValueError, match="_tp_ scratch namespace"):
+        distributed_row_number(df, ["_tp_x"])
+
+
 def test_no_unbounded_unpartitioned_window_in_plan(spark, data):
     """The whole point: the data path has no global-window funnel. The
     only unpartitioned windows run over the per-partition summary

@@ -1476,3 +1476,102 @@ def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (3 unrolled iterations, integer ppm arithmetic) over the
+# co-purchase graph — the iterative-algorithm family, oracle-replayable.
+# --------------------------------------------------------------------------
+def _pagerank_oracle() -> str:
+    iters = "".join(
+        f"""
+c{k} AS (
+  SELECT e.dst AS node, SUM(r{k - 1}.r // d.outdeg) AS s
+  FROM e JOIN r{k - 1} ON r{k - 1}.node = e.src
+         JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT d.node,
+         CAST(150000 + (850000 * COALESCE(c{k}.s, 0)) // 1000000 AS BIGINT) AS r
+  FROM deg d LEFT JOIN c{k} ON c{k}.node = d.node
+),"""
+        for k in (1, 2, 3)
+    )
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY src, dst HAVING COUNT(*) >= 2
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),{iters}
+final AS (SELECT * FROM r3)
+SELECT node AS p_node, r AS rank_ppm
+FROM final ORDER BY rank_ppm DESC, p_node LIMIT 10
+"""
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the part co-purchase graph (same edge construction
+    as ``q_graph_triangles``: >= 2 shared orders, undirected), three
+    unrolled power iterations with damping 0.85.
+
+    All arithmetic is INTEGER ppm (rank starts at 1_000_000 per node;
+    each step is ``150000 + (850000 * sum(r div outdeg)) div 1e6``) —
+    integer sums are order-independent, so the result is bit-identical
+    across engines and partitionings, which is what lets an iterative
+    algorithm have a full SQL-replay oracle (unrolled CTE chain) at
+    all.
+
+    Scale shape: the classic Pregel-as-joins loop — each iteration is
+    one hash join ranks-x-edges on ``src`` plus one shuffle-agg on
+    ``dst``; edges and ranks stay partitioned, nothing collects. At
+    100 TB: checkpoint ranks every few iterations to cut lineage, and
+    pre-partition edges by src so iterations reuse the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    e = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed(
+        "src", "node"
+    )
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.select(F.col("node").alias("src"), "outdeg"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).alias("s"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "CAST(150000 + (850000 * coalesce(s, 0)) div 1000000 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("r"), "node")
+        .limit(10)
+        .select(F.col("node").alias("p_node"), F.col("r").alias("rank_ppm"))
+    )

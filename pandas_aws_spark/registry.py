@@ -213,6 +213,7 @@ _DRIVER_WINDOW = (
     "q_split_leakage",
     "q_sketch_quantile",
     "q_feature_winsorize",
+    "q_graph_pagerank",
     # --- oldest evidence (r1-only): double-check ---
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -234,13 +235,12 @@ _DRIVER_WINDOW = (
     "q_cube_price",
     "q_quantile_stats",
     "q_ntile_quartiles",
-    "q_scalar_functions",
     "q_events_sessionize",
     "q_events_tumbling_hourly",
 )
-# r1-proven entries displaced by the three new queries (still covered
-# by the local 139-entry strict sweep): q_pivot_status,
-# q_unpivot_metrics, q_set_ops.
+# r1-proven entries displaced by the four new queries (still covered
+# by the local strict sweep): q_pivot_status, q_unpivot_metrics,
+# q_set_ops, q_scalar_functions.
 
 
 def load_registry() -> dict[str, QuerySpec]:

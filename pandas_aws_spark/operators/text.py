@@ -24,6 +24,7 @@ __all__ = [
     "pack_documents",
     "normalize_text",
     "pii_scan",
+    "pii_redact",
     "repetition_stats",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -216,6 +217,21 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat)))
         )
     return out
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact every PII pattern hit with a ``<KIND>`` token — the
+    transform half of :func:`pii_scan`. Patterns apply in the fixed
+    ``PII_PATTERNS`` order (email, phone, ipv4) so the output is
+    deterministic and engine-portable (DuckDB mirror: the same
+    ``regexp_replace(..., 'g')`` chain). Pure projection — codegen,
+    zero shuffles, linear in text bytes."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col, out)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:

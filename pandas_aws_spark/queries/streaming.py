@@ -431,3 +431,49 @@ def q_stream_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_gaps"), F.sum("gap_s").cast("long").alias("total_gap_s"))
         .orderBy("user_id")
     )
+
+
+_SINK_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_stream_sink_parquet", oracle=_SINK_ORACLE, tags=("streaming", "sink"))
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sink path: stream -> parquet files + checkpoint
+    (exactly-once via the file-sink commit log), where the other
+    stream queries use the memory sink. The stream is drained with
+    availableNow, then started a SECOND time on the same checkpoint —
+    the restart must be a no-op (offsets already committed), so any
+    reprocessing would double the counts and fail the oracle hash.
+    Reading the sink back goes through the commit log too (only
+    committed files count), closing the exactly-once loop."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pas_stream_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    for _restart in range(2):
+        q = (
+            events_stream(spark, sf_dir)
+            .select("event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from ..functions.stable import dsum
+
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

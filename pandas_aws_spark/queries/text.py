@@ -830,3 +830,53 @@ def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: the transform half of the scan/redact pair.
+# --------------------------------------------------------------------------
+_PII_REDACT_ORACLE = r"""
+WITH red AS (
+  SELECT source, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
+         AS redacted
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+       CAST(SUM(len(redacted)) AS BIGINT) AS redacted_chars,
+       CAST(SUM(len(text)) AS BIGINT) AS original_chars
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_pii_redact", oracle=_PII_REDACT_ORACLE, tags=("text", "pii"))
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (sibling of ``q_text_pii_scan``):
+    every email/phone/ipv4 hit becomes a ``<KIND>`` token, applied in
+    fixed pattern order so both engines produce byte-identical
+    redacted text — verified here through per-source changed-doc
+    counts and exact redacted/original char totals. Pure codegen
+    projection, zero shuffles before the final small agg."""
+    from ..operators.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = pii_redact(docs, "text", "redacted")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("redacted") != F.col("text"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_redacted"),
+            F.sum(F.length("redacted")).cast("long").alias("redacted_chars"),
+            F.sum(F.length("text")).cast("long").alias("original_chars"),
+        )
+        .orderBy("source")
+    )

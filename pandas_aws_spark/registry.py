@@ -177,11 +177,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # hash-verified across r1-r3 rotate IN (led by q_sim_ivf_pq, the
 # flagship ANN composition), plus q_customer_rfm (r3-green but its
 # plan was rewritten this round — two-phase ntile — so it needs fresh
-# external proof) and the 26 oldest single-round-proven entries (r1
-# evidence only). Union across r1-r4 then covers all 139 distinct
-# queries, every one green on its latest driver check. Every window
-# entry has an oracle and a scalar-only output shape
-# (tests/test_entry.py gates both).
+# external proof), the 6 queries ADDED this round (verify-first), and
+# the 20 oldest single-round-proven entries (r1 evidence only). Union
+# across r1-r4 then covers all 139 pre-r4 queries plus the 6 new ones
+# (registry total 145). Every window entry has an oracle and a
+# scalar-only output shape (tests/test_entry.py gates both).
 _DRIVER_WINDOW = (
     # --- never externally verified (the r4 queue from the r3 verdict) ---
     "q_sim_ivf_pq",
@@ -214,9 +214,10 @@ _DRIVER_WINDOW = (
     "q_sketch_quantile",
     "q_feature_winsorize",
     "q_graph_pagerank",
+    "q_stream_sink_parquet",
+    "q_text_pii_redact",
     # --- oldest evidence (r1-only): double-check ---
     "q04_order_priority",
-    "q06_forecast_revenue",
     "q07_volume_shipping",
     "q08_market_share",
     "q09_product_profit",
@@ -234,13 +235,13 @@ _DRIVER_WINDOW = (
     "q22_global_sales_opportunity",
     "q_cube_price",
     "q_quantile_stats",
-    "q_ntile_quartiles",
     "q_events_sessionize",
     "q_events_tumbling_hourly",
 )
-# r1-proven entries displaced by the four new queries (still covered
+# r1-proven entries displaced by the six new queries (still covered
 # by the local strict sweep): q_pivot_status, q_unpivot_metrics,
-# q_set_ops, q_scalar_functions.
+# q_set_ops, q_scalar_functions, q_ntile_quartiles,
+# q06_forecast_revenue.
 
 
 def load_registry() -> dict[str, QuerySpec]:

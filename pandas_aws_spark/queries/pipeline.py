@@ -1,0 +1,331 @@
+"""Production-pipeline operators: drift detection, feature encoding,
+CDC compaction, time-hierarchy rollups, per-source caps.
+
+These are the ops a training-data / feature pipeline runs *around* the
+core relational engine — monitoring (drift), feature engineering
+(target encoding), ingestion maintenance (changelog compaction,
+continuous-aggregate rollups) and corpus curation (per-domain caps).
+All arithmetic that feeds the oracle hash is integer-ppm or
+fixed-point decimal, so every query replays bit-for-bit in DuckDB.
+
+Reference parity note: the reference (pandas_aws) has no analytics
+operators at all — these extend SURVEY.md §2.9's north-star families
+(pipeline ops) with the monitoring/maintenance layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.stable import dsum, sql_dsum
+from ..registry import load_table, query
+
+# --------------------------------------------------------------------------
+# Distribution drift: total-variation distance (ppm) between the early
+# and late halves of the event stream, per event type.
+# --------------------------------------------------------------------------
+_BIN_W = 50.0  # value in [0.01, ~490] -> 10 fixed-width bins
+_DRIFT_ORACLE = f"""
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us FROM events
+),
+binned AS (
+  SELECT e.event_type,
+         LEAST(9, CAST(floor(e.value / {_BIN_W}) AS INT)) AS bin,
+         CASE WHEN epoch_us(e.ts) < b.mid_us THEN 1 ELSE 0 END AS early
+  FROM events e CROSS JOIN bounds b
+),
+cells AS (
+  SELECT event_type, bin,
+         SUM(early) AS ne, SUM(1 - early) AS nl
+  FROM binned GROUP BY event_type, bin
+),
+props AS (
+  SELECT event_type, bin, ne, nl,
+         (1000000 * ne) // SUM(ne) OVER (PARTITION BY event_type) AS pe_ppm,
+         (1000000 * nl) // SUM(nl) OVER (PARTITION BY event_type) AS pl_ppm
+  FROM cells
+)
+SELECT event_type,
+       CAST(SUM(ne) AS BIGINT) AS n_early,
+       CAST(SUM(nl) AS BIGINT) AS n_late,
+       CAST(SUM(abs(pe_ppm - pl_ppm)) // 2 AS BIGINT) AS tvd_ppm,
+       CAST(MAX(abs(pe_ppm - pl_ppm)) AS BIGINT) AS max_bin_shift_ppm
+FROM props GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_drift_tvd", oracle=_DRIFT_ORACLE, tags=("monitoring", "drift", "stats"))
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: per-event-type total-variation distance
+    between the value distributions of the early and late halves of
+    the stream (midpoint of the observed time range), over 10 fixed-
+    width bins. TVD = 1/2 * sum|p_i - q_i| is the drift metric that
+    needs NO logarithm (PSI/KL need libm, whose last-ulp behavior is
+    not engine-portable) — kept in integer ppm end to end.
+
+    Scale shape: one scalar min/max aggregate broadcast back onto the
+    scan (1-row nested-loop join, allowlisted), one hash aggregate to
+    10 bins x types, then a window over <=10-row groups. The wide
+    input crosses the shuffle only as (type, bin) partial counts —
+    map-side combinable, no global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("mid_us")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(F.lit(9), F.floor(F.col("value") / F.lit(_BIN_W)).cast("int")).alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 1).otherwise(0).alias("early"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ne"), F.sum(F.lit(1) - F.col("early")).alias("nl")
+    )
+    w = Window.partitionBy("event_type")
+    props = cells.select(
+        "event_type",
+        "ne",
+        "nl",
+        F.expr("1000000 * ne").alias("sne"),
+        F.expr("1000000 * nl").alias("snl"),
+        F.sum("ne").over(w).alias("te"),
+        F.sum("nl").over(w).alias("tl"),
+    ).select(
+        "event_type",
+        "ne",
+        "nl",
+        F.expr("sne div te").alias("pe_ppm"),
+        F.expr("snl div tl").alias("pl_ppm"),
+    )
+    return (
+        props.groupBy("event_type")
+        .agg(
+            F.sum("ne").cast("long").alias("n_early"),
+            F.sum("nl").cast("long").alias("n_late"),
+            F.expr("sum(abs(pe_ppm - pl_ppm)) div 2").cast("long").alias("tvd_ppm"),
+            F.max(F.abs(F.col("pe_ppm") - F.col("pl_ppm"))).cast("long").alias("max_bin_shift_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding — the leakage-safe categorical encoder.
+# --------------------------------------------------------------------------
+_TE_THRESHOLD = 150000.0
+_TE_M = 20  # smoothing pseudo-count
+_TE_ORACLE = f"""
+WITH g AS (
+  SELECT (1000000 * SUM(CASE WHEN o_totalprice > {_TE_THRESHOLD} THEN 1 ELSE 0 END))
+         // COUNT(*) AS g_ppm
+  FROM orders
+),
+cat AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_totalprice > {_TE_THRESHOLD} THEN 1 ELSE 0 END) AS pos
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority, CAST(c.n AS BIGINT) AS n, CAST(c.pos AS BIGINT) AS pos,
+       CAST((1000000 * c.pos + {_TE_M} * g.g_ppm) // (c.n + {_TE_M}) AS BIGINT) AS enc_ppm
+FROM cat c CROSS JOIN g
+ORDER BY c.o_orderpriority
+"""
+
+
+@query("q_feature_target_encode", oracle=_TE_ORACLE, tags=("features", "encoding"))
+def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding: each category's positive rate shrunk
+    toward the global rate by a pseudo-count prior,
+    ``(pos + m * g) / (n + m)`` — the standard high-cardinality
+    categorical encoder. Integer-ppm arithmetic (no float division)
+    so the encoding is bit-identical across engines.
+
+    Scale shape: two hash aggregates over the same scan (category
+    one map-side-combinable, global one row) joined by a 1-row
+    broadcast — no window, no sort; category cardinality bounds the
+    shuffle, not row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_pos = F.when(F.col("o_totalprice") > _TE_THRESHOLD, 1).otherwise(0)
+    g = orders.agg(
+        F.expr(
+            f"1000000 * sum(case when o_totalprice > {_TE_THRESHOLD} then 1 else 0 end)"
+            " div count(*)"
+        ).alias("g_ppm")
+    )
+    cat = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(is_pos).alias("pos")
+    )
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"(1000000 * pos + {_TE_M} * g_ppm) div (n + {_TE_M})")
+            .cast("long")
+            .alias("enc_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog compaction — latest-per-key with delete tombstones.
+# --------------------------------------------------------------------------
+_CDC_ORACLE = f"""
+WITH log AS (
+  SELECT l_orderkey AS key, l_linenumber AS seq,
+         CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         l_extendedprice AS val
+  FROM lineitem
+),
+latest AS (
+  SELECT key, seq, op, val,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC, val DESC) AS rn
+  FROM log
+)
+SELECT op,
+       COUNT(*) AS n_keys,
+       {sql_dsum("val")} AS total_value,
+       CAST(MAX(seq) AS BIGINT) AS max_versions
+FROM latest WHERE rn = 1 GROUP BY op ORDER BY op
+"""
+
+
+@query("q_cdc_compact", oracle=_CDC_ORACLE, tags=("cdc", "merge", "window"))
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction, the maintenance step behind every CDC
+    sink (Debezium->lake, Kafka compacted topics): keep only the
+    highest-sequence row per key; a 'D' tombstone as the latest row
+    means the key is dead. Here lineitem plays the changelog (key =
+    orderkey, seq = linenumber, deterministic synthetic op), and the
+    result summarizes surviving vs tombstoned keys. The synthetic log
+    has duplicate (key, seq) pairs, so ordering tie-breaks on val —
+    rows tying on all three are interchangeable, keeping the output
+    deterministic (a real changelog has a unique LSN).
+
+    Scale shape: ROW_NUMBER over (key, seq desc) — one shuffle on
+    the natural key, per-key groups are version counts (small by
+    construction in any real changelog); rn=1 filter plans as
+    WindowGroupLimit (top-1 heap per key), so no full per-key sort
+    materializes. The companion API op is ``warehouse.merge_frames``
+    (q_upsert_merge) which applies such a compacted batch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    log = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 7 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"), F.desc("val"))
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            dsum("val").alias("total_value"),
+            F.max("seq").cast("long").alias("max_versions"),
+        )
+        .orderBy("op")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-hierarchy rollup (continuous-aggregate style): one pass, all
+# granularities.
+# --------------------------------------------------------------------------
+_ROLLUP_ORACLE = f"""
+SELECT COALESCE(year(ts), -1) AS y,
+       COALESCE(month(ts), -1) AS m,
+       COALESCE(day(ts), -1) AS d,
+       COUNT(*) AS n_events,
+       {sql_dsum("value")} AS total_value
+FROM events
+GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+ORDER BY y, m, d
+"""
+
+
+@query("q_time_rollup", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup", "timeseries"))
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day, month, year and
+    grand-total rollups of the event stream in ONE pass — Spark's
+    Expand operator replicates rows per grouping level ahead of a
+    single partial+final hash aggregate, vs 4 scans written naively.
+    Missing levels surface as -1 (hash-stable, no NULL ordering
+    ambiguity). This is the batch half of the streaming tumbling
+    aggregate (q_stream_tumbling_hourly) — together they form the
+    classic lambda rollup a 100 TB telemetry store maintains."""
+    ev = load_table(spark, sf_dir, "events")
+    rolled = (
+        ev.select(
+            F.year("ts").alias("yy"), F.month("ts").alias("mm"), F.dayofmonth("ts").alias("dd"),
+            "value",
+        )
+        .rollup("yy", "mm", "dd")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    return rolled.select(
+        F.coalesce("yy", F.lit(-1)).alias("y"),
+        F.coalesce("mm", F.lit(-1)).alias("m"),
+        F.coalesce("dd", F.lit(-1)).alias("d"),
+        "n_events",
+        "total_value",
+    ).orderBy("y", "m", "d")
+
+
+# --------------------------------------------------------------------------
+# Per-source document caps — the anti-domination curation step.
+# --------------------------------------------------------------------------
+_CAP_K = 15
+_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk <= {_CAP_K} THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_domain_caps", oracle=_CAP_ORACLE, tags=("text", "curation", "sampling"))
+def q_text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution caps: rank each source's documents by
+    length (tie-broken on doc_id — deterministic) and keep at most K,
+    reporting kept/total volume per source. Web-scale corpora are
+    power-law dominated by a few hosts; capping per-domain is the
+    standard counter (C4/RefinedWeb pipelines cap per-URL-host).
+
+    Scale shape: one shuffle on source; the rank is per-source
+    (bounded groups after upstream sharding — a production run caps
+    per (source, shard) first when single hosts exceed executor
+    memory); aggregation rides the same partitioning, so the whole
+    query is one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn("rk", F.row_number().over(w))
+    kept = F.when(F.col("rk") <= _CAP_K, 1).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.when(F.col("rk") <= _CAP_K, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("source")
+    )

@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.skew",
     "pandas_aws_spark.queries.sketch",
     "pandas_aws_spark.queries.advanced",
+    "pandas_aws_spark.queries.pipeline",
 )
 
 

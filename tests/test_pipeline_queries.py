@@ -1,0 +1,74 @@
+"""Semantic invariants for the pipeline-ops query family
+(queries/pipeline.py) — properties the oracle hash can't express:
+bounds, conservation-of-mass across rollup levels, cap enforcement.
+"""
+
+from __future__ import annotations
+
+from pandas_aws_spark.registry import load_registry, load_table
+
+
+def _run(spark, sf_dir, name):
+    return load_registry()[name].fn(spark, sf_dir).collect()
+
+
+def test_drift_tvd_bounds_and_mass(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_drift_tvd")
+    ev = load_table(spark, sf_dir, "events")
+    totals = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert rows
+    for r in rows:
+        # TVD is a probability distance: 0 <= tvd <= 1 (ppm scale),
+        # and the per-bin max shift bounds it from below / 10-bins above
+        assert 0 <= r["tvd_ppm"] <= 1_000_000
+        assert 0 <= r["max_bin_shift_ppm"] <= 1_000_000
+        assert r["max_bin_shift_ppm"] // 2 <= r["tvd_ppm"] <= 10 * r["max_bin_shift_ppm"]
+        # every event lands in exactly one period
+        assert r["n_early"] + r["n_late"] == totals[r["event_type"]]
+
+
+def test_target_encode_shrinks_toward_global(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_feature_target_encode")
+    assert rows
+    # reconstruct the global rate from the per-category sums
+    g_ppm = 1_000_000 * sum(r["pos"] for r in rows) // sum(r["n"] for r in rows)
+    for r in rows:
+        raw_ppm = 1_000_000 * r["pos"] // r["n"]
+        lo, hi = min(raw_ppm, g_ppm), max(raw_ppm, g_ppm)
+        # smoothing can only move the estimate BETWEEN raw and prior
+        # (+1 slack for integer-division truncation on each side)
+        assert lo - 1 <= r["enc_ppm"] <= hi + 1, (r, raw_ppm, g_ppm)
+
+
+def test_cdc_compact_partitions_key_space(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_cdc_compact")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_keys = li.select("l_orderkey").distinct().count()
+    assert sum(r["n_keys"] for r in rows) == n_keys
+    assert {r["op"] for r in rows} <= {"D", "U"}
+
+
+def test_time_rollup_levels_conserve_mass(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_time_rollup")
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    grand = [r for r in rows if r["y"] == -1]
+    assert len(grand) == 1 and grand[0]["n_events"] == total
+    days = [r for r in rows if r["d"] != -1]
+    months = [r for r in rows if r["m"] != -1 and r["d"] == -1]
+    years = [r for r in rows if r["y"] != -1 and r["m"] == -1]
+    assert sum(r["n_events"] for r in days) == total
+    assert sum(r["n_events"] for r in months) == total
+    assert sum(r["n_events"] for r in years) == total
+
+
+def test_domain_caps_enforced(spark, sf_dir):
+    from pandas_aws_spark.queries.pipeline import _CAP_K
+
+    rows = _run(spark, sf_dir, "q_text_domain_caps")
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= min(_CAP_K, r["n_docs"])
+        assert r["chars_kept"] <= r["chars_total"]
+        if r["n_docs"] <= _CAP_K:
+            assert r["n_kept"] == r["n_docs"] and r["chars_kept"] == r["chars_total"]

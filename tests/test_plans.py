@@ -135,6 +135,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_sample_temperature",  # one-row weight-total broadcast
         "q_customer_rfm",  # one-row NTILE total-count broadcast (two-phase ntile)
         "q_supplier_pareto",  # one-row revenue grand-total broadcast
+        "q_drift_tvd",  # one-row time-range-midpoint broadcast
+        "q_feature_target_encode",  # one-row global-positive-rate broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
@@ -149,7 +151,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         if js.get("BroadcastNestedLoopJoin", 0) and name not in nlj_allowed:
             bad[name] = dict(js)
     assert not bad, f"unintended cartesian/NLJ plans: {bad}"
-    assert len(skipped) < 20
+    # sanity cap: the skip list must stay the enumerable side-effect set
+    # (streaming + io/warehouse writers), not silently absorb new queries
+    assert len(skipped) < 25
 
 
 def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):

@@ -48,6 +48,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "blocked_ngram_jaccard_pairs",
     "connected_components",
+    "semantic_dedup",
 ]
 
 
@@ -494,3 +495,75 @@ def connected_components(
             f"component with diameter > {max_iter} — raise max_iter."
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, prune near-dups
+# within each cluster only.
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding
+    space, then mark as duplicate any vector whose cosine to a
+    LOWER-id vector in the SAME cell exceeds ``threshold`` (keep-
+    lowest-id, the same survivor rule as :func:`exact_dedup`).
+
+    Returns ``(id, cell, is_dup)`` for every corpus row.
+
+    Scale shape: the pair comparison is quadratic only WITHIN a cell
+    — the whole point of clustering first; cells come from
+    :func:`~pandas_aws_spark.operators.similarity.ivf_assign`
+    (broadcast centroids, no corpus shuffle), so the only shuffle is
+    the self-join on ``cell``. Grow ``n_cells`` with the corpus to
+    hold per-cell candidate counts constant (same knob as IVF/LSH —
+    see SCALE.md). Default centroids are the first ``n_cells``
+    vectors by id (deterministic, SQL-replayable); pass
+    ``kmeans_fit`` output for production recall.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import ivf_assign
+
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.col(vec_col),
+            )
+        )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), "cell"
+    )
+    from ..functions.vector import as_double, cosine
+
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), as_double(vec_col).alias("_va"), F.col("cell").alias("_ca")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), as_double(vec_col).alias("_vb"), F.col("cell").alias("_cb")
+    )
+    dup_ids = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids, assigned[id_col] == dup_ids["_dup_id"], "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("_dup_id").isNotNull().alias("is_dup"),
+        )
+    )

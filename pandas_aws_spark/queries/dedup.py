@@ -417,3 +417,65 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): IVF-cell clustering + within-cell cosine
+# pruning, summarized per cell.
+# --------------------------------------------------------------------------
+_SEM_NCELLS = 8
+_SEM_TAU = 0.4  # synthetic embeddings have no true near-dups; 0.4 is the
+# same empirically-active threshold q_dedup_embedding_cosine uses.
+_SEM_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_SEM_NCELLS}
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e, cent c) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {sql_cosine('a.v', 'b.v')} >= {_SEM_TAU}
+)
+SELECT a.cell,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM assigned a LEFT JOIN dups d ON d.dup_id = a.vec_id
+GROUP BY a.cell ORDER BY a.cell
+"""
+
+
+@query("q_dedup_semantic", oracle=_SEM_ORACLE, tags=("dedup", "embedding", "similarity"))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster
+    the embedding space into IVF cells, then prune any vector whose
+    cosine to a lower-id vector in the SAME cell exceeds tau —
+    semantic near-dup removal without an all-pairs pass. Differs from
+    q_dedup_embedding_cosine (given label blocks, pair listing) in
+    that the blocks are COMPUTED by coarse quantization and the output
+    is the keep/drop decision itself.
+
+    Scale shape: broadcast-centroid assignment (no corpus shuffle),
+    one self-join keyed on cell — quadratic only within a cell; grow
+    n_cells with the corpus (SCALE.md knob) to bound per-cell work."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    marked = semantic_dedup(emb, n_cells=_SEM_NCELLS, threshold=_SEM_TAU)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

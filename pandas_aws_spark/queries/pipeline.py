@@ -329,3 +329,123 @@ def q_text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Negative sampling — contrastive training pairs without a cross join.
+# --------------------------------------------------------------------------
+_NEG_BUYERS = 20
+_NEG_PER_USER = 10
+_NEG_ORACLE = f"""
+WITH buyers AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+  ORDER BY n_orders DESC, custkey LIMIT {_NEG_BUYERS}
+),
+np AS (SELECT COUNT(*) AS n_parts FROM part),
+cand AS (
+  SELECT DISTINCT b.custkey,
+         CAST(concat('0x', substring(md5(
+           CAST(b.custkey AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)),1,7)) AS BIGINT)
+           % np.n_parts AS partkey
+  FROM buyers b CROSS JOIN np CROSS JOIN (SELECT UNNEST(range({_NEG_PER_USER})) AS i) i
+),
+purchased AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN buyers b ON b.custkey = o.o_custkey
+),
+neg AS (
+  SELECT c.custkey, c.partkey FROM cand c
+  LEFT JOIN purchased p ON p.custkey = c.custkey AND p.partkey = c.partkey
+  WHERE p.custkey IS NULL
+),
+valid AS (SELECT n.custkey, n.partkey FROM neg n JOIN part pt ON pt.p_partkey = n.partkey),
+cagg AS (SELECT custkey, COUNT(*) AS n_candidates FROM cand GROUP BY custkey),
+nagg AS (SELECT custkey, COUNT(*) AS n_negatives FROM valid GROUP BY custkey)
+SELECT b.custkey, CAST(b.n_orders AS BIGINT) AS n_orders,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(n.n_negatives, 0) AS BIGINT) AS n_negatives
+FROM buyers b JOIN cagg c ON c.custkey = b.custkey
+LEFT JOIN nagg n ON n.custkey = b.custkey
+ORDER BY b.custkey
+"""
+
+
+@query("q_sample_negative", oracle=_NEG_ORACLE, tags=("sampling", "features"))
+def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive / recommender training: for
+    each heavy buyer, GENERATE candidate item ids by hashing
+    (user, i) into the item-key domain, then anti-join away true
+    positives and validate existence against the item dimension —
+    the hash-generate-then-filter pattern that replaces the naive
+    "sample from the user x item cross product" (which at 100 TB is
+    a non-starter). Deterministic md5 candidates, so exact replay.
+
+    Scale shape: candidates are |users| x n_neg rows generated by
+    expression (no join); the positives side is semi-reduced to the
+    sampled users BEFORE the anti-join (broadcast both tiny sides);
+    item validation streams the part table against broadcast
+    candidates — no shuffle of any big table anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    buyers = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "custkey")
+        .limit(_NEG_BUYERS)
+    )
+    np_df = part.agg(F.count(F.lit(1)).alias("n_parts"))
+    cand = (
+        buyers.crossJoin(F.broadcast(np_df))
+        .select(
+            "custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_PER_USER - 1))).alias("i"),
+            "n_parts",
+        )
+        .select(
+            "custkey",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("custkey").cast("string"), F.lit("|"), F.col("i").cast("string")
+                            )
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("partkey"),
+        )
+        .distinct()
+    )
+    purchased = (
+        orders.join(F.broadcast(buyers), orders.o_custkey == buyers.custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    neg = cand.join(F.broadcast(purchased), ["custkey", "partkey"], "left_anti")
+    valid = part.join(F.broadcast(neg), part.p_partkey == neg.partkey).select(
+        neg.custkey, neg.partkey
+    )
+    cagg = cand.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_candidates"))
+    nagg = valid.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_negatives"))
+    return (
+        buyers.join(cagg, "custkey")
+        .join(nagg, "custkey", "left")
+        .select(
+            "custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.coalesce("n_negatives", F.lit(0)).cast("long").alias("n_negatives"),
+        )
+        .orderBy("custkey")
+    )

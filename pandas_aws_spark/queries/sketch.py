@@ -187,3 +187,82 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (p, name) in enumerate([(0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")])
     ]
     return ranked.select("event_type", "n_rows", *cols).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct-count sketch.
+# --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_DOMAIN = 268435456  # 2^28: the 7-hex-digit md5 hash space
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT c_mktsegment AS seg,
+         CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),1,7)) AS BIGINT) AS hv
+  FROM customer
+),
+ranked AS (SELECT seg, hv, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY hv) AS rn FROM h),
+stats AS (
+  SELECT seg, COUNT(*) AS n_h, MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS kth
+  FROM ranked GROUP BY seg
+),
+exact AS (SELECT c_mktsegment AS seg, COUNT(DISTINCT c_custkey) AS exact_distinct FROM customer GROUP BY seg)
+SELECT s.seg AS c_mktsegment,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN s.n_h < {_KMV_K} THEN s.n_h
+                 ELSE (CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN}) // s.kth END AS BIGINT) AS kmv_est,
+       (ABS(CAST(CASE WHEN s.n_h < {_KMV_K} THEN s.n_h
+                 ELSE (CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN}) // s.kth END AS BIGINT)
+            - e.exact_distinct) * 5 <= e.exact_distinct) AS est_within_tol
+FROM stats s JOIN exact e ON e.seg = s.seg ORDER BY c_mktsegment
+"""
+
+
+@query("q_sketch_kmv", oracle=_KMV_ORACLE, tags=("sketch", "distinct"))
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch per segment: keep the k
+    smallest hash values; when fewer than k distinct hashes exist the
+    sketch is exact, otherwise est = (k-1) * D / kth_min. Unlike HLL
+    (fixed registers), KMV sketches of different groups also merge by
+    a k-smallest union — the classic partition-then-merge distinct
+    estimator. The estimate itself is hash-compared (deterministic md5
+    hash space), plus the tolerance contract: |est - exact| <= 20% of
+    exact — an EMPIRICAL margin for k=256 on this data (max observed
+    14% at sf0.1; the analytic std err is ~1/sqrt(k) ~ 6%, so 20% is
+    ~3 sigma), mirrored literally by the oracle like the HLL entry.
+
+    Scale shape: per-group the shuffle carries at most k hash values
+    (rank <= k plans as WindowGroupLimit heaps after the distinct) —
+    sketch size is independent of group cardinality."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("seg").orderBy("hv")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.max(F.when(F.col("rn") <= _KMV_K, F.col("hv"))).alias("kth"),
+    )
+    exact = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_h") < _KMV_K, F.col("n_h")).otherwise(
+        F.expr(f"(CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN}) div kth")
+    ).cast("long")
+    return (
+        stats.join(exact, "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            est.alias("kmv_est"),
+            (F.abs(est - F.col("exact_distinct")) * 5 <= F.col("exact_distinct")).alias(
+                "est_within_tol"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

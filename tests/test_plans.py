@@ -137,6 +137,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_supplier_pareto",  # one-row revenue grand-total broadcast
         "q_drift_tvd",  # one-row time-range-midpoint broadcast
         "q_feature_target_encode",  # one-row global-positive-rate broadcast
+        "q_dedup_semantic",  # broadcast centroid fan-out (same as other IVF entries)
+        "q_sample_negative",  # one-row n_parts-domain broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
@@ -179,6 +181,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         "q_sim_ivf_fullprobe": "row_number()",
         "q_sim_ivf_probe2": "row_number()",
         "q_sim_ivf_pq": "row_number()",
+        "q_dedup_semantic": "row_number()",
     }
     streaming_prefixes = ("q_stream_",)
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

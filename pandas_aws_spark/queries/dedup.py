@@ -479,3 +479,71 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup: catches quote-inclusion / subset docs
+# that symmetric Jaccard misses.
+# --------------------------------------------------------------------------
+_CONTAIN_ORACLE = r"""
+WITH g AS (SELECT DISTINCT doc_id, lang, substring(text, CAST(i AS INT), 5) AS gm
+           FROM documents, UNNEST(range(1, length(text) - 3)) AS u(i)
+           WHERE length(text) >= 5),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+          FROM g a JOIN g b ON a.lang = b.lang AND a.gm = b.gm AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b,
+       CAST((1000000 * i.nc) // LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE (1000000 * i.nc) // LEAST(sa.n, sb.n) >= 800000
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAIN_ORACLE, tags=("dedup", "ngram"))
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram CONTAINMENT of the
+    smaller document in the larger, |A ∩ B| / min(|A|,|B|) — the
+    Broder containment measure. A short doc fully quoted inside a
+    long one scores ~1.0 here but low on Jaccard (the union is
+    dominated by the long doc), so this catches subset/quote dups
+    q_dedup_ngram_jaccard structurally cannot. Integer-ppm ratio, so
+    the threshold comparison is bit-portable.
+
+    Scale shape: same lang-blocked gram join as the Jaccard entry —
+    quadratic only within a (lang, gram) posting; sizes broadcast."""
+    from ..functions.texthash import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(char_ngrams("text", 5))).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("nc"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_g").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * nc) div least(n_a, n_b)").cast("long").alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= 800000)
+        .orderBy("id_a", "id_b")
+    )

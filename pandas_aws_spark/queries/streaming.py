@@ -477,3 +477,46 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed top-k: aggregate in the stream, rank on the
+# drained sink — the standard "trending items per window" topology.
+# --------------------------------------------------------------------------
+_STREAM_TOPK_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+                               ORDER BY n_events DESC, event_type) AS rk
+  FROM hourly
+)
+SELECT win_start, event_type, n_events, total_value, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY win_start, rk
+"""
+
+
+@query("q_stream_topk_per_window", oracle=_STREAM_TOPK_ORACLE, tags=("streaming", "topk"))
+def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items: watermarked tumbling counts maintained BY the
+    stream (state = open windows x types, watermark-bounded), top-3
+    ranking applied to the drained sink — ranking is not an
+    incremental operator (a rank can demote on any late arrival), so
+    the correct streaming topology is aggregate-in-stream +
+    rank-at-read, exactly what a serving layer does per refresh. The
+    post-drain rank is per-window (bounded groups: #event_types)."""
+    from pyspark.sql.window import Window
+
+    ev = events_stream(spark, sf_dir)
+    res = run_to_completion(
+        stream_tumbling_hourly(ev), "stream_topk_sink", output_mode="complete"
+    )
+    w = Window.partitionBy("win_start").orderBy(F.desc("n_events"), "event_type")
+    return (
+        res.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("win_start", "rk")
+    )

@@ -217,6 +217,14 @@ _DRIVER_WINDOW = (
     "q_graph_pagerank",
     "q_stream_sink_parquet",
     "q_text_pii_redact",
+    "q_drift_tvd",
+    "q_feature_target_encode",
+    "q_cdc_compact",
+    "q_time_rollup",
+    "q_text_domain_caps",
+    "q_dedup_semantic",
+    "q_sketch_kmv",
+    "q_sample_negative",
     # --- oldest evidence (r1-only): double-check ---
     "q04_order_priority",
     "q07_volume_shipping",
@@ -226,23 +234,19 @@ _DRIVER_WINDOW = (
     "q11_important_parts",
     "q13_customer_distribution",
     "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
     "q_cube_price",
     "q_quantile_stats",
     "q_events_sessionize",
     "q_events_tumbling_hourly",
 )
-# r1-proven entries displaced by the six new queries (still covered
-# by the local strict sweep): q_pivot_status, q_unpivot_metrics,
-# q_set_ops, q_scalar_functions, q_ntile_quartiles,
-# q06_forecast_revenue.
+# r1-proven entries displaced from the window by this round's 14 new
+# queries (all still covered by the local strict sweep, and all
+# hash-verified green in an earlier round): q_pivot_status,
+# q_unpivot_metrics, q_set_ops, q_scalar_functions, q_ntile_quartiles,
+# q06_forecast_revenue, q15_top_supplier, q16_supplier_part_counts,
+# q17_small_quantity_revenue, q18_large_volume_customers,
+# q19_discounted_revenue, q20_promotable_suppliers,
+# q21_waiting_suppliers, q22_global_sales_opportunity.
 
 
 def load_registry() -> dict[str, QuerySpec]:

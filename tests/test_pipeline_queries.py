@@ -119,3 +119,27 @@ def test_semantic_dedup_survivor_rule(spark, sf_dir):
     assert dropped_lows == 0
     total = emb.count()
     assert marked.count() == total  # every vector gets a verdict
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Every Jaccard>=0.8 pair must also be containment>=0.8 (containment
+    >= jaccard always, since min(|A|,|B|) <= union), and rank bounds hold."""
+    reg = load_registry()
+    jac = {(r["id_a"], r["id_b"]) for r in reg["q_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()}
+    con = {
+        (r["id_a"], r["id_b"]) for r in reg["q_dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    assert jac <= con
+
+
+def test_stream_topk_rank_bounds(spark, sf_dir):
+    rows = load_registry()["q_stream_topk_per_window"].fn(spark, sf_dir).collect()
+    assert rows
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r["win_start"], []).append(r)
+    for win, rs in by_win.items():
+        ranks = sorted(r["rk"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        counts = [r["n_events"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert counts == sorted(counts, reverse=True)

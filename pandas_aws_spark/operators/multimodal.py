@@ -28,6 +28,7 @@ __all__ = [
     "decode_image",
     "extract_byte_features",
     "sample_frame_offsets",
+    "chunk_payloads",
 ]
 
 
@@ -104,3 +105,46 @@ def sample_frame_offsets(df: DataFrame, n_frames: int = 4, payload_col: str = "p
         lambda i: F.floor(size * i / n_frames).cast("long"),
     )
     return df.withColumn("frame_offsets", offsets)
+
+
+_CHUNK_SCHEMA = "doc_id long, chunk_idx int, n_bytes int, chunk_checksum string"
+
+
+def chunk_payloads(
+    df: DataFrame, *, chunk_bytes: int = 256, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Split each binary payload into fixed-size chunks — the upload /
+    shard-for-transport step every blob pipeline needs (multipart
+    upload parts, KV-store value limits, embedding-model byte windows).
+    One output row per chunk: (id, chunk_idx, n_bytes, md5-of-chunk).
+
+    Arrow-batched ``mapInPandas``: the payload crosses into Python once
+    per batch; chunk rows are emitted per batch without ever
+    assembling a per-document list (no driver memory, no explode of a
+    materialized array). At scale the chunk table is written
+    partitioned by a hash of ``id`` so one giant blob cannot skew a
+    partition."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n = max(1, -(-len(b) // chunk_bytes)) if b else 0
+                for i in range(n):
+                    piece = b[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(piece))
+                    sums.append(hashlib.md5(piece).hexdigest())
+                if not b:  # zero-byte payload still yields one empty chunk row
+                    ids.append(doc_id)
+                    idxs.append(0)
+                    sizes.append(0)
+                    sums.append(hashlib.md5(b"").hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "n_bytes": sizes, "chunk_checksum": sums}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=_CHUNK_SCHEMA)

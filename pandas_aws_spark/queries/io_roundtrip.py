@@ -222,3 +222,44 @@ def q_io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+_COMPACT_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_io_compact_small_files", oracle=_COMPACT_ORACLE, tags=("io", "maintenance"))
+def q_io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction end-to-end: write documents fragmented
+    into 64 tiny files (the streaming-sink pathology), compact to a
+    byte-targeted file count through ``objectstore.compact_prefix``
+    (atomic temp-dir + swap), then prove BOTH properties — the file
+    count actually dropped (asserted here; a no-op "compaction" would
+    still pass a content check) and the content survived byte-exact
+    (the oracle hash on the read-back aggregate)."""
+    from ..objectstore import compact_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    path = f"file://{tmp}/docs_fragmented"
+    docs.repartition(64).write.mode("overwrite").parquet(path)
+    stats = compact_prefix(spark, path, target_bytes_per_file=64 * 1024 * 1024)
+    if not (stats["files_after"] < stats["files_before"]):
+        raise AssertionError(f"compaction did not reduce file count: {stats}")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+        .orderBy("lang")
+    )

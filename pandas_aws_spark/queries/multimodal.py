@@ -103,3 +103,60 @@ def q_multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode("frame_offsets").alias("frame_idx", "frame_offset"))
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Payload chunking (multipart-upload / transport sharding shape).
+# --------------------------------------------------------------------------
+_CHUNK_BYTES = 256
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS nb FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, nb,
+         CASE WHEN nb = 0 THEN 1 ELSE (nb + {_CHUNK_BYTES - 1}) // {_CHUNK_BYTES} END AS n_chunks,
+         CASE WHEN nb = 0 THEN 0
+              WHEN nb % {_CHUNK_BYTES} = 0 THEN nb // {_CHUNK_BYTES}
+              ELSE nb // {_CHUNK_BYTES} END AS n_full
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_full) AS BIGINT) AS n_full_chunks,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@query("q_multimodal_chunking", oracle=_CHUNK_ORACLE, tags=("multimodal", "udf"))
+def q_multimodal_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every payload into fixed 256-byte pieces through the
+    Arrow ``mapInPandas`` chunker (operators/multimodal.chunk_payloads)
+    and verify conservation: chunk counts match the ceil arithmetic
+    the oracle computes from byte lengths, and chunk bytes re-sum to
+    payload bytes exactly — the integrity contract of a multipart
+    upload. Joining chunk counts back to doc metadata stays on the
+    (doc_id) key — the blob itself never re-crosses a shuffle."""
+    from ..operators.multimodal import chunk_payloads
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    chunks = chunk_payloads(docs, chunk_bytes=_CHUNK_BYTES)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("n_bytes") == _CHUNK_BYTES, 1).otherwise(0)).alias("n_full"),
+        F.sum("n_bytes").alias("chunk_bytes"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_full").cast("long").alias("n_full_chunks"),
+            F.sum("chunk_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -143,3 +143,44 @@ def test_stream_topk_rank_bounds(spark, sf_dir):
         assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
         counts = [r["n_events"] for r in sorted(rs, key=lambda r: r["rk"])]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_chunking_conserves_bytes(spark, sf_dir):
+    """Chunk table re-assembles exactly: per-doc chunk sizes sum to the
+    payload size, indices are contiguous from 0, every non-final chunk
+    is full."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.multimodal import chunk_payloads, with_binary_payload
+    from pandas_aws_spark.registry import load_table
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    chunks = chunk_payloads(docs, chunk_bytes=256)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_bytes").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.min("chunk_idx").alias("min_idx"),
+        F.sum(F.when(F.col("n_bytes") == 256, 1).otherwise(0)).alias("n_full"),
+    )
+    joined = docs.select("doc_id", F.length("payload").alias("nb")).join(per_doc, "doc_id")
+    bad = joined.filter(
+        (F.col("total") != F.col("nb"))
+        | (F.col("max_idx") != F.col("n") - 1)
+        | (F.col("min_idx") != 0)
+        | (F.col("n_full") < F.col("n") - 1)
+    ).count()
+    assert bad == 0
+    assert joined.count() == docs.count()
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from pandas_aws_spark.objectstore import compact_prefix
+    from pandas_aws_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"file://{tmp_path}/frag"
+    docs.repartition(16).write.mode("overwrite").parquet(path)
+    stats = compact_prefix(spark, path, target_bytes_per_file=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == docs.count()

@@ -449,3 +449,124 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonality-aware anomaly detection: per (type, hour-of-day) baseline.
+# --------------------------------------------------------------------------
+_SEASONAL_ORACLE = """
+WITH m AS (
+  SELECT event_type, hour(ts) AS hod,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+  FROM events
+),
+base AS (
+  SELECT event_type, hod,
+         SUM(v_micro) // COUNT(*) AS mean_micro, COUNT(*) AS n
+  FROM m GROUP BY event_type, hod
+)
+SELECT m.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN m.v_micro > 2 * b.mean_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_above_2x,
+       CAST(MAX((1000000 * m.v_micro) // b.mean_micro) AS BIGINT) AS max_ratio_ppm
+FROM m JOIN base b ON b.event_type = m.event_type AND b.hod = m.hod
+GROUP BY m.event_type ORDER BY m.event_type
+"""
+
+
+@query("q_events_seasonal_anomaly", oracle=_SEASONAL_ORACLE, tags=("events", "monitoring", "stats"))
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: the baseline is the mean
+    PER (event type, hour-of-day) — so a 2x spike is judged against
+    what is normal for 3am, not the day's blended mean (which the
+    plain z-score entry q_events_zscore_outliers uses). Values ride
+    as exact decimal micros, so the 2x predicate and ratio are pure
+    int64 — no float division anywhere.
+
+    Scale shape: the baseline table is (types x 24) rows — broadcast
+    back onto the scan; two map-side-combinable hash aggregates, no
+    window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("long").alias("v_micro"),
+    )
+    base = m.groupBy("event_type", "hod").agg(
+        F.expr("sum(v_micro) div count(*)").alias("mean_micro")
+    )
+    joined = m.join(F.broadcast(base), ["event_type", "hod"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("v_micro") > 2 * F.col("mean_micro"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_2x"),
+            F.max(F.expr("(1000000 * v_micro) div mean_micro")).cast("long").alias("max_ratio_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market concentration: Herfindahl-Hirschman index of supplier revenue
+# share per nation.
+# --------------------------------------------------------------------------
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(25,6))
+              * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS rev_micro
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (SELECT s_nationkey, SUM(rev_micro) AS t FROM rev GROUP BY s_nationkey),
+shares AS (
+  SELECT r.s_nationkey, r.rev_micro // (t.t // 1000000) AS share_ppm
+  FROM rev r JOIN tot t ON t.s_nationkey = r.s_nationkey
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM shares sh JOIN nation n ON n.n_nationkey = sh.s_nationkey
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
+@query("q_supplier_hhi", oracle=_HHI_ORACLE, tags=("stats", "agg"))
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: sum of squared revenue shares, in ppm (1e6 = pure
+    monopoly). The concentration sibling of q_supplier_pareto (which
+    ranks the cumulative curve): HHI needs no ordering at all, so it
+    scales as two hash aggregates + a per-nation total join — shares
+    in integer ppm via exact decimal micro revenue.
+
+    Scale shape: group by (nation, supplier) is the only big shuffle;
+    the totals table is 25 rows broadcast; no window, no sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    from ..functions.stable import dsum_micro
+
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(dsum_micro("l_extendedprice").alias("rev_micro"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("rev_micro").alias("t"))
+    # share in ppm without overflow: divide the total down first
+    # (rev_micro * 1e6 would exceed int64 at real revenue volumes)
+    shares = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey", F.expr("rev_micro div (t div 1000000)").alias("share_ppm")
+    )
+    return (
+        shares.join(F.broadcast(nat), shares.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000").cast("long").alias("hhi_ppm"),
+        )
+        .orderBy("nation")
+    )

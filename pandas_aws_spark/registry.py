@@ -229,21 +229,22 @@ _DRIVER_WINDOW = (
     "q_dedup_containment",
     "q_multimodal_chunking",
     "q_io_compact_small_files",
+    "q_events_seasonal_anomaly",
+    "q_supplier_hhi",
     # --- oldest evidence (r1-only): double-check ---
     "q04_order_priority",
     "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
     "q_cube_price",
     "q_quantile_stats",
     "q_events_sessionize",
     "q_events_tumbling_hourly",
 )
-# r1-proven entries displaced from the window by this round's 18 new
+# r1-proven entries displaced from the window by this round's 20 new
 # queries (all still covered by the local strict sweep, and all
 # hash-verified green in an earlier round): q_pivot_status,
 # q_unpivot_metrics, q_set_ops, q_scalar_functions, q_ntile_quartiles,
-# q06_forecast_revenue, q10_returned_items, q11_important_parts,
+# q06_forecast_revenue, q08_market_share, q09_product_profit,
+# q10_returned_items, q11_important_parts,
 # q13_customer_distribution, q14_promo_effect,
 # q15_top_supplier, q16_supplier_part_counts,
 # q17_small_quantity_revenue, q18_large_volume_customers,

@@ -184,3 +184,23 @@ def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
     stats = compact_prefix(spark, path, target_bytes_per_file=64 * 1024 * 1024)
     assert stats["files_after"] < stats["files_before"]
     assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_seasonal_anomaly_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_events_seasonal_anomaly")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_above_2x"] <= r["n_events"]
+        # max ratio must exceed 1x whenever any point exceeds 2x baseline
+        if r["n_above_2x"] > 0:
+            assert r["max_ratio_ppm"] > 2_000_000
+
+
+def test_hhi_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_supplier_hhi")
+    assert rows
+    for r in rows:
+        # HHI of n equal shares = 1e6/n; bounds: [1e6/n, 1e6]
+        assert r["hhi_ppm"] <= 1_000_000
+        # truncation-tolerant lower bound
+        assert r["hhi_ppm"] >= 1_000_000 // r["n_suppliers"] - r["n_suppliers"]

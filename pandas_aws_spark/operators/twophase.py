@@ -40,6 +40,7 @@ __all__ = [
     "distributed_row_number",
     "distributed_ntile",
     "distributed_cumsum",
+    "distributed_grouped_cumsum",
 ]
 
 _PID = "_tp_pid"
@@ -144,6 +145,59 @@ def distributed_cumsum(
     )
     return (
         d.join(F.broadcast(offs), _PID)
+        .withColumn(out, F.col("_tp_local_cum") + F.col("_tp_off"))
+        .drop(_PID, "_tp_local_cum", "_tp_off")
+    )
+
+
+def distributed_grouped_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_by: Sequence[Column | str],
+    value_col: str,
+    *,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum over ``order_by``, scale-safe for LOW-
+    cardinality ``group_col`` (event types, status codes): the naive
+    ``Window.partitionBy(group)`` funnels each group through one task,
+    so 5 groups × 10^9 rows = 5 straggler tasks no matter how many
+    executors exist. Here the range partitioner keys on
+    ``(group, *order_by)``, so one group spans MANY ordered slices;
+    per-slice partial cumsums run in parallel and the per-(group,
+    slice) totals (≤ groups × slices rows — kilobytes) provide
+    broadcast prefix offsets within each group.
+
+    ``order_by`` must totally order rows WITHIN each group. For
+    high-cardinality groups (user ids), the plain partitioned window
+    is already parallel — use that instead; this helper's extra range
+    shuffle only pays for itself when group cardinality ≪ cores.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    d = _ranged(df, [F.col(group_col), *cols], num_partitions)
+    w_local = (
+        Window.partitionBy(_PID, group_col)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_tp_local_cum", F.sum(value_col).over(w_local))
+    totals = d.groupBy(_PID, group_col).agg(F.sum(value_col).alias("_tp_pt"))
+    # Offsets within each group across its ordered slices: the window is
+    # partitioned by group over a provably tiny input (one row per
+    # (group, range-slice) pair), never the data itself.
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        _PID,
+        group_col,
+        F.coalesce(F.sum("_tp_pt").over(w_off), F.lit(0)).alias("_tp_off"),
+    )
+    return (
+        d.join(F.broadcast(offs), [_PID, group_col])
         .withColumn(out, F.col("_tp_local_cum") + F.col("_tp_off"))
         .drop(_PID, "_tp_local_cum", "_tp_off")
     )

@@ -1575,3 +1575,74 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("node").alias("p_node"), F.col("r").alias("rank_ppm"))
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint scan: per-type cumulative deviation extremes.
+# --------------------------------------------------------------------------
+_CUSUM_ORACLE = """
+WITH v AS (
+  SELECT event_type, ts, user_id,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+  FROM events
+),
+st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v_micro) // COUNT(*) AS mean_micro
+  FROM v GROUP BY event_type
+),
+c AS (
+  SELECT v.event_type,
+         SUM(v.v_micro - st.mean_micro)
+             OVER (PARTITION BY v.event_type ORDER BY v.ts, v.user_id
+                   ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM v JOIN st USING (event_type)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum_micro,
+       CAST(MIN(cusum) AS BIGINT) AS min_cusum_micro
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_events_cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("events", "anomaly", "timeseries"))
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (Page 1954): per event type, the running
+    sum of deviations from the type mean; its extreme excursions are
+    the standard changepoint statistic — a mean shift mid-stream drives
+    |CUSUM| to a peak at the change. All arithmetic in exact integer
+    micro-units (row-local decimal cast, integer-division mean), so
+    the excursion extremes replay bit-for-bit in DuckDB.
+
+    Scale shape: the per-type ordered cumsum is the classic
+    few-groups/many-rows skew trap (5 types x 10^9 rows = 5 straggler
+    tasks under a plain partitioned window); it runs through
+    operators/twophase.distributed_grouped_cumsum — range-partitioned
+    on (type, ts, user_id), parallel partial cumsums, kilobyte
+    broadcast offsets. Type stats (5 rows) broadcast onto the scan."""
+    from ..operators.twophase import distributed_grouped_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "user_id",
+        (dec("value") * F.lit(1000000).cast("decimal(7,0)")).cast("long").alias("v_micro"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.expr("sum(v_micro) div count(*)").alias("mean_micro")
+    )
+    dev = ev.join(F.broadcast(st), "event_type").withColumn(
+        "dev", F.col("v_micro") - F.col("mean_micro")
+    )
+    cum = distributed_grouped_cumsum(
+        dev, "event_type", ["ts", "user_id"], "dev", out="cusum"
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("cusum").cast("long").alias("max_cusum_micro"),
+            F.min("cusum").cast("long").alias("min_cusum_micro"),
+        )
+        .orderBy("event_type")
+    )

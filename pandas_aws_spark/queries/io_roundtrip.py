@@ -263,3 +263,76 @@ def q_io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: both fact tables pre-bucketed on the join
+# key -> the join runs with ZERO shuffle exchanges (plan-asserted).
+# --------------------------------------------------------------------------
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {sql_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q_io_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("io", "join", "layout", "scale"))
+def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed table layout — the
+    Spark analogue of the reference's DISTKEY co-location
+    (``redshift.py:229-237``, SURVEY.md K8): write lineitem and orders
+    ``bucketBy(8, orderkey)`` + in-bucket sorted, then join on the
+    bucket key. Both scans are already hash-co-partitioned, so the
+    sort-merge join needs NO Exchange — asserted on the physical plan
+    before the action runs (a layout regression fails loudly instead
+    of silently re-shuffling 100 TB).
+
+    At scale this is THE layout decision for recurring fact joins:
+    pay one bucketed write, then every subsequent join on that key
+    skips its shuffle entirely. The merge hint pins the strategy so
+    the assertion is deterministic (AQE would otherwise broadcast at
+    this sf and hide the layout property being proven)."""
+    import uuid
+
+    from ..plans.inspect import num_shuffles, physical_plan
+
+    sfx = uuid.uuid4().hex[:8]
+    li_name, od_name = f"li_bkt_{sfx}", f"od_bkt_{sfx}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    try:
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_name)
+        )
+        (
+            od.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(od_name)
+        )
+        a, b = spark.table(li_name), spark.table(od_name)
+        joined = a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey)
+        shuffles = num_shuffles(joined)
+        if shuffles != 0:
+            raise AssertionError(
+                f"bucketed join planned {shuffles} shuffle(s) — layout not used:\n"
+                + physical_plan(joined)
+            )
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return out.localCheckpoint(eager=True)  # materialize before dropping tables
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {od_name}")

@@ -160,3 +160,75 @@ def q_multimodal_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Shard manifest: pack payloads into size-bounded shards (WebDataset
+# layout) and emit the per-shard manifest.
+# --------------------------------------------------------------------------
+_SHARD_BYTES = 2048
+_SHARD_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS nb FROM documents
+),
+c AS (
+  SELECT source, doc_id, nb,
+         SUM(nb) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+s AS (
+  SELECT source, doc_id, nb,
+         CAST((cum - nb) // {_SHARD_BYTES} AS BIGINT) AS shard_id FROM c
+)
+SELECT source, shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q_multimodal_shard_manifest", oracle=_SHARD_ORACLE, tags=("multimodal", "packing", "io"))
+def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bounded shard packing for binary payloads — the WebDataset /
+    tar-shard layout step of a multimodal training pipeline: lay each
+    source's payloads out in id order, cut at a 2 KiB byte budget, and
+    emit the shard manifest (item count, byte size, id range) a
+    downstream dataloader consumes. Shards land in
+    [budget, budget + max_item); one pathological item only ever
+    overflows its own shard.
+
+    Scale shape: the per-source byte cumsum runs through the grouped
+    two-phase pattern (operators/twophase.distributed_grouped_cumsum)
+    — range-partition on (source, doc_id) keeps a 10^9-item source
+    spread across many parallel slices instead of one straggler task,
+    with kilobyte broadcast prefix offsets; then one hash aggregate
+    to manifest rows. The payload bytes themselves never shuffle —
+    only (source, doc_id, n_bytes) metadata."""
+    from ..operators.twophase import distributed_grouped_cumsum
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    meta = docs.select(
+        "source", "doc_id", F.col("media_meta.n_bytes").alias("nb")
+    )
+    cum = distributed_grouped_cumsum(
+        meta, "source", ["doc_id"], "nb", out="cum"
+    )
+    shards = cum.select(
+        "source",
+        "doc_id",
+        "nb",
+        F.expr(f"(cum - nb) div {_SHARD_BYTES}").alias("shard_id"),
+    )
+    return (
+        shards.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nb").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -570,3 +570,118 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group reservoir sample: k docs per source.
+# --------------------------------------------------------------------------
+_RESERVOIR_K = 7
+_RESERVOIR_ORACLE = f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) AS p
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY p, doc_id) AS rn
+  FROM pri
+)
+SELECT source,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM ranked WHERE rn <= {_RESERVOIR_K}
+GROUP BY source ORDER BY source
+"""
+
+
+@query("q_sample_reservoir_group", oracle=_RESERVOIR_ORACLE, tags=("sampling", "topk"))
+def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sampling (k docs per source) via
+    content-hash priorities — the reproducible replacement for
+    per-group reservoir sampling, whose picks depend on encounter
+    order. A pure function of the data: identical across reruns,
+    repartitions, and engines (the DuckDB oracle replays the exact
+    md5-priority arithmetic).
+
+    Scale shape: one shuffle on source + a WindowGroupLimit top-k
+    heap per partition — skewed groups stream through a k-row heap,
+    nothing materializes a whole group. See
+    operators/sampling.py:reservoir_per_group."""
+    from ..operators.sampling import reservoir_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = reservoir_per_group(docs, "doc_id", "source", _RESERVOIR_K)
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sample_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick featurization: tokens -> fixed 512-bucket space.
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 512
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT source,
+         (CAST(concat('0x', substring(md5(CAST(tok AS VARCHAR)),1,7)) AS BIGINT) % {_FH_BUCKETS}) AS bucket
+  FROM toks WHERE tok <> ''
+),
+loads AS (
+  SELECT source, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS nnz_buckets,
+       CAST(MAX(cnt) AS BIGINT) AS max_bucket_load,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens
+FROM loads GROUP BY source ORDER BY source
+"""
+
+
+@query("q_feature_hashing_trick", oracle=_FH_ORACLE, tags=("features", "encoding", "text"))
+def q_feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): project an
+    unbounded token vocabulary onto a fixed 512-bucket feature space
+    with a stable hash — no vocabulary build, no dictionary shuffle,
+    the standard trick for streaming feature extraction at corpus
+    scale. Reports per-source sparsity (nonzero buckets), hottest
+    bucket load (collision pressure), and token mass.
+
+    Scale shape: explode -> hash -> two hash aggregates; the token
+    explosion never leaves the map side before the (source, bucket)
+    partial aggregation, so the shuffle carries at most
+    sources x 512 rows per task — constant in corpus size."""
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    loads = (
+        toks.select("source", hash_bucket(F.col("tok"), _FH_BUCKETS).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        loads.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nnz_buckets"),
+            F.max("cnt").cast("long").alias("max_bucket_load"),
+            F.sum("cnt").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

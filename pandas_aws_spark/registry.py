@@ -231,17 +231,19 @@ _DRIVER_WINDOW = (
     "q_io_compact_small_files",
     "q_events_seasonal_anomaly",
     "q_supplier_hhi",
+    "q_io_bucketed_join",
+    "q_sample_reservoir_group",
+    "q_feature_hashing_trick",
+    "q_multimodal_shard_manifest",
+    "q_events_cusum_changepoint",
     # --- oldest evidence (r1-only): double-check ---
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q_cube_price",
-    "q_quantile_stats",
-    "q_events_sessionize",
     "q_events_tumbling_hourly",
 )
-# r1-proven entries displaced from the window by this round's 20 new
+# r1-proven entries displaced from the window by this round's new
 # queries (all still covered by the local strict sweep, and all
-# hash-verified green in an earlier round): q_pivot_status,
+# hash-verified green in an earlier round): q04_order_priority,
+# q07_volume_shipping, q_cube_price, q_quantile_stats,
+# q_events_sessionize, q_pivot_status,
 # q_unpivot_metrics, q_set_ops, q_scalar_functions, q_ntile_quartiles,
 # q06_forecast_revenue, q08_market_share, q09_product_profit,
 # q10_returned_items, q11_important_parts,

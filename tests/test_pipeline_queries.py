@@ -204,3 +204,42 @@ def test_hhi_bounds(spark, sf_dir):
         assert r["hhi_ppm"] <= 1_000_000
         # truncation-tolerant lower bound
         assert r["hhi_ppm"] >= 1_000_000 // r["n_suppliers"] - r["n_suppliers"]
+
+
+def test_reservoir_per_group_is_deterministic_and_k_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.sampling import reservoir_per_group
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    a = reservoir_per_group(df, "id", "grp", 5)
+    b = reservoir_per_group(df.repartition(13), "id", "grp", 5)
+    rows_a = sorted((r.grp, r.id) for r in a.collect())
+    rows_b = sorted((r.grp, r.id) for r in b.collect())
+    assert rows_a == rows_b  # partitioning-independent
+    sizes = {g: n for g, n in a.groupBy("grp").count().collect()}
+    assert sizes == {"0": 5, "1": 5, "2": 5, "3": 5}
+
+
+def test_reservoir_per_group_small_groups_keep_everything(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.sampling import reservoir_per_group
+
+    df = spark.range(6).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    assert reservoir_per_group(df, "id", "grp", 10).count() == 6
+
+
+def test_reservoir_per_group_rejects_bad_k(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.sampling import reservoir_per_group
+
+    df = spark.range(3).select(F.col("id"), F.lit("g").alias("grp"))
+    with pytest.raises(ValueError, match="k must be positive"):
+        reservoir_per_group(df, "id", "grp", 0)

@@ -91,3 +91,40 @@ def test_no_unbounded_unpartitioned_window_in_plan(spark, data):
     assert flagged, "expected the bounded offset windows to be visible"
     for line in flagged:
         assert "_tp_pid" in line, f"unpartitioned window over data path: {line}"
+
+
+def test_grouped_cumsum_matches_partitioned_window(spark, data):
+    from pandas_aws_spark.operators.twophase import distributed_grouped_cumsum
+
+    d = data.withColumn("grp", (F.col("id") % 3).cast("string"))
+    want = d.withColumn(
+        "cum",
+        F.sum("x").over(
+            Window.partitionBy("grp")
+            .orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = distributed_grouped_cumsum(
+        d, "grp", ["v", "id"], "x", out="cum", num_partitions=7
+    )
+    assert _rows(got, "id", "cum") == _rows(want, "id", "cum")
+
+
+def test_grouped_cumsum_single_row_groups(spark):
+    from pandas_aws_spark.operators.twophase import distributed_grouped_cumsum
+
+    d = spark.range(5).select(
+        F.col("id"), F.col("id").cast("string").alias("grp"), F.lit(2).alias("x")
+    )
+    got = distributed_grouped_cumsum(d, "grp", ["id"], "x", out="cum", num_partitions=3)
+    assert _rows(got, "id", "cum") == [(i, 2) for i in range(5)]
+
+
+def test_grouped_cumsum_no_data_path_unpartitioned_window(spark, data):
+    from pandas_aws_spark.operators.twophase import distributed_grouped_cumsum
+    from pandas_aws_spark.plans.inspect import unpartitioned_windows
+
+    d = data.withColumn("grp", (F.col("id") % 3).cast("string"))
+    got = distributed_grouped_cumsum(d, "grp", ["v", "id"], "x", num_partitions=7)
+    assert unpartitioned_windows(got) == []

@@ -336,3 +336,47 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {li_name}")
         spark.sql(f"DROP TABLE IF EXISTS {od_name}")
+
+
+# --------------------------------------------------------------------------
+# JSONL round-trip: the interchange format of LLM corpus tooling.
+# --------------------------------------------------------------------------
+_JSONL_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_io_roundtrip_jsonl", oracle=_JSONL_ORACLE, tags=("io",))
+def q_io_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> gzip JSON-lines -> read back with explicit schema
+    -> aggregate. JSONL is the lingua franca of LLM corpus tooling
+    (every open dataset ships as .jsonl.gz), one format past the
+    reference's csv/parquet/pickle/xlsx set (``s3.py:211-240``) using
+    the same write_df/read_df dispatch. Explicit read schema — JSON
+    inference is a full extra pass over the data at scale, and
+    silently widens absent fields to string."""
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="roundtrip_jsonl_")
+    path = f"file://{tmp}/docs_jsonl"
+    write_df(docs, path, format="json", compression="gzip", parts=4)
+    back = read_df(
+        spark,
+        path,
+        format="json",
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+        .orderBy("source")
+    )

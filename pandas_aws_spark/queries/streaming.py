@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import sql_dsum
+from ..functions.stable import dsum, sql_dsum
 from ..registry import query
 from ..streaming.pipeline import (
     events_stream,
@@ -520,3 +520,107 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("win_start", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC apply: foreachBatch keyed upsert into a parquet target.
+# --------------------------------------------------------------------------
+_UPSERT_STREAM_ORACLE = f"""
+WITH last AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       {sql_dsum('value')} AS total_value
+FROM last WHERE rn = 1
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_upsert_foreachbatch",
+    oracle=_UPSERT_STREAM_ORACLE,
+    tags=("streaming", "upsert", "cdc"),
+)
+def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the reference's ``upsert_rows`` merge
+    (``redshift.py:386-416``) lifted into Structured Streaming: the
+    event stream arrives in paced micro-batches (8 landing files, 2
+    per trigger -> 4 real triggers) and ``foreachBatch`` merges each
+    batch into a parquet target keyed on user_id, keeping the row
+    with the greatest (ts, event_id) — last-write-wins by EVENT time,
+    not arrival order, so out-of-order batches converge to the same
+    state. foreachBatch is at-least-once; this merge is idempotent
+    (max-struct of a set is replay-invariant), which is the standard
+    exactly-once-effect recipe for non-transactional sinks.
+
+    Scale shape: each merge is one hash aggregate per batch plus a
+    target re-aggregate keyed on user_id — no sort, no window over
+    the data path; the target stays one row per user. In production
+    the read-merge-rewrite becomes Delta/Iceberg MERGE; the
+    batch-local max-struct pre-reduce stays exactly as written."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..registry import load_table
+
+    base = tempfile.mkdtemp(prefix="pas_stream_upsert_")
+    landing, target, ckpt = f"{base}/landing", f"{base}/target", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    ev.repartition(8).write.mode("overwrite").parquet(landing)
+
+    def _lww(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "value", "event_type")).alias("s")
+        ).select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+            F.col("s.event_type").alias("event_type"),
+        )
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        merged = _lww(batch_df)
+        if os.path.isdir(target):
+            merged = _lww(sp.read.parquet(target).unionByName(merged))
+        # materialize before overwriting the path being read
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            events_stream(spark, sf_dir, max_files_per_trigger=2, path=landing)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    final = spark.read.parquet(target)
+    out = (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach from the temp dir before cleanup
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

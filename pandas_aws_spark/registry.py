@@ -236,9 +236,12 @@ _DRIVER_WINDOW = (
     "q_feature_hashing_trick",
     "q_multimodal_shard_manifest",
     "q_events_cusum_changepoint",
-    # --- oldest evidence (r1-only): double-check ---
-    "q_events_tumbling_hourly",
+    "q_stream_upsert_foreachbatch",
 )
+# Round-5 rotation queue (registered after the window, externally
+# unverified until rotated in): q_io_roundtrip_jsonl, plus any query
+# added after this comment. Displaced re-check q_events_tumbling_hourly
+# remains r1-verified green.
 # r1-proven entries displaced from the window by this round's new
 # queries (all still covered by the local strict sweep, and all
 # hash-verified green in an earlier round): q04_order_priority,

@@ -463,3 +463,165 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-median spike detection (robust smoothing over a 5-row frame).
+# --------------------------------------------------------------------------
+_ROLLMED_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_type, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+  FROM events
+),
+w AS (
+  SELECT user_id, event_type, v_micro,
+         list_sort(list(v_micro) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+  FROM v
+),
+m AS (
+  SELECT user_id, event_type, v_micro,
+         win[(len(win) + 1) // 2] AS med_micro
+  FROM w
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN med_micro > 0 AND v_micro > 2 * med_micro
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+       CAST(SUM(CASE WHEN med_micro > 0 AND v_micro > 2 * med_micro
+                     THEN v_micro ELSE 0 END) AS BIGINT) AS spike_mass_micro
+FROM m GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_events_rolling_median", oracle=_ROLLMED_ORACLE, tags=("events", "window", "anomaly"))
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spike detection: flag an event whose value exceeds 2x the
+    rolling MEDIAN of the user's trailing 5 events — the median (unlike
+    the rolling mean) is not dragged up by the spike itself, the
+    standard robustness argument. The lower median of the sorted frame
+    is exact integer arithmetic end to end, so detection replays
+    bit-for-bit in DuckDB.
+
+    Scale shape: one shuffle on user_id (high cardinality — naturally
+    parallel), a 5-row sliding frame (constant memory per row, no
+    whole-partition buffering), then a tiny hash aggregate. The
+    sort of 5 elements per row is O(1); no global ordering anywhere."""
+    from ..functions.stable import dec
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        (dec("value") * F.lit(1000000).cast("decimal(7,0)")).cast("long").alias("v_micro"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    med = ev.withColumn("win", F.sort_array(F.collect_list("v_micro").over(w))).withColumn(
+        "med_micro", F.expr("win[((size(win) + 1) div 2) - 1]")  # 0-based
+    )
+    spike = (F.col("med_micro") > 0) & (F.col("v_micro") > 2 * F.col("med_micro"))
+    return (
+        med.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(spike, 1).otherwise(0)).cast("long").alias("n_spikes"),
+            F.sum(F.when(spike, F.col("v_micro")).otherwise(0))
+            .cast("long")
+            .alias("spike_mass_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage: merge overlapping activity windows per user.
+# --------------------------------------------------------------------------
+_COVERAGE_WIN_S = 1800  # each event opens a 30-minute activity window
+_COVERAGE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + {_COVERAGE_WIN_S}::BIGINT * 1000000 AS e_us
+  FROM events
+),
+flag AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag
+),
+merged AS (
+  SELECT user_id, island, MIN(s_us) AS m_s, MAX(e_us) AS m_e
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(SUM((m_e - m_s) // 1000000) AS BIGINT) AS covered_s
+FROM merged GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q_events_interval_coverage", oracle=_COVERAGE_ORACLE, tags=("events", "window", "session"))
+def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (the classic merge-overlapping-intervals
+    problem, distributed): every event opens a 30-minute activity
+    window; overlapping windows merge into islands and each user
+    reports island count + total covered seconds. Differs from
+    sessionization by gap: islands are defined by interval OVERLAP
+    (an event landing inside an open window extends it), the shape
+    used for utilization, billing, and uptime math.
+
+    Scale shape: one shuffle on user_id; the island detector is a
+    running MAX over end-times (streaming frame, constant memory) —
+    no self-join, no explode of the interval span; integer epoch
+    microseconds end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(_COVERAGE_WIN_S * 1_000_000)).alias("e_us"),
+    )
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = (
+        iv.withColumn(
+            "new_island",
+            F.when(F.col("s_us") > F.max("e_us").over(w_prev), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("m_s"), F.max("e_us").alias("m_e")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.expr("sum((m_e - m_s) div 1000000)").cast("long").alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -880,3 +880,53 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary statistics: type counts, hapax legomena, Heaps-law ratio.
+# --------------------------------------------------------------------------
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+),
+freq AS (
+  SELECT source, tok, COUNT(*) AS f FROM toks WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       CAST(SUM(f) AS BIGINT) AS total_tokens,
+       CAST((1000000 * COUNT(*)) // SUM(f) AS BIGINT) AS type_token_ppm
+FROM freq GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_vocab_hapax", oracle=_VOCAB_ORACLE, tags=("text", "stats", "quality"))
+def q_text_vocab_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile per source: distinct token types,
+    hapax legomena (tokens seen exactly once — the Heaps-law tail that
+    dominates vocabulary growth and signals OCR noise / boilerplate
+    when it collapses), total token mass, and the type/token ratio in
+    integer ppm. The lexical-diversity cut of corpus QA that the
+    per-doc Gopher rules can't see (they never aggregate across docs).
+
+    Scale shape: explode -> (source, token) hash aggregate with
+    map-side partial counts, then a per-source rollup; the only
+    shuffle carries distinct (source, token) partials. No windows,
+    no sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("hapax_count"),
+            F.sum("f").cast("long").alias("total_tokens"),
+            F.expr("(1000000 * count(*)) div sum(f)").cast("long").alias("type_token_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -239,9 +239,10 @@ _DRIVER_WINDOW = (
     "q_stream_upsert_foreachbatch",
 )
 # Round-5 rotation queue (registered after the window, externally
-# unverified until rotated in): q_io_roundtrip_jsonl, plus any query
-# added after this comment. Displaced re-check q_events_tumbling_hourly
-# remains r1-verified green.
+# unverified until rotated in): q_io_roundtrip_jsonl,
+# q_events_rolling_median, q_events_interval_coverage,
+# q_text_vocab_hapax, plus any query added after this comment.
+# Displaced re-check q_events_tumbling_hourly remains r1-verified green.
 # r1-proven entries displaced from the window by this round's new
 # queries (all still covered by the local strict sweep, and all
 # hash-verified green in an earlier round): q04_order_priority,

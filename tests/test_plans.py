@@ -154,8 +154,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
             bad[name] = dict(js)
     assert not bad, f"unintended cartesian/NLJ plans: {bad}"
     # sanity cap: the skip list must stay the enumerable side-effect set
-    # (streaming + io/warehouse writers), not silently absorb new queries
-    assert len(skipped) < 25
+    # (streaming + io/warehouse writers), not silently absorb new queries.
+    # Raised 25 -> 28 for q_io_bucketed_join + q_io_roundtrip_jsonl +
+    # q_stream_upsert_foreachbatch (all genuine writers/streams).
+    assert len(skipped) < 28
 
 
 def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):

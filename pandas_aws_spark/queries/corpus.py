@@ -1,0 +1,280 @@
+"""Corpus-statistics queries on ``documents`` — boilerplate detection,
+unigram-LM surprisal scoring, and estimator-error audits. These are the
+corpus-health tools a training-data pipeline runs between dedup and
+packing: find template/boilerplate contamination, score documents by
+how "surprising" their tokens are under the corpus's own unigram model
+(the integer-exact cousin of CCNet's LM-perplexity filter), and measure
+how far the MinHash Jaccard *estimate* drifts from the exact value on
+real candidate pairs.
+
+Every query is fully DuckDB-replayable: hashing is md5-based, ratios
+are integer ppm, and the log2 in the surprisal score is the exact
+integer ``length(bin(n)) - 1`` — no floating point anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.texthash import tokens
+from ..operators.dedup import (
+    doc_shingle_hashes,
+    doc_shingles,
+    lsh_band_buckets,
+    minhash_signatures,
+)
+from ..registry import load_table, query
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# --------------------------------------------------------------------------
+# Boilerplate n-grams: shingles shared by many documents are template
+# text; flag documents dominated by them.
+# --------------------------------------------------------------------------
+
+_BOILER_DF = 4  # a 3-gram present in >= this many docs counts as boilerplate
+_BOILER_FLAG_PPM = 300000  # flag docs whose boilerplate share >= 30%
+
+_BOILER_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+pd AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+              SUM(CASE WHEN f.df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS n_boiler
+       FROM sh s JOIN dfreq f USING (shingle) GROUP BY s.doc_id),
+x AS (SELECT d.source, (pd.n_boiler * 1000000) // pd.n_shingles AS ppm
+      FROM pd JOIN documents d USING (doc_id))
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ppm) AS BIGINT) AS sum_boiler_ppm,
+       CAST(SUM(CASE WHEN ppm >= {_BOILER_FLAG_PPM} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM x GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_boilerplate_ngrams", oracle=_BOILER_ORACLE, tags=("text", "quality", "dedup"))
+def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: a distinct 3-gram appearing in
+    >= 4 documents is 'boilerplate'; each doc's boilerplate share (ppm
+    of its distinct shingles) rolls up per source with a >=30% flag
+    count.
+
+    Scale shape: shingle doc-frequency is ONE groupBy on the shingle
+    string (map-side distinct via ``array_distinct`` before the
+    explode), and the join back to per-doc shingles re-uses that same
+    hash partitioning — two narrow shuffles total, no pairwise stage.
+    Docs with < 3 tokens have no shingles and drop out (mirrored by the
+    oracle's ``len(toks) >= 3``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", k=3)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    ppm = per_doc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.expr("n_boiler * 1000000 div n_shingles").alias("ppm")
+    )
+    return (
+        ppm.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ppm").alias("sum_boiler_ppm"),
+            F.sum(F.when(F.col("ppm") >= _BOILER_FLAG_PPM, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal: integer-exact perplexity proxy. Each token costs
+# floor(log2(N / count(w))) bits under the corpus's own unigram model;
+# documents full of rare words cost more bits per token.
+# --------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, UNNEST({_TOKS}) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+tot AS (SELECT SUM(cnt) AS n_total FROM wc),
+cost AS (SELECT w, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS bits FROM wc, tot),
+pd AS (SELECT t.doc_id, t.source, COUNT(*) AS n_toks, SUM(c.bits) AS bits
+       FROM tok t JOIN cost c USING (w) GROUP BY t.doc_id, t.source)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST((SUM(bits) * 1000000) // SUM(n_toks) AS BIGINT) AS avg_bits_ppm
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_unigram_surprisal", oracle=_SURPRISAL_ORACLE, tags=("text", "quality", "model"))
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring, the integer-exact analogue of
+    perplexity filtering: token cost = floor(log2(N / count(w))) bits,
+    computed as ``length(bin(N div cnt)) - 1`` so Spark and DuckDB
+    agree bit-for-bit (no float log anywhere).
+
+    Scale shape: the model is ONE vocabulary-sized aggregate; the
+    grand total broadcasts as a single row; the token->cost join
+    shuffles on the word (vocabulary-bounded, AQE broadcasts it when
+    small). Per-doc and per-source rollups are ordinary partial aggs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("n_total"))
+    cost = wc.crossJoin(F.broadcast(total)).select(
+        "w", (F.length(F.bin(F.expr("n_total div cnt"))) - 1).cast("long").alias("bits")
+    )
+    per_doc = (
+        tok.join(cost, "w")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_toks"), F.sum("bits").alias("bits"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("bits").alias("total_bits"),
+            F.expr("sum(bits) * 1000000 div sum(n_toks)").alias("avg_bits_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-error audit: on LSH candidate pairs, compare the
+# 8-hash signature estimate of Jaccard against the exact hashed-shingle
+# Jaccard, grouped by the number of matching signature slots.
+# --------------------------------------------------------------------------
+
+_MINHASH_ERR_ORACLE = r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+hh AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
+       FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+est AS (SELECT c.id_a, c.id_b,
+               (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+              + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
+              + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END
+              + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END
+               ) AS matches
+        FROM cand c JOIN mh a ON a.doc_id = c.id_a JOIN mh b ON b.doc_id = c.id_b),
+inter AS (SELECT c.id_a, c.id_b, COUNT(b.h) AS nc
+          FROM cand c
+          JOIN hh a ON a.doc_id = c.id_a
+          LEFT JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
+          GROUP BY c.id_a, c.id_b),
+pairs AS (SELECT e.id_a, e.id_b, e.matches,
+                 (i.nc * 1000000) // (sa.n + sb.n - i.nc) AS exact_ppm,
+                 e.matches * 125000 AS est_ppm
+          FROM est e
+          JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+          JOIN sizes sa ON sa.doc_id = e.id_a
+          JOIN sizes sb ON sb.doc_id = e.id_b)
+SELECT matches,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS avg_exact_ppm,
+       CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS avg_abs_err_ppm
+FROM pairs GROUP BY matches ORDER BY matches
+"""
+
+
+@query("q_dedup_minhash_error", oracle=_MINHASH_ERR_ORACLE, tags=("dedup", "lsh", "quality"))
+def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-error audit for MinHash: on every LSH candidate pair,
+    compare the signature estimate (matching slots / 8, in ppm) to the
+    exact hashed-shingle Jaccard, grouped by matching-slot count. This
+    is the calibration table that tells you whether the (bands, rows)
+    configuration is honest at your similarity threshold.
+
+    Scale shape: identical to the production MinHash pipeline — the
+    pair space is only LSH collisions, signature joins carry 8 longs,
+    and the exact-Jaccard verify joins on the 28-bit shingle hash. No
+    stage is pairwise over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = doc_shingle_hashes(docs, "doc_id", "text", k=3)
+    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sigs = minhash_signatures(hashes, "doc_id", n_hashes=8)
+    bands = lsh_band_buckets(sigs, "doc_id", bands=4, rows=2)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+    match_expr = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(8)
+    )
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", match_expr.cast("long").alias("matches")
+    )
+    ha = hashes.select(F.col("doc_id").alias("id_a"), "h")
+    hb = hashes.select(F.col("doc_id").alias("_id_b2"), F.col("h").alias("hb"))
+    inter = (
+        cand.join(ha, "id_a")
+        .join(hb, (F.col("id_b") == F.col("_id_b2")) & (F.col("h") == F.col("hb")), "left")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("hb").alias("nc"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    pairs = (
+        est.join(inter, ["id_a", "id_b"])
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "matches",
+            F.expr("nc * 1000000 div (na + nb - nc)").alias("exact_ppm"),
+            (F.col("matches") * 125000).alias("est_ppm"),
+        )
+    )
+    return (
+        pairs.groupBy("matches")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("sum(exact_ppm) div count(*)").alias("avg_exact_ppm"),
+            F.expr("sum(abs(est_ppm - exact_ppm)) div count(*)").alias("avg_abs_err_ppm"),
+        )
+        .orderBy("matches")
+    )

@@ -625,3 +625,58 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# --------------------------------------------------------------------------
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+trans AS (
+  SELECT prev, event_type AS next, COUNT(*) AS n_trans
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+)
+SELECT prev, next, n_trans,
+       CAST((n_trans * 1000000) // SUM(n_trans) OVER (PARTITION BY prev) AS BIGINT) AS prob_ppm
+FROM trans
+ORDER BY prev, next
+"""
+
+
+@query("q_events_markov_chain", oracle=_MARKOV_ORACLE, tags=("events", "sequence", "model"))
+def q_events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next | prev) in integer ppm — the behavioral model
+    behind next-action prediction and anomaly scoring on session data.
+
+    Scale shape: ONE shuffle on user_id for the lag window (sequence
+    order is (ts, event_id), tie-free), then a bounded aggregation —
+    the transition matrix is |event_types|^2 rows, so the per-prev
+    normalizing window runs over a provably tiny table.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n_trans")
+    )
+    w_prev = Window.partitionBy("prev")
+    return (
+        trans.withColumn("_tot", F.sum("n_trans").over(w_prev))
+        .select(
+            "prev",
+            "next",
+            "n_trans",
+            F.expr("n_trans * 1000000 div _tot").alias("prob_ppm"),
+        )
+        .orderBy("prev", "next")
+    )

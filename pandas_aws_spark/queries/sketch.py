@@ -266,3 +266,178 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV union-merge: pairwise audience overlap (Jaccard) between event
+# types from mergeable bottom-k sketches, vs the exact answer.
+# --------------------------------------------------------------------------
+_KMVJ_K = 128
+_KMVJ_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS seg,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) AS hv
+  FROM events
+),
+ranked AS (SELECT seg, hv, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY hv) AS rn FROM h),
+bottomk AS (SELECT seg, hv FROM ranked WHERE rn <= {_KMVJ_K}),
+stats AS (
+  SELECT seg, COUNT(*) AS n_h, MAX(CASE WHEN rn <= {_KMVJ_K} THEN hv END) AS kth
+  FROM ranked GROUP BY seg
+),
+est AS (
+  SELECT seg, n_h,
+         CAST(CASE WHEN n_h < {_KMVJ_K} THEN n_h
+              ELSE (CAST({_KMVJ_K - 1} AS BIGINT) * {_KMV_DOMAIN}) // kth END AS BIGINT) AS est_n
+  FROM stats
+),
+pairs AS (
+  SELECT a.seg AS type_a, b.seg AS type_b, a.est_n AS est_a, b.est_n AS est_b,
+         a.n_h AS nha, b.n_h AS nhb
+  FROM est a JOIN est b ON a.seg < b.seg
+),
+merged AS (
+  SELECT p.type_a, p.type_b, k.hv
+  FROM pairs p JOIN bottomk k ON k.seg = p.type_a
+  UNION
+  SELECT p.type_a, p.type_b, k.hv
+  FROM pairs p JOIN bottomk k ON k.seg = p.type_b
+),
+mranked AS (SELECT type_a, type_b, hv,
+                   ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+            FROM merged),
+mstats AS (
+  SELECT type_a, type_b, COUNT(*) AS n_hu,
+         MAX(CASE WHEN rn <= {_KMVJ_K} THEN hv END) AS kthu
+  FROM mranked GROUP BY type_a, type_b
+),
+uest AS (
+  SELECT p.type_a, p.type_b, p.est_a, p.est_b,
+         CAST(CASE WHEN p.nha < {_KMVJ_K} AND p.nhb < {_KMVJ_K} THEN m.n_hu
+              ELSE (CAST({_KMVJ_K - 1} AS BIGINT) * {_KMV_DOMAIN}) // m.kthu END AS BIGINT) AS est_union
+  FROM pairs p JOIN mstats m ON m.type_a = p.type_a AND m.type_b = p.type_b
+),
+u AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+xinter AS (
+  SELECT a.seg AS type_a, b.seg AS type_b, COUNT(*) AS n_inter
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.seg < b.seg
+  GROUP BY a.seg, b.seg
+),
+xsize AS (SELECT seg, COUNT(*) AS n FROM u GROUP BY seg)
+SELECT e.type_a AS type_a, e.type_b AS type_b,
+       e.est_union,
+       CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS exact_union,
+       CAST((GREATEST(e.est_a + e.est_b - e.est_union, 0) * 1000000) // e.est_union AS BIGINT) AS kmv_jaccard_ppm,
+       CAST((COALESCE(i.n_inter, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS exact_jaccard_ppm
+FROM uest e
+JOIN xsize sa ON sa.seg = e.type_a
+JOIN xsize sb ON sb.seg = e.type_b
+LEFT JOIN xinter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_sketch_kmv_jaccard", oracle=_KMVJ_ORACLE, tags=("sketch", "distinct", "similarity"))
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types estimated from
+    MERGED KMV sketches — the property HLL registers lack: two bottom-k
+    sketches union by re-taking the k smallest of their union, giving
+    |A u B| and hence Jaccard by inclusion-exclusion, without revisiting
+    the raw data. Exact values computed alongside for the audit.
+
+    Scale shape: each sketch is <= k hash values (WindowGroupLimit
+    heaps after the per-type distinct); the pairwise stage runs over
+    |event_types|^2 sketch pairs of <= 2k longs each — constant-size
+    regardless of user cardinality. The exact check is one distinct +
+    one equi-join on user_id, dropped in production."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("event_type").alias("seg"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("seg").orderBy("hv")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    bottomk = ranked.filter(F.col("rn") <= _KMVJ_K).select("seg", "hv")
+    stats = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.max(F.when(F.col("rn") <= _KMVJ_K, F.col("hv"))).alias("kth"),
+    )
+    est = stats.select(
+        "seg",
+        "n_h",
+        F.when(F.col("n_h") < _KMVJ_K, F.col("n_h"))
+        .otherwise(F.expr(f"(CAST({_KMVJ_K - 1} AS BIGINT) * {_KMV_DOMAIN}) div kth"))
+        .cast("long")
+        .alias("est_n"),
+    )
+    ea = est.select(
+        F.col("seg").alias("type_a"), F.col("est_n").alias("est_a"), F.col("n_h").alias("nha")
+    )
+    eb = est.select(
+        F.col("seg").alias("type_b"), F.col("est_n").alias("est_b"), F.col("n_h").alias("nhb")
+    )
+    pairs = ea.join(F.broadcast(eb), F.col("type_a") < F.col("type_b"))
+    ka = bottomk.select(F.col("seg").alias("type_a"), "hv")
+    kb = bottomk.select(F.col("seg").alias("type_b"), "hv")
+    merged = (
+        pairs.select("type_a", "type_b")
+        .join(ka, "type_a")
+        .select("type_a", "type_b", "hv")
+        .union(pairs.select("type_a", "type_b").join(kb, "type_b").select("type_a", "type_b", "hv"))
+        .distinct()
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    mstats = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hu"),
+            F.max(F.when(F.col("rn") <= _KMVJ_K, F.col("hv"))).alias("kthu"),
+        )
+    )
+    uest = pairs.join(mstats, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        F.when((F.col("nha") < _KMVJ_K) & (F.col("nhb") < _KMVJ_K), F.col("n_hu"))
+        .otherwise(F.expr(f"(CAST({_KMVJ_K - 1} AS BIGINT) * {_KMV_DOMAIN}) div kthu"))
+        .cast("long")
+        .alias("est_union"),
+    )
+    u = ev.select(F.col("event_type").alias("seg"), "user_id").distinct()
+    ua = u.select(F.col("seg").alias("type_a"), "user_id")
+    ub = u.select(F.col("seg").alias("type_b"), "user_id")
+    xinter = (
+        ua.join(ub, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    xsize = u.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    sa = xsize.select(F.col("seg").alias("type_a"), F.col("n").alias("na"))
+    sb = xsize.select(F.col("seg").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        uest.join(xinter, ["type_a", "type_b"], "left")
+        .join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_union",
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            F.expr(
+                "greatest(est_a + est_b - est_union, 0) * 1000000 div est_union"
+            ).cast("long").alias("kmv_jaccard_ppm"),
+            F.expr(
+                "coalesce(n_inter, 0) * 1000000 div (na + nb - coalesce(n_inter, 0))"
+            ).cast("long").alias("exact_jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.sketch",
     "pandas_aws_spark.queries.advanced",
     "pandas_aws_spark.queries.pipeline",
+    "pandas_aws_spark.queries.corpus",
 )
 
 

@@ -1,0 +1,68 @@
+"""Semantic invariants for the corpus-statistics family (the oracle
+hash-parity for these queries is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pandas_aws_spark.registry import load_registry
+
+REGISTRY = load_registry()
+
+
+def test_boilerplate_shares_are_valid_ppm(spark, sf_dir):
+    rows = REGISTRY["q_text_boilerplate_ngrams"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.sum_boiler_ppm <= r.n_docs * 1_000_000
+        assert 0 <= r.n_flagged <= r.n_docs
+
+
+def test_surprisal_bits_bounded_by_corpus_entropy_ceiling(spark, sf_dir):
+    rows = REGISTRY["q_text_unigram_surprisal"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # each token's cost is floor(log2(N/cnt)) in [0, 63]
+        assert 0 <= r.total_bits <= r.total_tokens * 63
+        assert 0 < r.avg_bits_ppm < 63 * 1_000_000
+
+
+def test_minhash_error_groups_are_calibrated(spark, sf_dir):
+    rows = REGISTRY["q_dedup_minhash_error"].fn(spark, sf_dir).collect()
+    assert rows
+    by_matches = {r.matches: r for r in rows}
+    for m, r in by_matches.items():
+        assert 0 <= m <= 8
+        assert 0 <= r.avg_exact_ppm <= 1_000_000
+        assert 0 <= r.avg_abs_err_ppm <= 1_000_000
+    # candidate pairs share at least one full band (2 slots) by construction
+    assert min(by_matches) >= 2
+    # monotone calibration: more matching slots -> higher exact jaccard
+    ms = sorted(by_matches)
+    exacts = [by_matches[m].avg_exact_ppm for m in ms]
+    assert exacts == sorted(exacts)
+
+
+def test_markov_rows_normalize_per_prev(spark, sf_dir):
+    rows = REGISTRY["q_events_markov_chain"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_prev = defaultdict(int)
+    n_next = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.prob_ppm <= 1_000_000
+        per_prev[r.prev] += r.prob_ppm
+        n_next[r.prev] += 1
+    for prev, total in per_prev.items():
+        # floor-division rounding loses < 1 ppm per next-state
+        assert 1_000_000 - n_next[prev] <= total <= 1_000_000
+
+
+def test_kmv_jaccard_exact_when_sets_fit_in_sketch(spark, sf_dir):
+    """At sf0.001 every event type has fewer distinct users than k, so
+    the sketches are exact and the merged estimate must equal the exact
+    Jaccard bit-for-bit."""
+    rows = REGISTRY["q_sketch_kmv_jaccard"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r.est_union == r.exact_union
+        assert r.kmv_jaccard_ppm == r.exact_jaccard_ppm

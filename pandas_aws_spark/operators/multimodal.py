@@ -29,6 +29,7 @@ __all__ = [
     "extract_byte_features",
     "sample_frame_offsets",
     "chunk_payloads",
+    "byte_histogram",
 ]
 
 
@@ -148,3 +149,34 @@ def chunk_payloads(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=_CHUNK_SCHEMA)
+
+
+_HIST_SCHEMA = "doc_id long, n_bytes long, hist array<long>"
+
+
+def byte_histogram(
+    df: DataFrame, *, n_bins: int = 16, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload byte-value histogram (n_bins equal-width buckets over
+    0..255) via Arrow-batched ``mapInPandas`` — the order-invariant
+    content signature a perceptual hash builds on (a real pHash swaps
+    the byte histogram for DCT coefficients; the batching, schema, and
+    downstream bucketing are identical). numpy ``bincount`` per batch,
+    never per-row Python loops over bytes."""
+    import numpy as np
+
+    assert 256 % n_bins == 0, "n_bins must divide 256"
+    width = 256 // n_bins
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, hists = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = np.bincount(a // width, minlength=n_bins)[:n_bins]
+                ids.append(doc_id)
+                ns.append(int(a.size))
+                hists.append([int(x) for x in h])
+            yield pd.DataFrame({"doc_id": ids, "n_bytes": ns, "hist": hists})
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=_HIST_SCHEMA)

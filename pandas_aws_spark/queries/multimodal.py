@@ -232,3 +232,79 @@ def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-signature near-dup bucketing over binary payloads.
+# --------------------------------------------------------------------------
+_PHASH_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substring(text, CAST(i AS INT), 1))) AS byt,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+h AS (
+  SELECT doc_id, source, nb,
+         list_transform(range(0, 256), bin -> len(list_filter(byt, x -> x = bin))) AS hist
+  FROM b
+),
+sig AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_transform(hist, c -> least(7, (c * 32) // nb)), ',')) AS signature
+  FROM h
+),
+grp AS (
+  SELECT source, signature, COUNT(*) AS n_in_group FROM sig GROUP BY source, signature
+)
+SELECT source,
+       COUNT(*) AS n_signatures,
+       CAST(SUM(n_in_group) AS BIGINT) AS n_payloads,
+       CAST(MAX(n_in_group) AS BIGINT) AS max_group,
+       CAST(SUM(CASE WHEN n_in_group >= 2 THEN n_in_group ELSE 0 END) AS BIGINT) AS n_collided
+FROM grp GROUP BY source ORDER BY source
+"""
+
+
+@query("q_multimodal_hist_signature", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup", "udf"))
+def q_multimodal_hist_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant near-dup bucketing for binary payloads: a 256-bin
+    byte histogram (Arrow mapInPandas, numpy bincount) quantized to 3
+    bits per bin (share steps of 1/32) -> an md5 signature;
+    payloads sharing a signature are near-dup candidates even when
+    their bytes are re-ordered — the failure mode sequence hashes
+    (simhash/minhash over shingles) cannot catch. A real perceptual
+    hash swaps the histogram for DCT coefficients; every stage after
+    the featurizer is unchanged.
+
+    Scale shape: the payload crosses the Arrow boundary exactly once;
+    only (doc_id, 256 longs) shuffle; candidate grouping is one hash
+    aggregate on the signature — never pairwise."""
+    from ..operators.multimodal import byte_histogram
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    hist = byte_histogram(docs.filter(F.length("payload") > 0), n_bins=256)
+    sig = hist.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    ).select(
+        "source",
+        F.expr(
+            "md5(array_join(transform(hist,"
+            " c -> cast(least(7L, c * 32 div n_bytes) as string)), ','))"
+        ).alias("signature"),
+    )
+    grp = sig.groupBy("source", "signature").agg(F.count(F.lit(1)).alias("n_in_group"))
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_signatures"),
+            F.sum("n_in_group").cast("long").alias("n_payloads"),
+            F.max("n_in_group").cast("long").alias("max_group"),
+            F.sum(F.when(F.col("n_in_group") >= 2, F.col("n_in_group")).otherwise(0))
+            .cast("long")
+            .alias("n_collided"),
+        )
+        .orderBy("source")
+    )

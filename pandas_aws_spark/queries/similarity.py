@@ -593,3 +593,75 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation recall: top-k with the first 16 of 64 dims vs
+# the full-dimension exact top-k.
+# --------------------------------------------------------------------------
+_MATRYOSHKA_D = 16
+_MATRYOSHKA_K = 10
+_MATRYOSHKA_ORACLE = f"""
+WITH {_BASE_CTE},
+full_ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {sql_cosine('q.qv', 'c.v')} DESC, c.vec_id) AS rank
+  FROM q, e c WHERE c.vec_id <> q.query_id
+),
+tq AS (SELECT query_id, list_slice(qv, 1, {_MATRYOSHKA_D}) AS qv FROM q),
+te AS (SELECT vec_id, list_slice(v, 1, {_MATRYOSHKA_D}) AS v FROM e),
+trunc_ranked AS (
+  SELECT tq.query_id, te.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY tq.query_id
+                            ORDER BY {sql_cosine('tq.qv', 'te.v')} DESC, te.vec_id) AS rank
+  FROM tq, te WHERE te.vec_id <> tq.query_id
+),
+common AS (
+  SELECT f.query_id, COUNT(*) AS n_common
+  FROM (SELECT query_id, neighbor_id FROM full_ranked WHERE rank <= {_MATRYOSHKA_K}) f
+  JOIN (SELECT query_id, neighbor_id FROM trunc_ranked WHERE rank <= {_MATRYOSHKA_K}) t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id
+),
+per_q AS (
+  SELECT q.query_id, COALESCE(c.n_common, 0) AS n_common
+  FROM q LEFT JOIN common c ON c.query_id = q.query_id
+)
+SELECT CAST(n_common AS BIGINT) AS n_common, COUNT(*) AS n_queries
+FROM per_q GROUP BY n_common ORDER BY n_common
+"""
+
+
+@query("q_embed_matryoshka_recall", oracle=_MATRYOSHKA_ORACLE, tags=("similarity", "quantization"))
+def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: search with only
+    the FIRST 16 of 64 dimensions (a 4x bandwidth/storage cut, the MRL
+    deployment trick) and histogram the overlap with the exact
+    full-dimension top-10 per query. This is the measurement that
+    decides whether truncated embeddings are good enough to serve.
+
+    Scale shape: both passes are the guarded broadcast-query scoring
+    pattern (corpus never shuffles; WindowGroupLimit heaps do the
+    top-k); the overlap join carries only (query_id, neighbor_id)
+    pairs — 2k rows per query."""
+    from ..functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    full = brute_force_topk(qs, emb, k=_MATRYOSHKA_K)
+    t_emb = emb.select("vec_id", F.slice(as_double("embedding"), 1, _MATRYOSHKA_D).alias("embedding"))
+    t_qs = t_emb.filter(F.col("vec_id") % 100 == 0)
+    trunc = brute_force_topk(t_qs, t_emb, k=_MATRYOSHKA_K)
+    common = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    per_q = (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(common, "query_id", "left")
+        .select(F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"))
+    )
+    return per_q.groupBy("n_common").agg(F.count(F.lit(1)).alias("n_queries")).orderBy("n_common")

@@ -234,3 +234,13 @@ def test_recommended_n_planes_scaling():
     assert planes == sorted(planes)
     # custom bucket target shifts the curve
     assert recommended_n_planes(1_600_000, target_bucket_rows=800_000) == 1
+
+
+def test_matryoshka_recall_partitions_queries(spark, sf_dir):
+    """Overlap histogram covers every query exactly once; truncated
+    search can never exceed perfect overlap."""
+    from pandas_aws_spark.registry import load_registry
+
+    rows = load_registry()["q_embed_matryoshka_recall"].fn(spark, sf_dir).collect()
+    assert sum(r.n_queries for r in rows) == 5  # vec_id % 100 == 0 at sf0.001
+    assert all(0 <= r.n_common <= 10 for r in rows)

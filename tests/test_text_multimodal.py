@@ -165,3 +165,29 @@ def test_temperature_rates_flatten_toward_small_sources(spark):
     # sqrt flattening: big/small token ratio 100x -> rate ratio 10x
     assert 9 <= rates["big"] / rates["small"] <= 11
     assert sum(rates.values()) <= 1000000
+
+
+def test_byte_histogram_conserves_bytes(spark, sf_dir):
+    """Histogram counts must re-sum to payload length per doc."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.multimodal import byte_histogram, with_binary_payload
+    from pandas_aws_spark.registry import load_table
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents").limit(50), "text")
+    h = byte_histogram(docs, n_bins=256)
+    bad = h.filter(
+        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x) != F.col("n_bytes")
+    ).count()
+    assert bad == 0
+
+
+def test_hist_signature_counts_are_consistent(spark, sf_dir):
+    from pandas_aws_spark.registry import load_registry
+
+    rows = load_registry()["q_multimodal_hist_signature"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_signatures <= r.n_payloads
+        assert r.max_group <= r.n_payloads
+        assert 0 <= r.n_collided <= r.n_payloads

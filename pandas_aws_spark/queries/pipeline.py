@@ -685,3 +685,145 @@ def q_feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Importance (weighted Bernoulli) sampling — inclusion probability
+# proportional to order value, hash-deterministic, no RNG state.
+# --------------------------------------------------------------------------
+_IMP_DOMAIN = 268435456  # 2^28: the 7-hex-digit md5 hash space
+_IMP_ORACLE = f"""
+WITH w AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,3)) * 1000 AS BIGINT) AS w_milli,
+         CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,7)) AS BIGINT) AS hv
+  FROM orders
+),
+mx AS (SELECT MAX(w_milli) AS max_w FROM w),
+kept AS (
+  SELECT o_orderstatus, w_milli,
+         CASE WHEN hv * max_w < w_milli * {_IMP_DOMAIN} THEN 1 ELSE 0 END AS keep
+  FROM w, mx
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(w_milli) AS BIGINT) AS sum_w_milli,
+       CAST(SUM(CASE WHEN keep = 1 THEN w_milli ELSE 0 END) AS BIGINT) AS kept_w_milli
+FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q_sample_importance", oracle=_IMP_ORACLE, tags=("sampling", "features"))
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with inclusion probability proportional to
+    order value: keep iff hash28(key) / 2^28 < w / w_max. The md5 hash
+    replaces RNG state, so the sample is identical on every rerun,
+    repartition, and engine — and the kept set can be reproduced (or
+    audited) from keys alone. High-value rows are kept with certainty;
+    the long tail is downsampled — the standard variance-reduction
+    shape for training on monetary streams.
+
+    Scale shape: the global max is a one-row broadcast; everything
+    else is a row-local predicate inside codegen (the comparison is
+    int64 cross-multiplication — no division, no floats). Weights are
+    MILLI-units so both cross-products stay under 2^57 (hv < 2^28,
+    w_milli < 2^29 for prices < ~5e5) — micro-units would overflow
+    int64 in hv * max_w."""
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,3)") * 1000).cast("long").alias("w_milli"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    mx = w.agg(F.max("w_milli").alias("max_w"))
+    kept = w.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        "w_milli",
+        F.when(F.col("hv") * F.col("max_w") < F.col("w_milli") * _IMP_DOMAIN, 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum("w_milli").cast("long").alias("sum_w_milli"),
+            F.sum(F.when(F.col("keep") == 1, F.col("w_milli")).otherwise(0))
+            .cast("long")
+            .alias("kept_w_milli"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout — hash-assigned arms, conversion lift in ppm.
+# --------------------------------------------------------------------------
+_AB_ORACLE = """
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,1)) AS BIGINT) % 2 AS arm
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+per_arm AS (
+  SELECT a.arm, COUNT(*) AS n_users,
+         SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted
+  FROM arms a LEFT JOIN conv c ON c.user_id = a.user_id
+  GROUP BY a.arm
+)
+SELECT CAST(a.n_users AS BIGINT) AS users_a,
+       CAST(b.n_users AS BIGINT) AS users_b,
+       CAST((a.n_converted * 1000000) // a.n_users AS BIGINT) AS conv_a_ppm,
+       CAST((b.n_converted * 1000000) // b.n_users AS BIGINT) AS conv_b_ppm,
+       CAST((b.n_converted * 1000000) // b.n_users
+          - (a.n_converted * 1000000) // a.n_users AS BIGINT) AS lift_ppm
+FROM (SELECT * FROM per_arm WHERE arm = 0) a, (SELECT * FROM per_arm WHERE arm = 1) b
+"""
+
+
+@query("q_events_ab_lift", oracle=_AB_ORACLE, tags=("events", "experiment"))
+def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with hash-based arm assignment (first md5
+    hex digit parity — the deterministic splitter every experiment
+    platform uses so a user re-entering the pipeline always lands in
+    the same arm): per-arm user counts, conversion to 'purchase' in
+    integer ppm, and the B-vs-A lift.
+
+    Scale shape: arm assignment is row-local; the conversion check is
+    one distinct + one left join on user_id; the final join is two
+    one-row aggregates (broadcast). No window, no skew."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select(
+        "user_id",
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10).cast("long") % 2).alias("arm"),
+    ).distinct()
+    conv = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    per_arm = (
+        arms.join(conv.withColumn("_c", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_converted"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("na").cast("long").alias("users_a"),
+        F.col("nb").cast("long").alias("users_b"),
+        F.expr("ca * 1000000 div na").alias("conv_a_ppm"),
+        F.expr("cb * 1000000 div nb").alias("conv_b_ppm"),
+        F.expr("cb * 1000000 div nb - ca * 1000000 div na").alias("lift_ppm"),
+    )

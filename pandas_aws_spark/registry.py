@@ -242,7 +242,11 @@ _DRIVER_WINDOW = (
 # Round-5 rotation queue (registered after the window, externally
 # unverified until rotated in): q_io_roundtrip_jsonl,
 # q_events_rolling_median, q_events_interval_coverage,
-# q_text_vocab_hapax, plus any query added after this comment.
+# q_text_vocab_hapax, q_text_boilerplate_ngrams,
+# q_text_unigram_surprisal, q_dedup_minhash_error,
+# q_events_markov_chain, q_sketch_kmv_jaccard,
+# q_embed_matryoshka_recall, q_multimodal_hist_signature,
+# plus any query added after this comment.
 # Displaced re-check q_events_tumbling_hourly remains r1-verified green.
 # r1-proven entries displaced from the window by this round's new
 # queries (all still covered by the local strict sweep, and all

@@ -66,3 +66,26 @@ def test_kmv_jaccard_exact_when_sets_fit_in_sketch(spark, sf_dir):
     for r in rows:
         assert r.est_union == r.exact_union
         assert r.kmv_jaccard_ppm == r.exact_jaccard_ppm
+
+
+def test_importance_sampling_keeps_value_mass(spark, sf_dir):
+    """Weighted sampling must keep a larger share of value than of
+    rows (that is the point of importance sampling)."""
+    rows = load_registry()["q_sample_importance"].fn(spark, sf_dir).collect()
+    assert rows
+    n = sum(r.n_rows for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    w = sum(r.sum_w_milli for r in rows)
+    kw = sum(r.kept_w_milli for r in rows)
+    assert 0 < kept < n
+    assert kw / w > kept / n
+
+
+def test_ab_lift_arms_cover_all_users(spark, sf_dir):
+    from pandas_aws_spark.registry import load_table
+
+    r = load_registry()["q_events_ab_lift"].fn(spark, sf_dir).collect()[0]
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r.users_a + r.users_b == total
+    assert 0 <= r.conv_a_ppm <= 1_000_000 and 0 <= r.conv_b_ppm <= 1_000_000
+    assert r.lift_ppm == r.conv_b_ppm - r.conv_a_ppm

@@ -141,6 +141,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_sample_negative",  # one-row n_parts-domain broadcast
         "q_text_unigram_surprisal",  # one-row corpus-token-total broadcast
         "q_embed_matryoshka_recall",  # ANN scoring cross joins (same as bruteforce)
+        "q_sample_importance",  # one-row max-weight broadcast
+        "q_events_ab_lift",  # one-row x one-row arm-aggregate join
         "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere

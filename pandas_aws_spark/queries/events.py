@@ -680,3 +680,89 @@ def q_events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the hourly value series per event type.
+# --------------------------------------------------------------------------
+_ACF_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+m AS (
+  SELECT event_type, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_x, COUNT(*) AS n_buckets
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.h, h.x - m.mean_x AS d,
+         lag(h.x - m.mean_x) OVER (PARTITION BY h.event_type ORDER BY h.h) AS dprev,
+         m.n_buckets
+  FROM hourly h JOIN m ON m.event_type = h.event_type
+),
+s AS (
+  SELECT event_type, MAX(n_buckets) AS n_buckets,
+         SUM(CASE WHEN dprev IS NOT NULL THEN d * dprev ELSE 0 END) AS num,
+         SUM(d * d) AS den
+  FROM dev GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                 ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS acf1_ppm
+FROM s ORDER BY event_type
+"""
+
+
+@query("q_events_acf_hourly", oracle=_ACF_ORACLE, tags=("events", "timeseries", "stats"))
+def q_events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly value series —
+    the stationarity probe run before any forecasting model:
+    r1 = sum((x_t - mean)(x_{t-1} - mean)) / sum((x_t - mean)^2).
+    No square root needed (the classic ACF denominator is the plain
+    variance sum), so the whole statistic stays in int64: whole-unit
+    bucket sums (floor of an exact decimal sum), integer mean, and a
+    sign-split ppm division — Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors, so negative numerators divide on
+    their absolute value with the sign re-applied, identically on both
+    engines.
+
+    Scale shape: one hash aggregate to (type, hour) buckets, a 1-row-
+    per-type mean join, one lag window partitioned by type over the
+    bucket table (bounded: hours x types, not raw events)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,2)"))).cast("long").alias("x")
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").alias("mean_x"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    dev = (
+        hourly.join(m, "event_type")
+        .withColumn("d", F.col("x") - F.col("mean_x"))
+        .withColumn("dprev", F.lag("d").over(w))
+    )
+    s = dev.groupBy("event_type").agg(
+        F.max("n_buckets").alias("n_buckets"),
+        F.sum(
+            F.when(F.col("dprev").isNotNull(), F.col("d") * F.col("dprev")).otherwise(0)
+        ).alias("num"),
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.when(
+            F.col("num") >= 0, F.expr("num * 1000000 div den")
+        )
+        .otherwise(-F.expr("(-num) * 1000000 div den"))
+        .cast("long")
+        .alias("acf1_ppm"),
+    ).orderBy("event_type")

@@ -930,3 +930,107 @@ def q_text_vocab_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval for a fixed keyword query — integer-exact.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("dup", "merge", "window")
+_BM25_K1 = 1200  # k1 = 1.2 in milli
+_BM25_B = 750  # b = 0.75 in milli
+_BM25_TOPK = 20
+
+_BM25_ORACLE = f"""
+WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS w FROM documents),
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM lens),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ('dup', 'merge', 'window') GROUP BY doc_id, w
+),
+docfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+avgdl AS (SELECT total_toks // n_docs AS adl, n_docs FROM stats),
+scored AS (
+  SELECT t.doc_id,
+         CAST(length(bin(a.n_docs // d.df)) - 1 AS BIGINT)
+           * ((t.tf * {_BM25_K1 + 1000} * 1000000)
+              // (t.tf * 1000000
+                  + {_BM25_K1} * (1000 - {_BM25_B}
+                                  + ({_BM25_B} * ((l.dl * 1000) // a.adl)) // 1000)))
+           AS term_score
+  FROM tf t
+  JOIN docfreq d USING (w)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN avgdl a
+),
+agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_ppm FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, bm25_ppm,
+         ROW_NUMBER() OVER (ORDER BY bm25_ppm DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_ppm
+FROM ranked WHERE rank <= {_BM25_TOPK}
+ORDER BY rank
+"""
+
+
+@query("q_text_bm25_search", oracle=_BM25_ORACLE, tags=("text", "search"))
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the fixed keyword query ('dup',
+    'merge', 'window'): idf = floor(log2(N/df)) bits (integer-exact via
+    ``bin()``, 1-bit granularity — common terms weigh 0, the rare term
+    dominates, which is BM25 doing its job on this corpus), tf
+    saturation k1=1.2 and length normalization b=0.75 carried in
+    milli/ppm integer arithmetic so both engines rank identically with
+    no float division anywhere.
+
+    Scale shape: term postings are ONE filtered aggregate (the WHERE
+    prunes before the shuffle — only query-term rows leave the scan);
+    doc lengths are a second aggregate on the same scan; df and avgdl
+    are tiny broadcasts. The final top-k is a WindowGroupLimit rank
+    over docs that matched at least one term. An inverted index is
+    unnecessary — this IS the query-time plan a search engine runs
+    per keyword set."""
+    from ..functions.texthash import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    ).select("n_docs", F.expr("total_toks div n_docs").alias("adl"))
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "w")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                (F.length(F.bin(F.expr("n_docs div df"))) - 1).cast("long")
+                * F.expr(
+                    f"tf * {_BM25_K1 + 1000} * 1000000 div "
+                    f"(tf * 1000000 + {_BM25_K1} * (1000 - {_BM25_B} "
+                    f"+ ({_BM25_B} * (dl * 1000 div adl)) div 1000))"
+                )
+            ).alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("term_score").cast("long").alias("bm25_ppm"))
+    # top-k FIRST via distributed TakeOrdered (per-partition heaps, no
+    # global sort); the rank window then runs over <= k rows.
+    top = agg.orderBy(F.desc("bm25_ppm"), F.col("doc_id")).limit(_BM25_TOPK)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("bm25_ppm"), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "bm25_ppm")
+        .orderBy("rank")
+    )

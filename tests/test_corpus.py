@@ -89,3 +89,48 @@ def test_ab_lift_arms_cover_all_users(spark, sf_dir):
     assert r.users_a + r.users_b == total
     assert 0 <= r.conv_a_ppm <= 1_000_000 and 0 <= r.conv_b_ppm <= 1_000_000
     assert r.lift_ppm == r.conv_b_ppm - r.conv_a_ppm
+
+
+def test_acf_is_a_valid_correlation(spark, sf_dir):
+    rows = load_registry()["q_events_acf_hourly"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # |r1| <= 1 up to the integer-mean approximation at the edges
+        assert abs(r.acf1_ppm) <= 1_050_000
+        assert r.n_buckets > 1
+
+
+def test_prefix_filter_join_is_superset_of_lsh(spark, sf_dir):
+    """PPJoin is exact (no false negatives), so its pair set must
+    contain every pair MinHash-LSH verified at the same threshold."""
+    pp = {
+        (r.id_a, r.id_b)
+        for r in load_registry()["q_dedup_prefix_filter_join"].fn(spark, sf_dir).collect()
+    }
+    assert pp, "no qualifying pairs at all"
+    from pandas_aws_spark.operators.dedup import minhash_near_dup_pairs
+    from pandas_aws_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+        ).collect()
+    }
+    assert lsh <= pp
+
+
+def test_bm25_ranks_rare_term_docs_first(spark, sf_dir):
+    from pandas_aws_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = load_registry()["q_text_bm25_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r.bm25_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0
+    # the top hit must actually contain the rare query term
+    docs = load_table(spark, sf_dir, "documents")
+    top_text = docs.filter(F.col("doc_id") == rows[0].doc_id).collect()[0].text
+    assert "dup" in top_text.split()

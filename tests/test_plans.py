@@ -143,6 +143,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_embed_matryoshka_recall",  # ANN scoring cross joins (same as bruteforce)
         "q_sample_importance",  # one-row max-weight broadcast
         "q_events_ab_lift",  # one-row x one-row arm-aggregate join
+        "q_text_bm25_search",  # one-row n_docs/avgdl broadcast
         "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
@@ -189,6 +190,8 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         "q_sim_ivf_probe2": "row_number()",
         "q_sim_ivf_pq": "row_number()",
         "q_dedup_semantic": "row_number()",
+        # rank over the already-limited top-k (<= 20 rows via TakeOrdered)
+        "q_text_bm25_search": "row_number()",
     }
     streaming_prefixes = ("q_stream_",)
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

@@ -246,6 +246,8 @@ _DRIVER_WINDOW = (
 # q_text_unigram_surprisal, q_dedup_minhash_error,
 # q_events_markov_chain, q_sketch_kmv_jaccard,
 # q_embed_matryoshka_recall, q_multimodal_hist_signature,
+# q_sample_importance, q_events_ab_lift, q_events_acf_hourly,
+# q_dedup_prefix_filter_join, q_text_bm25_search,
 # plus any query added after this comment.
 # Displaced re-check q_events_tumbling_hourly remains r1-verified green.
 # r1-proven entries displaced from the window by this round's new

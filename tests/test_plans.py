@@ -184,6 +184,8 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         # in-plan query-row-cap guard: scalar count over the broadcast
         # query side, which the operator caps at <= 100k rows
         "q_sim_bruteforce_topk": "count(1)",
+        # same guard, twice (full-dim + truncated brute-force passes)
+        "q_embed_matryoshka_recall": "count(1)",
         # first-C coarse-centroid init: window input is
         # .limit(n_centroids), i.e. <= C rows (kilobytes)
         "q_sim_ivf_fullprobe": "row_number()",

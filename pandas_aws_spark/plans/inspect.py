@@ -68,9 +68,14 @@ def join_strategies(df: DataFrame) -> Counter:
 
 def num_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (each is a full
-    repartition of its input — the unit of cost to minimize)."""
-    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(df).count(
-        "Exchange rangepartitioning"
+    repartition of its input — the unit of cost to minimize). Counts
+    hash, range, AND round-robin (``repartition(n)``) exchanges —
+    round-robin moves every row just like the others."""
+    plan = physical_plan(df)
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobinPartitioning")
     )
 
 

@@ -441,3 +441,103 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation from CMS inner products — the optimizer-style
+# cardinality estimate, vs the exact join size.
+# --------------------------------------------------------------------------
+_JS_DEPTH = 4
+_JS_WIDTH = 256
+_JS_ORACLE = f"""
+WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
+b AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+ea AS (
+  {" UNION ALL ".join(
+    f"SELECT {j} AS row, {sql_cms_bucket('k', j, _JS_WIDTH)} AS bucket FROM a"
+    for j in range(_JS_DEPTH)
+  )}
+),
+sa AS (SELECT row, bucket, COUNT(*) AS cnt FROM ea GROUP BY row, bucket),
+eb AS (
+  {" UNION ALL ".join(
+    f"SELECT {j} AS row, {sql_cms_bucket('k', j, _JS_WIDTH)} AS bucket FROM b"
+    for j in range(_JS_DEPTH)
+  )}
+),
+sb AS (SELECT row, bucket, COUNT(*) AS cnt FROM eb GROUP BY row, bucket),
+prod AS (
+  SELECT sa.row, SUM(sa.cnt * sb.cnt) AS p
+  FROM sa JOIN sb ON sb.row = sa.row AND sb.bucket = sa.bucket
+  GROUP BY sa.row
+),
+est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_join_size FROM prod),
+ga AS (SELECT k, COUNT(*) AS c FROM a GROUP BY k),
+gb AS (SELECT k, COUNT(*) AS c FROM b GROUP BY k),
+exact AS (SELECT CAST(COALESCE(SUM(ga.c * gb.c), 0) AS BIGINT) AS exact_join_size
+          FROM ga JOIN gb ON gb.k = ga.k),
+tot AS (SELECT (SELECT COUNT(*) FROM a) AS na, (SELECT COUNT(*) FROM b) AS nb)
+SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+       e.est_join_size, x.exact_join_size,
+       CAST(e.est_join_size - x.exact_join_size AS BIGINT) AS overestimate,
+       ((e.est_join_size - x.exact_join_size) * {_JS_WIDTH} <= 3 * t.na * t.nb) AS within_bound
+FROM est e, exact x, tot t
+"""
+
+
+@query("q_sketch_join_size", oracle=_JS_ORACLE, tags=("sketch", "cms", "optimizer"))
+def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from COUNT-MIN INNER PRODUCTS — the
+    sketch-based estimate a distributed optimizer uses to choose join
+    strategies without touching the data: |A join B| = sum_k f_A(k) *
+    f_B(k), estimated as min over sketch rows of the bucket-wise
+    counter product. Always an overestimate (collisions only add);
+    the error bound e/w * |A|*|B| is asserted as the ``within_bound``
+    contract, and the md5 bucket family makes even the collision error
+    bit-replayable in DuckDB.
+
+    Scale shape: each sketch is <= depth*width counter rows regardless
+    of stream size (partial aggregation collapses per-partition
+    first); the inner product joins two 1k-row sketches. The exact
+    check (one equi-join) exists only for the audit and is dropped in
+    production. The int64 bound product na*nb overflows past ~3e9 rows
+    per side — swap the bound (not the estimate) to DECIMAL(38) there."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sa = cms_build(a, "k", depth=_JS_DEPTH, width=_JS_WIDTH).withColumnRenamed("cnt", "ca")
+    sb = cms_build(b, "k", depth=_JS_DEPTH, width=_JS_WIDTH).withColumnRenamed("cnt", "cb")
+    prod = (
+        sa.join(sb, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("p"))
+    )
+    est = prod.agg(F.min("p").cast("long").alias("est_join_size"))
+    ga = a.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    gb = b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        ga.join(gb, "k")
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("cb")), F.lit(0)).cast("long").alias("exact_join_size"))
+    )
+    tot = a.agg(F.count(F.lit(1)).alias("na")).crossJoin(
+        F.broadcast(b.agg(F.count(F.lit(1)).alias("nb")))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            "est_join_size",
+            "exact_join_size",
+            (F.col("est_join_size") - F.col("exact_join_size")).cast("long").alias("overestimate"),
+            (
+                (F.col("est_join_size") - F.col("exact_join_size")) * _JS_WIDTH
+                <= 3 * F.col("na") * F.col("nb")
+            ).alias("within_bound"),
+        )
+    )

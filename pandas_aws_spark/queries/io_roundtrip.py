@@ -380,3 +380,77 @@ def q_io_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Malformed-CSV robustness: PERMISSIVE parse with corrupt-record
+# accounting — bad rows must be quarantined, not dropped or fatal.
+# --------------------------------------------------------------------------
+_MALFORMED_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+                 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END) AS DECIMAL(25,6))
+            * 1000000 AS BIGINT) AS valid_price_micro
+FROM orders
+"""
+
+
+@query("q_io_csv_malformed", oracle=_MALFORMED_ORACLE, tags=("io", "robustness"))
+def q_io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-input robustness for the CSV scan: a CSV where every
+    13th order carries a non-numeric price cell is read back in
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column — bad
+    rows surface as quarantined records (raw line preserved for a
+    dead-letter sink) instead of killing the job (FAILFAST) or
+    silently vanishing (DROPMALFORMED). The oracle recomputes the
+    corruption pattern and the exact micro-unit sum of the VALID rows,
+    proving no valid row was lost and no corrupt row leaked into the
+    aggregate.
+
+    Scale shape: parse + quarantine is row-local inside the scan; the
+    final accounting is one aggregate. The corrupt-record column is
+    projected only here — production writes it to a dead-letter path
+    and drops it from the main flow."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="malformed_csv_")
+    path = f"file://{tmp}/orders_dirty"
+    dirty = orders.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("N/A"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    write_df(dirty, path, format="csv")
+    back = read_df(
+        spark,
+        path,
+        format="csv",
+        schema="o_orderkey long, o_totalprice double, o_orderstatus string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    F.col("o_totalprice").cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).cast("decimal(25,6)")
+            * F.lit(1000000).cast("decimal(7,0)")
+        )
+        .cast("long")
+        .alias("valid_price_micro"),
+    )

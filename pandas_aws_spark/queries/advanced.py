@@ -1646,3 +1646,104 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative similarity ("customers also bought") —
+# normalized co-occurrence with per-item top-k.
+# --------------------------------------------------------------------------
+_RECSYS_MIN_COOC = 2
+_RECSYS_TOPK = 3
+_RECSYS_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, COUNT(*) AS n FROM lp GROUP BY l_partkey),
+cooc AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY p1, p2 HAVING COUNT(*) >= {_RECSYS_MIN_COOC}
+),
+sym AS (
+  SELECT p1 AS item, p2 AS neighbor, c FROM cooc
+  UNION ALL
+  SELECT p2 AS item, p1 AS neighbor, c FROM cooc
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.c,
+         CAST((s.c * s.c * 1000000) // (ca.n * cb.n) AS BIGINT) AS cos2_ppm
+  FROM sym s
+  JOIN cnt ca ON ca.l_partkey = s.item
+  JOIN cnt cb ON cb.l_partkey = s.neighbor
+  WHERE s.item % 25 = 0
+),
+ranked AS (
+  SELECT item, neighbor, c, cos2_ppm,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cos2_ppm DESC, neighbor) AS rank
+  FROM scored
+)
+SELECT item, neighbor, CAST(c AS BIGINT) AS n_cooc, cos2_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_RECSYS_TOPK}
+ORDER BY item, rank
+"""
+
+
+@query("q_recsys_item_cosine", oracle=_RECSYS_ORACLE, tags=("join", "cooccurrence", "recsys"))
+def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ('customers also bought'):
+    co-occurrence counts normalized by each item's order count —
+    cosine^2 in integer ppm, c^2 * 1e6 / (n_a * n_b), so no square
+    root and no floats — then the top-3 neighbors per item. The
+    squared cosine ranks identically to cosine (both sides
+    non-negative), which is all a recommender needs.
+
+    Scale shape: the pair space comes from a self-equi-join on the
+    order key (bounded by order size, never table size — same property
+    as q_market_basket); the min-cooc HAVING prunes the long tail
+    before the count joins; per-item ranking plans as WindowGroupLimit
+    heaps. The item %% 25 output filter pushes below the ranking
+    window (partition-wise independence) so only sampled items rank."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    cnt = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = lp.alias("a"), lp.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _RECSYS_MIN_COOC)
+    )
+    sym = cooc.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "c"
+    ).unionByName(cooc.select(F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "c"))
+    ca = cnt.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("neighbor"), F.col("n").alias("nb"))
+    scored = (
+        sym.filter(F.col("item") % 25 == 0)
+        .join(ca, "item")
+        .join(cb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "c",
+            F.expr("c * c * 1000000 div (na * nb)").alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cos2_ppm"), F.col("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RECSYS_TOPK)
+        .select(
+            "item",
+            "neighbor",
+            F.col("c").cast("long").alias("n_cooc"),
+            "cos2_ppm",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("item", "rank")
+    )

@@ -1115,3 +1115,75 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics parity: the rules every engine must agree on.
+# --------------------------------------------------------------------------
+_NULLSEM_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS x
+  FROM orders
+),
+b AS (SELECT DISTINCT x FROM a),
+eq AS (SELECT COUNT(*) AS n FROM a JOIN b ON a.x = b.x),
+ns AS (SELECT COUNT(*) AS n FROM a JOIN b ON a.x IS NOT DISTINCT FROM b.x),
+grp AS (SELECT COUNT(*) AS n_groups FROM (SELECT x FROM a GROUP BY x)),
+agg AS (SELECT COUNT(*) AS n_rows, COUNT(x) AS count_x,
+               SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS n_null_x
+        FROM a)
+SELECT CAST(agg.n_rows AS BIGINT) AS n_rows,
+       CAST(agg.n_null_x AS BIGINT) AS n_null_x,
+       CAST(agg.count_x AS BIGINT) AS count_x,
+       CAST(eq.n AS BIGINT) AS n_eq_join,
+       CAST(ns.n AS BIGINT) AS n_nullsafe_join,
+       CAST(grp.n_groups AS BIGINT) AS n_groups
+FROM agg, eq, ns, grp
+"""
+
+
+@query("q_null_semantics", oracle=_NULLSEM_ORACLE, tags=("relational", "nulls"))
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity contract: plain equality joins DROP null
+    keys (n_eq_join < n_rows), null-safe equality (``<=>`` /
+    IS NOT DISTINCT FROM) matches them, GROUP BY collects NULLs into
+    ONE group, and COUNT(col) skips NULLs while COUNT(*) does not.
+    These are the rules that silently corrupt pipelines when two
+    engines disagree — pinned here as a single hash-compared row.
+
+    Scale shape: the dim side is a DISTINCT of the derived key
+    (broadcastable); everything else is one aggregate per contract."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("x"),
+    )
+    b = a.select("x").distinct()
+    eq = a.join(b.withColumnRenamed("x", "bx"), F.col("x") == F.col("bx")).agg(
+        F.count(F.lit(1)).alias("n_eq_join")
+    )
+    ns = a.join(b.withColumnRenamed("x", "bx"), F.col("x").eqNullSafe(F.col("bx"))).agg(
+        F.count(F.lit(1)).alias("n_nullsafe_join")
+    )
+    grp = a.groupBy("x").agg(F.count(F.lit(1))).agg(F.count(F.lit(1)).alias("n_groups"))
+    agg = a.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)).cast("long").alias("n_null_x"),
+        F.count("x").alias("count_x"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(eq))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(grp))
+        .select(
+            F.col("n_rows").cast("long"),
+            F.col("n_null_x").cast("long"),
+            F.col("count_x").cast("long"),
+            F.col("n_eq_join").cast("long"),
+            F.col("n_nullsafe_join").cast("long"),
+            F.col("n_groups").cast("long"),
+        )
+    )

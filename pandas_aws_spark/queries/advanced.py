@@ -1747,3 +1747,155 @@ def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear (equal-credit) multi-touch attribution with a 7-day lookback.
+# --------------------------------------------------------------------------
+_ATTR_LIN_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS pts, event_id AS pid FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.pid, COUNT(c.cts) AS n_touch
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.cts <= p.pts
+   AND c.cts >= p.pts - INTERVAL 7 DAY
+  GROUP BY p.pid
+)
+SELECT CAST(n_touch AS BIGINT) AS n_touch,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN n_touch > 0
+                THEN (1000000 // n_touch) * n_touch ELSE 0 END) AS BIGINT) AS distributed_ppm
+FROM j GROUP BY n_touch ORDER BY n_touch
+"""
+
+
+@query("q_attribution_linear", oracle=_ATTR_LIN_ORACLE, tags=("events", "attribution"))
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 7 days before
+    a purchase gets equal credit (1e6 div n_touch ppm each) — the
+    complement of last-touch, with the conservation audit built in:
+    ``distributed_ppm`` shows exactly how much of each purchase's
+    1e6 ppm the integer split distributes (the remainder is the
+    documented floor-division loss).
+
+    Scale shape: the lookback join is an equi-join on user_id plus a
+    time-range predicate — per-user fan-out is bounded by click rate x
+    7 days, never table size; the rest is two hash aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
+    )
+    j = (
+        p.join(
+            c,
+            (F.col("cuser") == F.col("user_id"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("pid")
+        .agg(F.count("cts").alias("n_touch"))
+    )
+    return (
+        j.groupBy("n_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("n_touch") > 0,
+                    F.expr("(1000000 div n_touch) * n_touch"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("distributed_ppm"),
+        )
+        .select(F.col("n_touch").cast("long").alias("n_touch"), "n_purchases", "distributed_ppm")
+        .orderBy("n_touch")
+    )
+
+
+# --------------------------------------------------------------------------
+# Strict ordered 3-step funnel: signup -> first click AFTER signup ->
+# first purchase AFTER that click.
+# --------------------------------------------------------------------------
+_FUNNEL3_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+SELECT CAST(t.n_users AS BIGINT) AS n_users,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_step1,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_step2,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_step3,
+       CAST(((SELECT COUNT(*) FROM s2) * 1000000) // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv12_ppm,
+       CAST(((SELECT COUNT(*) FROM s3) * 1000000) // (SELECT COUNT(*) FROM s2) AS BIGINT) AS conv23_ppm
+FROM tot t
+"""
+
+
+@query("q_events_funnel_steps", oracle=_FUNNEL3_ORACLE, tags=("events", "funnel"))
+def q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED 3-step funnel (signup -> first click after it ->
+    first purchase after that): each step's timestamp must follow the
+    previous step's, so a user who clicked before signing up does not
+    count — the semantics product funnels actually need, vs the
+    any-order pair funnel of q_events_funnel_latency.
+
+    Scale shape: each step is one filtered aggregate joined back on
+    user_id (broadcastable step tables); step-to-step conversion is a
+    scalar division of two one-row counts."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_step1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_step2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_step3"))
+    return (
+        tot.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            F.col("n_users").cast("long"),
+            F.col("n_step1").cast("long"),
+            F.col("n_step2").cast("long"),
+            F.col("n_step3").cast("long"),
+            F.expr("n_step2 * 1000000 div n_step1").alias("conv12_ppm"),
+            F.expr("n_step3 * 1000000 div n_step2").alias("conv23_ppm"),
+        )
+    )

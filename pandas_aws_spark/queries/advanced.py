@@ -1899,3 +1899,114 @@ def q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_step3 * 1000000 div n_step2").alias("conv23_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Feature engineering: per-event trailing activity counts (1h / 24h
+# RANGE windows) — the feature-store backfill shape.
+# --------------------------------------------------------------------------
+_LAGFEAT_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS cnt_1h,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS cnt_24h
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(cnt_1h) AS BIGINT) AS sum_cnt_1h,
+       CAST(SUM(cnt_24h) AS BIGINT) AS sum_cnt_24h,
+       CAST(MAX(cnt_24h) AS BIGINT) AS max_cnt_24h
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_feature_lag_windows", oracle=_LAGFEAT_ORACLE, tags=("features", "events", "window"))
+def q_feature_lag_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-activity features per event (how many events did this
+    user emit in the prior hour / prior day) via time-RANGE window
+    frames — the exact backfill a feature store runs to train
+    realtime-parity models. The frame excludes the current row
+    (1 PRECEDING on the microsecond axis) so the feature is strictly
+    causal — no label leakage.
+
+    Scale shape: ONE shuffle on user_id serves both frames (same
+    window spec modulo frame bounds); RANGE frames evaluate with a
+    sliding two-pointer over each partition — linear, constant memory,
+    no self-join. Integer microsecond axis on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    base = Window.partitionBy("user_id").orderBy("us")
+    w1h = base.rangeBetween(-3_600_000_000, -1)
+    w24 = base.rangeBetween(-86_400_000_000, -1)
+    f = ev.select(
+        "event_type",
+        F.count(F.lit(1)).over(w1h).alias("cnt_1h"),
+        F.count(F.lit(1)).over(w24).alias("cnt_24h"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cnt_1h").cast("long").alias("sum_cnt_1h"),
+            F.sum("cnt_24h").cast("long").alias("sum_cnt_24h"),
+            F.max("cnt_24h").cast("long").alias("max_cnt_24h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Churn-label generation: inactive in the trailing 14 days of the
+# observation window.
+# --------------------------------------------------------------------------
+_CHURN_ORACLE = """
+WITH horizon AS (SELECT MAX(ts) AS tmax FROM events),
+u AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+),
+labeled AS (
+  SELECT u.user_id, u.n_events,
+         CASE WHEN u.last_ts < h.tmax - INTERVAL 14 DAY THEN 1 ELSE 0 END AS churned
+  FROM u CROSS JOIN horizon h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(churned) AS BIGINT) AS n_churned,
+       CAST((SUM(churned) * 1000000) // COUNT(*) AS BIGINT) AS churn_ppm,
+       CAST(SUM(CASE WHEN churned = 1 THEN n_events ELSE 0 END) AS BIGINT) AS churned_events
+FROM labeled
+"""
+
+
+@query("q_label_churn", oracle=_CHURN_ORACLE, tags=("features", "labels", "events"))
+def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation: a user is labeled churned when silent
+    for the trailing 14 days of the observation window — the label
+    table every retention model trains on, derived reproducibly from
+    the data itself (horizon = max event time, one-row broadcast).
+
+    Scale shape: one per-user aggregate, one scalar broadcast, one
+    final rollup — no window, no skew (user_id is the natural key)."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    labeled = u.crossJoin(F.broadcast(horizon)).select(
+        "n_events",
+        F.when(F.col("last_ts") < F.col("tmax") - F.expr("INTERVAL 14 DAYS"), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.expr("sum(churned) * 1000000 div count(*)").cast("long").alias("churn_ppm"),
+        F.sum(F.when(F.col("churned") == 1, F.col("n_events")).otherwise(0))
+        .cast("long")
+        .alias("churned_events"),
+    )

@@ -147,6 +147,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_sketch_join_size",  # three 1-row scalar cross joins (est/exact/totals)
         "q_null_semantics",  # three 1-row contract-aggregate cross joins
         "q_events_funnel_steps",  # three 1-row step-count cross joins
+        "q_label_churn",  # one-row observation-horizon broadcast
         "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere

@@ -766,3 +766,39 @@ def q_events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acf1_ppm"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Activity heatmap: ISO day-of-week x hour matrix.
+# --------------------------------------------------------------------------
+_HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q_events_heatmap", oracle=_HEATMAP_ORACLE, tags=("events", "window"))
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity matrix (the BI heatmap).
+    ISO day numbering (1=Monday) on both engines — Spark's default
+    ``dayofweek`` is 1=Sunday while DuckDB's ``dow`` is 0=Sunday, the
+    classic cross-engine off-by-one; ``weekday``+1 == ``isodow``
+    sidesteps it.
+
+    Scale shape: one hash aggregate to a bounded 7x24 grid; the
+    distinct-user count shuffles (dow, hod, user) tuples with map-side
+    partial dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("dow", "hod")
+    )

@@ -665,3 +665,68 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"))
     )
     return per_q.groupBy("n_common").agg(F.count(F.lit(1)).alias("n_queries")).orderBy("n_common")
+
+
+# --------------------------------------------------------------------------
+# Radius (range) search: ALL neighbors above a similarity threshold,
+# not a fixed top-k — via LSH bucket candidates.
+# --------------------------------------------------------------------------
+_RANGE_TAU = "0.4"  # literal in both engines; empirically-active for this data
+
+_RANGE_ORACLE = f"""
+WITH {_BASE_CTE},
+cb AS (SELECT vec_id AS neighbor_id, v AS cv,
+              {sql_lsh_bucket('v', _DIM, _NPLANES)} AS bucket FROM e),
+qb AS (SELECT query_id, qv,
+              {sql_lsh_bucket('qv', _DIM, _NPLANES)} AS bucket FROM q),
+cand AS (
+  SELECT qb.query_id, qb.qv, cb.neighbor_id, cb.cv
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+  WHERE cb.neighbor_id <> qb.query_id
+)
+SELECT query_id,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN {sql_cosine('qv', 'cv')} >= {_RANGE_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matches
+FROM cand GROUP BY query_id ORDER BY query_id
+"""
+
+
+@query("q_sim_range_search", oracle=_RANGE_ORACLE, tags=("similarity", "lsh"))
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search — return EVERY neighbor above cosine 0.4, not a
+    fixed top-k (the dedup/recall-sweep shape, where result counts per
+    query vary and a k-cap would silently truncate). Candidates come
+    from hyperplane-LSH bucket equality; per query the result is the
+    candidate count and the verified in-radius count.
+
+    Scale shape: identical to the LSH top-k path (bucket equi-join,
+    corpus/2^planes rows per bucket) but with NO ranking window at all
+    — a pure filter + count, so the only shuffle is the bucket join."""
+    from ..functions.vector import as_double, cosine
+    from ..operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+        lsh_bucket(as_double("embedding"), _DIM, _NPLANES).alias("bucket"),
+    )
+    q = _queries_df(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+        lsh_bucket(as_double("embedding"), _DIM, _NPLANES).alias("bucket"),
+    )
+    cand = e.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    return (
+        cand.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                F.when(cosine(F.col("qv"), F.col("cv")) >= float(_RANGE_TAU), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .orderBy("query_id")
+    )

@@ -134,3 +134,56 @@ def test_bm25_ranks_rare_term_docs_first(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     top_text = docs.filter(F.col("doc_id") == rows[0].doc_id).collect()[0].text
     assert "dup" in top_text.split()
+
+
+def test_range_search_matches_bounded_by_candidates(spark, sf_dir):
+    rows = load_registry()["q_sim_range_search"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_matches <= r.n_candidates
+
+
+def test_heatmap_covers_all_events(spark, sf_dir):
+    from pandas_aws_spark.registry import load_table
+
+    rows = load_registry()["q_events_heatmap"].fn(spark, sf_dir).collect()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hod <= 23 for r in rows)
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+
+
+def test_funnel_steps_monotone(spark, sf_dir):
+    r = load_registry()["q_events_funnel_steps"].fn(spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_step1 >= r.n_step2 >= r.n_step3 >= 0
+
+
+def test_attribution_linear_conserves_credit(spark, sf_dir):
+    rows = load_registry()["q_attribution_linear"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_touch > 0:
+            # each purchase distributes (1e6 div n) * n ppm: within one
+            # floor-division remainder of full credit
+            per = r.distributed_ppm // r.n_purchases
+            assert 1_000_000 - r.n_touch < per <= 1_000_000
+
+
+def test_lag_features_are_causal(spark, sf_dir):
+    """First event of every user must have zero trailing counts —
+    checked via the operator shape on a single user."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pandas_aws_spark.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    base = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+    first_cnt = (
+        ev.select(
+            F.count(F.lit(1)).over(base.rangeBetween(-86_400_000_000, -1)).alias("c"),
+            F.row_number().over(base.orderBy(F.unix_micros("ts"), "event_id")).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert first_cnt and first_cnt[0].c == 0

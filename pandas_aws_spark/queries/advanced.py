@@ -2010,3 +2010,46 @@ def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churned_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Monthly seasonal index: each month's revenue share vs a uniform month.
+# --------------------------------------------------------------------------
+_SEASONAL_IDX_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         {sql_dsum_micro('o_totalprice')} AS rev_micro
+  FROM orders GROUP BY month(o_orderdate)
+),
+tot AS (SELECT SUM(rev_micro) AS total FROM m)
+SELECT m.month, m.rev_micro,
+       CAST((m.rev_micro * 12) // (t.total // 1000000) AS BIGINT) AS seasonal_index_ppm
+FROM m CROSS JOIN tot t
+ORDER BY m.month
+"""
+
+
+@query("q_orders_seasonal_index", oracle=_SEASONAL_IDX_ORACLE, tags=("window", "timeseries"))
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index: month revenue x 12 / total revenue in
+    ppm — 1e6 means an average month, the multiplicative factor
+    demand-planning models divide out before forecasting. Exact
+    integer micro-units end to end; the total is divided down to
+    whole units BEFORE the ratio so rev_micro * 12 stays inside
+    int64 up to ~sf100 (a direct * 1e6 overflows at sf0.001).
+
+    Scale shape: one 12-row aggregate and a one-row total broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        dsum_micro("o_totalprice").alias("rev_micro")
+    )
+    tot = m.agg(F.sum("rev_micro").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "rev_micro",
+            F.expr("rev_micro * 12 div (total div 1000000)").cast("long").alias("seasonal_index_ppm"),
+        )
+        .orderBy("month")
+    )

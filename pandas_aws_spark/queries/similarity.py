@@ -730,3 +730,83 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN majority-vote classification — the embedding-quality eval.
+# --------------------------------------------------------------------------
+_KNN_K = 5
+_KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, q.true_label, c.label AS nlabel, c.vec_id AS neighbor_id,
+         {sql_cosine('q.qv', 'c.v')} AS cos_sim
+  FROM q, e c WHERE c.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, true_label, nlabel
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+  WHERE rank <= {_KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, nlabel, COUNT(*) AS n_votes
+  FROM topk GROUP BY query_id, true_label, nlabel
+),
+pred AS (
+  SELECT query_id, true_label, nlabel AS pred_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, nlabel) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
+@query("q_sim_knn_classify", oracle=_KNN_ORACLE, tags=("similarity", "model", "eval"))
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification of the held-out query vectors
+    against their ``label`` column — the standard embedding-quality
+    probe (if nearest neighbors do not share labels, the space is not
+    learning anything). Votes tie-break on the smaller label so the
+    prediction is deterministic.
+
+    Scale shape: the scoring pass is the guarded broadcast-query
+    pattern; voting and argmax are two bounded aggregations
+    (queries x k rows). Accuracy rolls up per true label."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    topk = brute_force_topk(qs, emb, k=_KNN_K)
+    nl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    tl = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    votes = (
+        topk.join(F.broadcast(nl), "neighbor_id")
+        .join(F.broadcast(tl), "query_id")
+        .groupBy("query_id", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.col("nlabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(F.col("true_label").cast("long"), "n_queries", "n_correct")
+        .orderBy("true_label")
+    )

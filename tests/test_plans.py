@@ -148,6 +148,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_null_semantics",  # three 1-row contract-aggregate cross joins
         "q_events_funnel_steps",  # three 1-row step-count cross joins
         "q_label_churn",  # one-row observation-horizon broadcast
+        "q_sim_knn_classify",  # ANN scoring cross join (same as bruteforce)
+        "q_orders_seasonal_index",  # one-row revenue-total broadcast
         "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
@@ -190,6 +192,8 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         "q_sim_bruteforce_topk": "count(1)",
         # same guard, twice (full-dim + truncated brute-force passes)
         "q_embed_matryoshka_recall": "count(1)",
+        # brute-force guard count over the capped query side
+        "q_sim_knn_classify": "count(1)",
         # first-C coarse-centroid init: window input is
         # .limit(n_centroids), i.e. <= C rows (kilobytes)
         "q_sim_ivf_fullprobe": "row_number()",

@@ -427,3 +427,73 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: how much genuinely-new content each doc adds, in
+# ingestion (doc_id) order — the corpus growth curve.
+# --------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(array_to_string(list_slice(toks, i, i+2), ' ')),1,15)) AS BIGINT) AS h
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+owner AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h),
+pd AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh s JOIN owner o USING (h) GROUP BY s.doc_id
+),
+x AS (SELECT d.source, (pd.n_novel * 1000000) // pd.n_shingles AS ppm
+      FROM pd JOIN documents d USING (doc_id))
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ppm) AS BIGINT) AS sum_novelty_ppm,
+       CAST(MIN(ppm) AS BIGINT) AS min_novelty_ppm
+FROM x GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "dedup", "quality"))
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty rate: the share of each document's distinct
+    3-grams whose FIRST corpus occurrence (min doc_id) is this
+    document — the growth-curve metric that tells you when a crawl
+    stops adding new content (novelty trending to zero = stop
+    crawling, start dedup). Ingestion order is the doc_id order.
+
+    Scale shape: same two narrow 60-bit-hash shuffles as the
+    boilerplate query (first-owner groupBy + join back); min-doc_id
+    ownership is a map-side-combinable MIN."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.array_distinct(
+        F.transform(
+            word_shingles(tokens("text"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    sh = docs.select("doc_id", F.explode(arr).alias("h"))
+    owner = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    pd_ = (
+        sh.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    ppm = pd_.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.expr("n_novel * 1000000 div n_shingles").alias("ppm")
+    )
+    return (
+        ppm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ppm").alias("sum_novelty_ppm"),
+            F.min("ppm").alias("min_novelty_ppm"),
+        )
+        .orderBy("source")
+    )

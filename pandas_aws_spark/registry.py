@@ -247,7 +247,11 @@ _DRIVER_WINDOW = (
 # q_events_markov_chain, q_sketch_kmv_jaccard,
 # q_embed_matryoshka_recall, q_multimodal_hist_signature,
 # q_sample_importance, q_events_ab_lift, q_events_acf_hourly,
-# q_dedup_prefix_filter_join, q_text_bm25_search,
+# q_dedup_prefix_filter_join, q_text_bm25_search, q_sketch_join_size,
+# q_null_semantics, q_io_csv_malformed, q_recsys_item_cosine,
+# q_attribution_linear, q_events_funnel_steps, q_feature_lag_windows,
+# q_label_churn, q_sim_range_search, q_events_heatmap,
+# q_sim_knn_classify, q_orders_seasonal_index, q_text_ngram_novelty,
 # plus any query added after this comment.
 # Displaced re-check q_events_tumbling_hourly remains r1-verified green.
 # r1-proven entries displaced from the window by this round's new

@@ -2053,3 +2053,98 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic bootstrap confidence intervals — hash-resampled
+# Poisson(1) weights, no RNG state.
+# --------------------------------------------------------------------------
+_BOOT_B = 32  # resamples
+_BOOT_DOMAIN = 268435456  # 2^28 md5 hash space
+# Poisson(1) pmf thresholds on the 28-bit hash: P(0)=P(1)=0.3679 ->
+# w=2 for the remaining 26.4% tail (2 approximates >=2; documented).
+_BOOT_T0 = int(0.36788 * _BOOT_DOMAIN)
+_BOOT_T1 = int(0.73576 * _BOOT_DOMAIN)
+
+
+def _boot_w_sql(b: int) -> str:
+    h = f"CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR) || '|{b}'),1,7)) AS BIGINT)"
+    return f"CASE WHEN {h} < {_BOOT_T0} THEN 0 WHEN {h} < {_BOOT_T1} THEN 1 ELSE 2 END"
+
+
+_BOOT_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderstatus,
+         {", ".join(
+             f"CAST(SUM({_boot_w_sql(b)} * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(25,2)) AS s{b}, "
+             f"SUM({_boot_w_sql(b)}) AS n{b}"
+             for b in range(_BOOT_B)
+         )}
+  FROM orders GROUP BY o_orderstatus
+),
+m AS (
+  SELECT o_orderstatus,
+         [{", ".join(f"CAST(CAST(s{b} AS DECIMAL(25,2)) * 100 AS BIGINT) // n{b}" for b in range(_BOOT_B))}] AS means
+  FROM r
+)
+SELECT o_orderstatus,
+       CAST(list_min(means) AS BIGINT) AS ci_low_centi,
+       CAST(list_max(means) AS BIGINT) AS ci_high_centi,
+       CAST(list_reduce(means, (a, b) -> a + b) // {_BOOT_B} AS BIGINT) AS boot_mean_centi
+FROM m ORDER BY o_orderstatus
+"""
+
+
+@query("q_stats_bootstrap_ci", oracle=_BOOT_ORACLE, tags=("stats", "sampling"))
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value per status —
+    with NO random state: resample b's weight for a row is a
+    Poisson(1)-approximating function of md5(key|b) (0/1/2 by pmf
+    thresholds; 2 stands in for >=2, a documented truncation), so all
+    32 resamples are computed in ONE scan as 64 aggregate columns and
+    the whole CI replays bit-for-bit on any engine, any partitioning,
+    any rerun — the reproducibility property RNG-based bootstrap
+    cannot give. Means are exact integer centi-units.
+
+    Scale shape: one pass, 64 partially-aggregated counters per group
+    — no explode, no 32x data blowup; the min/max/mean over the 32
+    resample means is row-local array math on a 32-element array."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def w(b: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{b}"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        return (
+            F.when(h < _BOOT_T0, 0).when(h < _BOOT_T1, 1).otherwise(2)
+        )
+
+    aggs = []
+    for b in range(_BOOT_B):
+        aggs.append(
+            F.sum(w(b) * F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(25,2)")
+            .alias(f"s{b}")
+        )
+        aggs.append(F.sum(w(b)).alias(f"n{b}"))
+    r = o.groupBy("o_orderstatus").agg(*aggs)
+    means = F.array(
+        *[F.expr(f"cast(cast(s{b} as decimal(25,2)) * 100 as bigint) div n{b}") for b in range(_BOOT_B)]
+    )
+    return (
+        r.select("o_orderstatus", means.alias("means"))
+        .select(
+            "o_orderstatus",
+            F.array_min("means").cast("long").alias("ci_low_centi"),
+            F.array_max("means").cast("long").alias("ci_high_centi"),
+            (
+                F.aggregate("means", F.lit(0).cast("long"), lambda a, x: a + x)
+                / F.lit(_BOOT_B)
+            )
+            .cast("long")
+            .alias("boot_mean_centi"),
+        )
+        .orderBy("o_orderstatus")
+    )

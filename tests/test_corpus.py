@@ -187,3 +187,19 @@ def test_lag_features_are_causal(spark, sf_dir):
         .collect()
     )
     assert first_cnt and first_cnt[0].c == 0
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    rows = load_registry()["q_stats_bootstrap_ci"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_low_centi <= r.boot_mean_centi <= r.ci_high_centi
+        assert r.ci_low_centi < r.ci_high_centi  # 32 resamples never degenerate here
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = load_registry()["q_text_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_novelty_ppm <= 1_000_000
+        assert r.sum_novelty_ppm <= r.n_docs * 1_000_000

@@ -2148,3 +2148,57 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Order interarrival times per customer, rolled up by market segment.
+# --------------------------------------------------------------------------
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+),
+g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(g.gap_days) AS BIGINT) AS total_gap_days,
+       CAST((SUM(g.gap_days) * 1000000) // COUNT(*) AS BIGINT) AS avg_gap_days_ppm,
+       CAST(MAX(g.gap_days) AS BIGINT) AS max_gap_days
+FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@query("q_orders_interarrival", oracle=_INTERARRIVAL_ORACLE, tags=("events", "window", "timeseries"))
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order interarrival times (days between consecutive
+    orders, lag over (o_orderdate, o_orderkey) — tie-free), rolled up
+    per market segment: the purchase-cadence statistic behind
+    replenishment and churn-risk models.
+
+    Scale shape: one shuffle on o_custkey for the lag window; the
+    customer dimension joins broadcast; integer day arithmetic."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), gaps.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+            F.expr("sum(gap_days) * 1000000 div count(*)").cast("long").alias("avg_gap_days_ppm"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )

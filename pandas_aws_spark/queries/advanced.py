@@ -2202,3 +2202,68 @@ def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — verbatim
+# dialect-portable SQL on both engines.
+# --------------------------------------------------------------------------
+_BAG_SQL = """
+WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+i AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b),
+x AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+d AS (SELECT p FROM a INTERSECT SELECT p FROM b)
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM i
+UNION ALL SELECT 'except_all', COUNT(*) FROM x
+UNION ALL SELECT 'intersect_distinct', COUNT(*) FROM d
+ORDER BY op
+"""
+
+
+@query("q_set_ops_bag", oracle=_BAG_SQL, tags=("relational", "setops", "sql"))
+def q_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations: INTERSECT ALL keeps
+    min(count_A(x), count_B(x)) copies and EXCEPT ALL keeps
+    max(0, count_A - count_B) — multiplicity rules the DISTINCT
+    variants (q_set_ops) erase, and a classic cross-engine divergence
+    point. One dialect-portable string runs verbatim on both engines;
+    the distinct-intersect row sits alongside for contrast.
+
+    Scale shape: Spark plans INTERSECT/EXCEPT ALL as count-aggregated
+    joins on the value — two hash shuffles on a low-cardinality key,
+    no row-by-row bag bookkeeping."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BAG_SQL)
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery — per-group top-k in pure SQL.
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT s.seg, t.c_custkey, t.bal_milli
+FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+LATERAL (
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,3)) * 1000 AS BIGINT) AS bal_milli
+  FROM customer
+  WHERE c_mktsegment = s.seg
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+ORDER BY s.seg, t.bal_milli DESC, t.c_custkey
+"""
+
+
+@query("q_sql_lateral_topk", oracle=_LATERAL_SQL, tags=("relational", "sql", "window"))
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top-2 customers per segment
+    expressed as a per-row dependent subquery instead of a window
+    function: the SQL surface ELT tools generate. The same string runs
+    verbatim on Spark (which decorrelates it into a ranked join under
+    the hood) and on DuckDB. Balances in exact integer milli-units.
+
+    Scale shape: Catalyst rewrites the correlated LIMIT into a
+    window-rank over a single shuffle on the correlation key — no
+    per-group re-scan, despite the per-group phrasing."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

@@ -23,7 +23,7 @@ from ..operators.dedup import (
     lsh_band_buckets,
     minhash_signatures,
 )
-from ..registry import load_table, query
+from ..registry import REGISTRY, load_table, query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
@@ -496,4 +496,103 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ppm").alias("min_novelty_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup recall audit: MinHash-LSH pairs vs the exact PPJoin ground
+# truth at the same threshold.
+# --------------------------------------------------------------------------
+_RECALL_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+hh AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
+       FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+-- exact ground truth: every pair with jaccard >= 0.8 (via PPJoin prefix filter)
+dfreq AS (SELECT h, COUNT(*) AS df FROM hh GROUP BY h),
+ordered AS (
+  SELECT hh.doc_id, hh.h,
+         ROW_NUMBER() OVER (PARTITION BY hh.doc_id ORDER BY d.df, hh.h) AS rn
+  FROM hh JOIN dfreq d USING (h)
+),
+pref AS (
+  SELECT o.doc_id, o.h FROM ordered o JOIN sizes s USING (doc_id)
+  WHERE o.rn <= s.n - (4 * s.n + 4) // 5 + 1
+),
+pcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
+pinter AS (SELECT c.id_a, c.id_b, COUNT(*) AS nc
+           FROM pcand c JOIN hh a ON a.doc_id = c.id_a
+           JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
+           GROUP BY c.id_a, c.id_b),
+exact_pairs AS (
+  SELECT i.id_a, i.id_b FROM pinter i
+  JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE 5 * i.nc >= 4 * (sa.n + sb.n - i.nc)
+),
+-- LSH pipeline at the same threshold
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+lcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+linter AS (SELECT c.id_a, c.id_b, COUNT(*) AS nc
+           FROM lcand c JOIN hh a ON a.doc_id = c.id_a
+           JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
+           GROUP BY c.id_a, c.id_b),
+lsh_pairs AS (
+  SELECT i.id_a, i.id_b FROM linter i
+  JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE 5 * i.nc >= 4 * (sa.n + sb.n - i.nc)
+)
+SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+       CAST(((SELECT COUNT(*) FROM lsh_pairs) * 1000000)
+            // (SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS recall_ppm
+"""
+
+
+@query("q_dedup_lsh_recall", oracle=_RECALL_ORACLE, tags=("dedup", "lsh", "quality"))
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-recall audit that closes the estimator loop: the
+    MinHash-LSH pair set measured against the EXACT PPJoin ground
+    truth at the same jaccard >= 0.8 threshold. LSH verifies candidate
+    pairs exactly, so its precision is 1 by construction — the metric
+    that matters is recall (pairs whose signatures never collided in
+    any band), and this query pins it as an integer ppm the oracle
+    reproduces bit-for-bit. Run it when tuning (bands, rows).
+
+    Scale shape: both pipelines are the production subquadratic paths
+    (prefix-bucket and band-bucket joins); the comparison is a count
+    of two pair sets."""
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    exact = REGISTRY["q_dedup_prefix_filter_join"].fn(spark, sf_dir).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return ne.crossJoin(F.broadcast(nl)).select(
+        F.col("n_exact").cast("long"),
+        F.col("n_lsh").cast("long"),
+        F.expr("n_lsh * 1000000 div n_exact").cast("long").alias("recall_ppm"),
     )

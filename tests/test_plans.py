@@ -150,6 +150,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_label_churn",  # one-row observation-horizon broadcast
         "q_sim_knn_classify",  # ANN scoring cross join (same as bruteforce)
         "q_orders_seasonal_index",  # one-row revenue-total broadcast
+        "q_dedup_lsh_recall",  # one-row x one-row pair-count join
         "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere

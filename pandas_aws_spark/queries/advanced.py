@@ -2267,3 +2267,58 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group re-scan, despite the per-group phrasing."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Co-purchase graph degree distribution.
+# --------------------------------------------------------------------------
+_DEGREE_ORACLE = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT u AS node, COUNT(*) AS degree FROM (
+    SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+  ) GROUP BY u
+)
+SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@query("q_graph_degree_dist", oracle=_DEGREE_ORACLE, tags=("graph", "cooccurrence"))
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first
+    statistic of any graph workload (skew in this histogram is what
+    makes or breaks every downstream traversal's partitioning).
+
+    Scale shape: edges come from the order-bounded self-equi-join
+    (never all-pairs); degrees are one count per node; the histogram
+    is a count per degree — three narrow shuffles."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select("u")
+        .unionByName(edges.select(F.col("v").alias("u")))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("degree").cast("long"), "n_nodes")
+        .orderBy("degree")
+    )

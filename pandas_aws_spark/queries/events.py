@@ -802,3 +802,61 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("dow", "hod")
     )
+
+
+# --------------------------------------------------------------------------
+# Session-level conversion: share of sessions containing a purchase.
+# --------------------------------------------------------------------------
+_SESSION_CONV_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sess_id,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM numbered GROUP BY user_id, sess_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT) AS session_conv_ppm,
+       CAST(SUM(CASE WHEN converted = 1 THEN n_events ELSE 0 END) AS BIGINT) AS converted_events
+FROM sessions
+"""
+
+
+@query("q_events_session_conversion", oracle=_SESSION_CONV_ORACLE, tags=("events", "session", "funnel"))
+def q_events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion rate: the share of 30-minute-gap
+    sessions that contain a purchase — the funnel denominator product
+    teams actually use (user-level conversion hides how many visits it
+    takes). Native ``session_window`` sessions, integer ppm.
+
+    Scale shape: identical to q_events_sessionize (one user-keyed
+    shuffle into session_window state) plus a scalar rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sess"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            ),
+        )
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(*)").cast("long").alias("session_conv_ppm"),
+        F.sum(F.when(F.col("converted") == 1, F.col("n_events")).otherwise(0))
+        .cast("long")
+        .alias("converted_events"),
+    )

@@ -860,3 +860,44 @@ def q_events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("converted_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# VariantType semi-structured path (Spark 4): parse once, extract many.
+# --------------------------------------------------------------------------
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_events_variant_extract", oracle=_VARIANT_ORACLE, tags=("events", "json", "variant"))
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` paths — the columnar-shredding path that beats
+    re-parsing JSON text per extraction (q_events_json_extract is the
+    legacy ``get_json_object`` formulation of the same answer). The
+    oracle replays with DuckDB's JSON extraction; values must agree
+    exactly.
+
+    Scale shape: parse + extract are row-local inside codegen's
+    variant kernels; one aggregate after."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

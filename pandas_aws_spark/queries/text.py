@@ -1034,3 +1034,68 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "bm25_ppm")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface: lateral text chunking as a table function.
+# --------------------------------------------------------------------------
+_UDTF_CHUNK = 256
+_UDTF_ORACLE = f"""
+WITH pieces AS (
+  SELECT d.doc_id, d.source,
+         CAST(u.i AS BIGINT) AS chunk_idx,
+         substring(d.text, CAST(u.i * {_UDTF_CHUNK} + 1 AS INT), {_UDTF_CHUNK}) AS piece
+  FROM documents d,
+       UNNEST(range(0, (length(d.text) + {_UDTF_CHUNK - 1}) // {_UDTF_CHUNK})) AS u(i)
+  WHERE length(d.text) > 0
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(length(piece)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(concat('0x', substring(md5(piece),1,7)) AS BIGINT)) AS BIGINT) AS content_hash_sum
+FROM pieces GROUP BY source ORDER BY source
+"""
+
+
+@query("q_text_udtf_chunks", oracle=_UDTF_ORACLE, tags=("text", "udf", "sql"))
+def q_text_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) exercised as a
+    lateral chunker: each document row fans out to one row per
+    256-char piece inside the SQL engine's lateral-join machinery —
+    the surface that lets Python logic produce ROWS, not just columns.
+    The md5 content-hash sum proves every piece's exact bytes arrived.
+    The same chunking is expressible in pure codegen (see
+    q_multimodal_chunking's mapInPandas and the oracle's substring
+    arithmetic) — a real pipeline keeps UDTFs for logic that genuinely
+    needs Python (parsers, tokenizers); this query pins the plumbing.
+
+    Scale shape: the UDTF runs once per input row inside the scan
+    stage (no shuffle to reach it); everything after is one hash
+    aggregate. Python-row cost applies — the documented slow path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, piece string")
+    class Chunker:
+        def eval(self, s: str, n: int):
+            if s:
+                for i in range(0, len(s), n):
+                    yield i // n, s[i : i + n]
+
+    spark.udtf.register("pas_chunker", Chunker)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.length("text") > 0).createOrReplaceTempView("docs_for_udtf")
+    pieces = spark.sql(
+        f"SELECT d.source, c.chunk_idx, c.piece "
+        f"FROM docs_for_udtf d, LATERAL pas_chunker(d.text, {_UDTF_CHUNK}) c"
+    )
+    return (
+        pieces.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("piece")).cast("long").alias("total_chars"),
+            F.sum(F.conv(F.substring(F.md5("piece"), 1, 7), 16, 10).cast("long"))
+            .cast("long")
+            .alias("content_hash_sum"),
+        )
+        .orderBy("source")
+    )

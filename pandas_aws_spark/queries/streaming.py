@@ -624,3 +624,70 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: unmatched clicks emit nulls after the
+# watermark proves no purchase can arrive.
+# --------------------------------------------------------------------------
+_OUTER_ORACLE = """
+WITH horizon AS (SELECT MAX(ts) AS tmax FROM events),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.ts AS c_ts, c.event_id,
+         COUNT(p.ts) AS n_purch
+  FROM c LEFT JOIN p ON p.user_id = c.user_id
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+  GROUP BY c.user_id, c.ts, c.event_id
+)
+SELECT CAST(SUM(CASE WHEN n_purch > 0 THEN n_purch ELSE 0 END) AS BIGINT) AS n_matched_pairs,
+       CAST(SUM(CASE WHEN n_purch = 0
+                  AND j.c_ts < h.tmax - INTERVAL 24 HOUR
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired_unmatched
+FROM j CROSS JOIN horizon h
+"""
+
+
+@query("q_stream_outer_join", oracle=_OUTER_ORACLE, tags=("streaming", "join"))
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the watermark-expiry
+    semantics inner joins never exercise: an unmatched click emits a
+    null-purchase row only once the watermark passes
+    ``click.ts + window`` (proof no match can arrive). Under the
+    availableNow drain, unmatched clicks near the end of the feed are
+    still awaiting proof and stay in state (the exact eviction point
+    is internal to the join's state-watermark analysis — measured
+    between 4h and 8h before max(ts) on this feed, not a public
+    contract), so BOTH sides count unmatched clicks only when older
+    than a 24h safety margin — every such row is provably evicted,
+    making the hash comparison robust to the internal boundary.
+    Matched pairs emit regardless of watermark timing and are counted
+    in full."""
+    from ..streaming.pipeline import stream_click_attribution_outer
+
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = stream_click_attribution_outer(clicks, purchases)
+    drained = run_to_completion(pairs, "stream_outer_sink", output_mode="append")
+    from ..registry import load_table
+
+    tmax = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("tmax"))
+    return (
+        drained.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched_pairs"),
+            F.sum(
+                F.when(
+                    F.col("purchase_id").isNull()
+                    & (F.col("c_ts") < F.col("tmax") - F.expr("INTERVAL 24 HOURS")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_expired_unmatched"),
+        )
+    )

@@ -422,3 +422,39 @@ def heartbeat_gap_alerts(events: DataFrame, threshold_hours: int = 48) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_click_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM **left outer** join: like
+    :func:`stream_click_attribution`, but clicks with NO purchase in
+    the window still emit (with nulls) once the watermark proves no
+    match can arrive — the semantics that power "abandoned intent"
+    feeds. An unmatched click is held in state until the watermark
+    passes ``click.ts + attribution_window``; under an availableNow
+    drain the FINAL watermark is ``max(event ts) - watermark``, so
+    clicks younger than ``watermark + attribution_window`` from the
+    end of the feed are still awaiting proof and do NOT emit a null
+    row — exactly mirrored by the batch oracle's cutoff.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("p_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        "leftOuter",
+    )

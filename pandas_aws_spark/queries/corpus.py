@@ -596,3 +596,75 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lsh").cast("long"),
         F.expr("n_lsh * 1000000 div n_exact").cast("long").alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source-level content overlap: pairwise Jaccard between the SOURCES'
+# shingle sets — the mixture-planning dedup signal.
+# --------------------------------------------------------------------------
+_SRC_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT source, {_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT source,
+              CAST(concat('0x', substring(md5(array_to_string(list_slice(toks, i, i+2), ' ')),1,15)) AS BIGINT) AS h
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS nc
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT i.src_a, i.src_b,
+         CAST((i.nc * 1000000) // (sa.n + sb.n - i.nc) AS BIGINT) AS jaccard_ppm
+  FROM inter i
+  JOIN sizes sa ON sa.source = i.src_a
+  JOIN sizes sb ON sb.source = i.src_b
+)
+SELECT src_a, src_b, jaccard_ppm
+FROM pairs WHERE jaccard_ppm >= 10000
+ORDER BY src_a, src_b
+"""
+
+
+@query("q_text_source_overlap", oracle=_SRC_JACCARD_ORACLE, tags=("text", "dedup", "mixture"))
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level content overlap: pairwise Jaccard between each
+    SOURCE's 3-gram shingle set (>= 1% only) — the corpus-granularity
+    dedup signal mixture planning needs BEFORE doc-level dedup: two
+    mirrored sources show up here as one near-1e6 cell, telling you to
+    drop a whole source rather than fight millions of doc pairs.
+
+    Scale shape: per-source shingle sets are one distinct aggregate on
+    (source, 60-bit hash); the intersection join is keyed on the hash
+    and the pair space is |sources|^2 cells — corpus size only enters
+    through the linear shingle scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.array_distinct(
+        F.transform(
+            word_shingles(tokens("text"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    sh = docs.select("source", F.explode(arr).alias("h")).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), F.col("h").alias("hb"))
+    inter = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("nc * 1000000 div (na + nb - nc)").cast("long").alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= 10000)
+        .orderBy("src_a", "src_b")
+    )

@@ -901,3 +901,63 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/MAU stickiness ratio per day.
+# --------------------------------------------------------------------------
+_STICKINESS_ORACLE = """
+WITH dau AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+contrib AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) + CAST(s.off AS INTEGER) AS day, user_id
+  FROM events, UNNEST(range(0, 30)) AS s(off)
+),
+mau AS (SELECT day, COUNT(DISTINCT user_id) AS mau FROM contrib GROUP BY day)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+       CAST((d.dau * 1000000) // m.mau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN mau m ON m.day = d.day
+ORDER BY d.day
+"""
+
+
+@query("q_events_stickiness", oracle=_STICKINESS_ORACLE, tags=("events", "window", "distinct"))
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-health KPI. The
+    trailing-30-day distinct-user count (MAU) uses the contribution
+    explode (each (day, user) observation votes into the next 30
+    daily buckets), the same trick as q_events_wau_rolling: turns a
+    30-day sliding DISTINCT into two plain groupBys — no self-join,
+    no window over exploded state. Days with DAU but an observation
+    window shorter than 30d report the partial MAU (as products do).
+
+    Scale shape: the explode is map-side (30 small ints per distinct
+    (day, user)); both distinct aggregates shuffle (day, user) pairs
+    with partial dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dau = ev.select(day.alias("day"), "user_id").distinct().groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    contrib = (
+        ev.select(day.alias("d0"), "user_id")
+        .distinct()
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"), "d0", "user_id"
+        )
+        .select(F.date_add(F.col("d0"), F.col("off")).alias("day"), "user_id")
+        .distinct()
+    )
+    mau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long"),
+            F.col("mau").cast("long"),
+            F.expr("dau * 1000000 div mau").cast("long").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -252,6 +252,10 @@ _DRIVER_WINDOW = (
 # q_attribution_linear, q_events_funnel_steps, q_feature_lag_windows,
 # q_label_churn, q_sim_range_search, q_events_heatmap,
 # q_sim_knn_classify, q_orders_seasonal_index, q_text_ngram_novelty,
+# q_stats_bootstrap_ci, q_orders_interarrival, q_set_ops_bag,
+# q_sql_lateral_topk, q_dedup_lsh_recall, q_events_session_conversion,
+# q_graph_degree_dist, q_text_udtf_chunks, q_events_variant_extract,
+# q_stream_outer_join, q_text_source_overlap, q_events_stickiness,
 # plus any query added after this comment.
 # Displaced re-check q_events_tumbling_hourly remains r1-verified green.
 # r1-proven entries displaced from the window by this round's new

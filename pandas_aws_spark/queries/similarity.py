@@ -775,7 +775,11 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     against their ``label`` column — the standard embedding-quality
     probe (if nearest neighbors do not share labels, the space is not
     learning anything). Votes tie-break on the smaller label so the
-    prediction is deterministic.
+    prediction is deterministic. On THIS synthetic corpus the readout
+    is chance-level (labels are independent of the vectors) — which is
+    the eval doing its job: it reports that these embeddings carry no
+    label signal, exactly what you want surfaced before training on
+    retrieval labels.
 
     Scale shape: the scoring pass is the guarded broadcast-query
     pattern; voting and argmax are two bounded aggregations

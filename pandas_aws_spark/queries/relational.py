@@ -1187,3 +1187,38 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_groups").cast("long"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING() disambiguation: data-NULL groups vs rollup-total rows.
+# --------------------------------------------------------------------------
+_GROUPING_FN_SQL = """
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS x,
+         o_totalprice
+  FROM orders
+)
+SELECT x,
+       CAST(GROUPING(x) AS BIGINT) AS is_total,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM a
+GROUP BY ROLLUP(x)
+ORDER BY is_total, x NULLS FIRST
+"""
+
+
+@query("q_grouping_fn", oracle=_GROUPING_FN_SQL, tags=("agg", "groupingsets", "nulls", "sql"))
+def q_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation — the classic rollup trap: a grouping
+    column that CONTAINS data NULLs produces TWO x=NULL rows under
+    ROLLUP, and only GROUPING(x) tells the data-NULL group (0) apart
+    from the rollup grand total (1). Engines that disagree here
+    silently double-count dashboards. One dialect-portable string runs
+    verbatim on both engines (explicit NULLS FIRST — Spark and DuckDB
+    default NULL ordering differently, the second trap in the same
+    query).
+
+    Scale shape: one Expand + hash aggregate, same as every rollup."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_FN_SQL)

@@ -175,102 +175,72 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # io / skew), instead of whatever module import order happens to produce.
 # Everything not listed keeps its natural registration order after these.
 #
-# Round-4 rotation (this window): the 23 entries the driver has NEVER
-# hash-verified across r1-r3 rotate IN (led by q_sim_ivf_pq, the
-# flagship ANN composition), plus q_customer_rfm (r3-green but its
-# plan was rewritten this round — two-phase ntile — so it needs fresh
-# external proof), the 6 queries ADDED this round (verify-first), and
-# the 20 oldest single-round-proven entries (r1 evidence only). Union
-# across r1-r4 then covers all 139 pre-r4 queries plus the 6 new ones
-# (registry total 145). Every window entry has an oracle and a
-# scalar-only output shape (tests/test_entry.py gates both).
+# Round-5 rotation (this window): ALL 42 entries the driver has never
+# hash-verified across r1-r4 rotate IN — this drives the union of
+# externally verified queries to 207/207, the full registry — plus the
+# 8 oldest single-round-proven entries (r1 evidence only) as re-checks.
+# The window contents are NOT hand-curated bookkeeping anymore:
+# tests/test_entry.py::test_driver_window_covers_never_verified
+# recomputes the never-verified set from the CORRECTNESS_r*.json files
+# on disk and asserts this window covers it exactly. Every window entry
+# has an oracle and a scalar-only output shape (tests/test_entry.py
+# gates both). Queries ADDED in round 5 or later register after the
+# window and form the r6 queue automatically (the invariant test
+# reports them).
 _DRIVER_WINDOW = (
-    # --- never externally verified (the r4 queue from the r3 verdict) ---
-    "q_sim_ivf_pq",
-    "q_supplier_pareto",  # also rewritten this round (two-phase cumsum)
-    "q_stream_curation",
-    "q_profile_orders",
-    "q_stratified_sample",
-    "q_events_zscore_outliers",
-    "q_events_mad_outliers",
-    "q_events_streaks",
-    "q_events_twap",
-    "q_attribution_last_touch",
-    "q_histogram_prices",
-    "q_text_pmi_bigrams",
-    "q_graph_triangles",
-    "q_skew_report",
-    "q_expectations",
-    "q_events_decayed_engagement",
-    "q_feature_binning",
-    "q_text_chunk_overlap",
-    "q_revenue_share_ppm",
-    "q_events_wau_rolling",
-    "q_events_max_drawdown",
-    "q_events_path_analysis",
-    "q_events_user_diversity",
-    # --- rewritten this round: re-verify under the new plan ---
-    "q_customer_rfm",
-    # --- NEW this round (no external evidence yet, verify first) ---
-    "q_split_leakage",
-    "q_sketch_quantile",
-    "q_feature_winsorize",
-    "q_graph_pagerank",
-    "q_stream_sink_parquet",
-    "q_text_pii_redact",
-    "q_drift_tvd",
-    "q_feature_target_encode",
-    "q_cdc_compact",
-    "q_time_rollup",
-    "q_text_domain_caps",
-    "q_dedup_semantic",
-    "q_sketch_kmv",
-    "q_sample_negative",
-    "q_stream_topk_per_window",
-    "q_dedup_containment",
-    "q_multimodal_chunking",
-    "q_io_compact_small_files",
-    "q_events_seasonal_anomaly",
-    "q_supplier_hhi",
-    "q_io_bucketed_join",
-    "q_sample_reservoir_group",
-    "q_feature_hashing_trick",
-    "q_multimodal_shard_manifest",
-    "q_events_cusum_changepoint",
-    "q_stream_upsert_foreachbatch",
+    # --- never externally verified (the r5 queue from the r4 verdict) ---
+    "q_null_semantics",
+    "q_grouping_fn",
+    "q_events_rolling_median",
+    "q_events_interval_coverage",
+    "q_events_markov_chain",
+    "q_events_acf_hourly",
+    "q_events_heatmap",
+    "q_events_session_conversion",
+    "q_events_variant_extract",
+    "q_events_stickiness",
+    "q_io_roundtrip_jsonl",
+    "q_io_csv_malformed",
+    "q_embed_matryoshka_recall",
+    "q_sim_range_search",
+    "q_sim_knn_classify",
+    "q_text_vocab_hapax",
+    "q_text_bm25_search",
+    "q_text_udtf_chunks",
+    "q_multimodal_hist_signature",
+    "q_stream_outer_join",
+    "q_sketch_kmv_jaccard",
+    "q_sketch_join_size",
+    "q_recsys_item_cosine",
+    "q_attribution_linear",
+    "q_events_funnel_steps",
+    "q_feature_lag_windows",
+    "q_label_churn",
+    "q_orders_seasonal_index",
+    "q_stats_bootstrap_ci",
+    "q_orders_interarrival",
+    "q_set_ops_bag",
+    "q_sql_lateral_topk",
+    "q_graph_degree_dist",
+    "q_sample_importance",
+    "q_events_ab_lift",
+    "q_text_boilerplate_ngrams",
+    "q_text_unigram_surprisal",
+    "q_dedup_minhash_error",
+    "q_dedup_prefix_filter_join",
+    "q_text_ngram_novelty",
+    "q_dedup_lsh_recall",
+    "q_text_source_overlap",
+    # --- re-checks: the 8 oldest single-round-proven entries (r1 only) ---
+    "q06_forecast_revenue",
+    "q04_order_priority",
+    "q_customers_without_pending",
+    "q_top_orders",
+    "q_set_ops",
+    "q_rollup_quantity",
+    "q_pivot_status",
+    "q_distinct_counts",
 )
-# Round-5 rotation queue (registered after the window, externally
-# unverified until rotated in): q_io_roundtrip_jsonl,
-# q_events_rolling_median, q_events_interval_coverage,
-# q_text_vocab_hapax, q_text_boilerplate_ngrams,
-# q_text_unigram_surprisal, q_dedup_minhash_error,
-# q_events_markov_chain, q_sketch_kmv_jaccard,
-# q_embed_matryoshka_recall, q_multimodal_hist_signature,
-# q_sample_importance, q_events_ab_lift, q_events_acf_hourly,
-# q_dedup_prefix_filter_join, q_text_bm25_search, q_sketch_join_size,
-# q_null_semantics, q_io_csv_malformed, q_recsys_item_cosine,
-# q_attribution_linear, q_events_funnel_steps, q_feature_lag_windows,
-# q_label_churn, q_sim_range_search, q_events_heatmap,
-# q_sim_knn_classify, q_orders_seasonal_index, q_text_ngram_novelty,
-# q_stats_bootstrap_ci, q_orders_interarrival, q_set_ops_bag,
-# q_sql_lateral_topk, q_dedup_lsh_recall, q_events_session_conversion,
-# q_graph_degree_dist, q_text_udtf_chunks, q_events_variant_extract,
-# q_stream_outer_join, q_text_source_overlap, q_events_stickiness,
-# plus any query added after this comment.
-# Displaced re-check q_events_tumbling_hourly remains r1-verified green.
-# r1-proven entries displaced from the window by this round's new
-# queries (all still covered by the local strict sweep, and all
-# hash-verified green in an earlier round): q04_order_priority,
-# q07_volume_shipping, q_cube_price, q_quantile_stats,
-# q_events_sessionize, q_pivot_status,
-# q_unpivot_metrics, q_set_ops, q_scalar_functions, q_ntile_quartiles,
-# q06_forecast_revenue, q08_market_share, q09_product_profit,
-# q10_returned_items, q11_important_parts,
-# q13_customer_distribution, q14_promo_effect,
-# q15_top_supplier, q16_supplier_part_counts,
-# q17_small_quantity_revenue, q18_large_volume_customers,
-# q19_discounted_revenue, q20_promotable_suppliers,
-# q21_waiting_suppliers, q22_global_sales_opportunity.
 
 
 def load_registry() -> dict[str, QuerySpec]:

@@ -14,6 +14,8 @@ integer ``length(bin(n)) - 1`` — no floating point anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -295,6 +297,14 @@ def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PP_T_NUM, _PP_T_DEN = 4, 5  # jaccard threshold 0.8 as an exact rational
 
+# The exact join is the audit path: prefix-bucket candidates grow
+# superlinearly with corpus size on low-diversity vocabularies, so past
+# this many documents the job fails fast (in-plan assert, same contract
+# as the ANN brute-force query cap) instead of melting the cluster —
+# run MinHash-LSH (q_dedup_minhash_lsh) at corpus scale and PPJoin on
+# samples/partitions.
+MAX_EXACT_JOIN_DOCS = 1_000_000
+
 _PPJOIN_ORACLE = rf"""
 WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
@@ -352,17 +362,29 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts that grow with token-frequency skew. The threshold is the
     exact rational 4/5 so every filter is integer arithmetic.
 
-    Scale shape: candidates come from a join on the 28-bit prefix-hash
-    key (rarest tokens -> smallest buckets); the per-doc rarity sort is
-    a window partitioned by doc_id. Both shuffles carry 8-byte keys;
-    the pair space is never materialized beyond prefix collisions.
-    Measured honestly at 10x data: 12x runtime (the positional filter
-    cut it from 22x) — prefix buckets grow with corpus size on a
-    low-diversity token distribution, so candidates grow superlinearly.
-    That is the exactness tax: when skew is high and approximate recall
-    is acceptable, MinHash-LSH (5x at 10x) is the scale path; PPJoin is
-    the audit/ground-truth path you run on samples or high-diversity
-    corpora."""
+    Scale shape: candidates come from a join on the composite key
+    (28-bit prefix hash, length stratum); three exact prunes keep
+    buckets small: (1) ASYMMETRIC prefixes — pairs are generated
+    larger-probes-smaller, and the indexed (smaller) side only needs
+    its |B| - ceil(2t/(1+t)|B|) + 1 = |B| - ceil(8|B|/9) + 1 rarest
+    tokens (PPJoin index prefix; valid because |A| >= |B| implies
+    required overlap alpha >= 2t/(1+t)|B|), roughly halving indexed
+    bucket populations vs the symmetric ceil(0.2|B|)+1 prefix;
+    (2) LENGTH STRATIFICATION — the join key carries a geometric
+    (base-1.25) size stratum, so a common token's bucket splits by
+    doc length and incompatible-size pairs never materialize (the
+    index side replicates to strata {g, g+1, g+2}, covering the
+    exact-math bound g(na)-g(nb) <= 1 for na/nb <= 1.25 plus one
+    stratum of float-floor slack, so no qualifying pair can be
+    missed); (3) the PPJoin positional filter. The per-doc rarity
+    sort is a window partitioned by doc_id; all shuffles carry
+    integer keys. Even so, candidates grow superlinearly on a
+    low-diversity token distribution — that is the exactness tax —
+    so the plan carries an in-plan corpus-size guard (assert fails
+    past MAX_EXACT_JOIN_DOCS, the same contract as the ANN
+    brute-force cap): MinHash-LSH (q_dedup_minhash_lsh) is the scale
+    path; PPJoin is the audit/ground-truth path you run on samples
+    or high-diversity corpora."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -370,29 +392,68 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = hh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "h")
-    ordered = hh.join(dfreq, "h").withColumn("rn", F.row_number().over(w))
-    pref = ordered.join(sizes, "doc_id").filter(
+    ordered = (
+        hh.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        # geometric length stratum; both sides derive it from the same
+        # deterministic expression, so equality is consistent
+        .withColumn("g", F.floor(F.log(F.col("n").cast("double")) / math.log(1.25)))
+    )
+    # probing prefix (larger side): the |A| - ceil(t|A|) + 1 rarest tokens
+    pa = ordered.filter(
         F.col("rn")
         <= F.col("n") - F.expr(f"({_PP_T_NUM} * n + {_PP_T_NUM}) div {_PP_T_DEN}") + 1
+    ).select(
+        F.col("doc_id").alias("id_a"), "h", F.col("n").alias("na"),
+        F.col("rn").alias("ra"), F.col("g").alias("ga"),
     )
-    pa = pref.select(
-        F.col("doc_id").alias("id_a"), "h", F.col("n").alias("na"), F.col("rn").alias("ra")
+    # in-plan corpus-size guard: 1-row count broadcast into the probe
+    # side; assert_true fails the job with a clear message past the cap
+    # (NULL on success, so the filter passes every row)
+    n_docs = sizes.agg(F.count(F.lit(1)).alias("_ndocs"))
+    pa = (
+        pa.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.assert_true(
+                F.col("_ndocs") <= MAX_EXACT_JOIN_DOCS,
+                F.lit(
+                    "q_dedup_prefix_filter_join: corpus exceeds "
+                    f"MAX_EXACT_JOIN_DOCS={MAX_EXACT_JOIN_DOCS}; the exact "
+                    "set-similarity join is the audit path — use "
+                    "q_dedup_minhash_lsh at corpus scale or run PPJoin on a "
+                    "sample/partition"
+                ),
+            ).isNull()
+        )
+        .drop("_ndocs")
     )
-    pb = pref.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("h").alias("hb"),
-        F.col("n").alias("nb"),
-        F.col("rn").alias("rb"),
+    # index prefix (smaller side): only |B| - ceil(8|B|/9) + 1 rarest
+    # tokens, replicated into the up-to-3 strata a larger partner can
+    # occupy
+    pb = (
+        ordered.filter(
+            F.col("rn") <= F.col("n") - F.expr("(8 * n + 8) div 9") + 1
+        )
+        .select(
+            F.col("doc_id").alias("id_b"),
+            F.col("h").alias("hb"),
+            F.col("n").alias("nb"),
+            F.col("rn").alias("rb"),
+            F.explode(F.array(F.col("g"), F.col("g") + 1, F.col("g") + 2)).alias("gb"),
+        )
     )
     cand = (
         pa.join(
             pb,
             (F.col("h") == F.col("hb"))
-            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ga") == F.col("gb"))
+            # larger-probes-smaller orientation (ties broken by doc_id)
             & (
-                _PP_T_DEN * F.least("na", "nb")
-                >= _PP_T_NUM * F.greatest("na", "nb")
+                (F.col("na") > F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
             )
+            & (_PP_T_DEN * F.col("nb") >= _PP_T_NUM * F.col("na"))
             # PPJoin positional filter: the overlap still reachable from
             # these prefix positions must meet the required alpha =
             # ceil(t/(1+t) * (|A|+|B|)) = ceil(4(na+nb)/9) for t = 4/5.
@@ -401,23 +462,31 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.expr("(4 * (na + nb) + 8) div 9")
             ),
         )
-        .select("id_a", "id_b")
+        # canonicalize to id_a < id_b (orientation was by size, not id)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
-    ha = hh.select(F.col("doc_id").alias("id_a"), "h")
-    hb2 = hh.select(F.col("doc_id").alias("_idb"), F.col("h").alias("h2"))
+    # verification: per-doc shingle-hash ARRAYS (avg ~55 longs each)
+    # joined to the candidate pairs, intersected JVM-side — two joins of
+    # |cand| rows instead of exploding every pair back into pair x
+    # shingle rows (a ~50x larger shuffle at this corpus' mean doc size)
+    packs = hh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     inter = (
-        cand.join(ha, "id_a")
-        .join(hb2, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h2")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("nc"))
+        cand.join(packs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(packs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("nc"),
+            F.size("hs_a").cast("long").alias("na"),
+            F.size("hs_b").cast("long").alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(_PP_T_DEN * F.col("nc") >= _PP_T_NUM * (F.col("na") + F.col("nb") - F.col("nc")))
+        inter.filter(_PP_T_DEN * F.col("nc") >= _PP_T_NUM * (F.col("na") + F.col("nb") - F.col("nc")))
         .select(
             "id_a",
             "id_b",

@@ -121,6 +121,22 @@ def test_prefix_filter_join_is_superset_of_lsh(spark, sf_dir):
     assert lsh <= pp
 
 
+def test_prefix_filter_join_corpus_cap_guard(spark, sf_dir, monkeypatch):
+    """The exact set-similarity join is the audit path: past
+    MAX_EXACT_JOIN_DOCS the in-plan assert must fail the job with a
+    clear message pointing at the LSH scale path — a clean capped error
+    instead of an unbounded candidate blowup (same contract as the ANN
+    brute-force query cap)."""
+    import pytest
+
+    from pandas_aws_spark.queries import corpus
+
+    monkeypatch.setattr(corpus, "MAX_EXACT_JOIN_DOCS", 3)
+    df = load_registry()["q_dedup_prefix_filter_join"].fn(spark, sf_dir)
+    with pytest.raises(Exception, match="MAX_EXACT_JOIN_DOCS"):
+        df.collect()
+
+
 def test_bm25_ranks_rare_term_docs_first(spark, sf_dir):
     from pandas_aws_spark.registry import load_table
     from pyspark.sql import functions as F

@@ -152,6 +152,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q_orders_seasonal_index",  # one-row revenue-total broadcast
         "q_dedup_lsh_recall",  # one-row x one-row pair-count join
         "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
+        "q_dedup_prefix_filter_join",  # one-row corpus-size guard broadcast
     }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
 
-__all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe", "recommended_n_planes"]
+__all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe", "recommended_n_planes", "sql_lsh_bucket_masked", "sql_recommended_n_planes"]
 
 # The brute-force paths replicate the QUERY side to every task (broadcast
 # crossJoin / driver toPandas + sc.broadcast). That contract only holds for
@@ -270,10 +270,14 @@ _LSH_SHIFT = 1001
 
 
 def _hyperplane(j: int, dim: int) -> Column:
-    """array<double> of length ``dim`` for plane j (see module note)."""
+    """array<double> of length ``dim`` for plane j (see module note).
+
+    ``d`` promotes to BIGINT before the multiply: planes 4+ have
+    A_j * dim > 2^31, which overflows Spark's ANSI int arithmetic
+    (DuckDB computes the same product in 64-bit natively)."""
     return F.expr(
         f"transform(sequence(1, {dim}), d -> "
-        f"CAST((({_LSH_A[j]} * d + {_LSH_B[j]}) % {_LSH_MOD}) - {_LSH_SHIFT} AS DOUBLE))"
+        f"CAST((({_LSH_A[j]} * CAST(d AS BIGINT) + {_LSH_B[j]}) % {_LSH_MOD}) - {_LSH_SHIFT} AS DOUBLE))"
     )
 
 
@@ -289,6 +293,41 @@ def sql_lsh_bucket(vec_ref: str, dim: int, n_planes: int) -> str:
         )
         terms.append(f"(CASE WHEN {sql_dot(vec_ref, hp)} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def sql_lsh_bucket_masked(vec_ref: str, dim: int, npl_ref: str) -> str:
+    """DuckDB bucket expression whose EFFECTIVE plane count is a SQL
+    scalar (``npl_ref``, e.g. a scalar subquery over COUNT(*)): all 8
+    derived planes are emitted, each masked by ``j < npl_ref``, so the
+    oracle reproduces :func:`lsh_bucket` called with
+    :func:`recommended_n_planes` of the same corpus — the adaptive
+    plane count stays deterministic-from-data on both engines."""
+    from ..functions.vector import sql_dot
+
+    terms = []
+    for j in range(len(_LSH_A)):
+        hp = (
+            f"list_transform(range(1, {dim + 1}), d -> "
+            f"CAST((({_LSH_A[j]} * d + {_LSH_B[j]}) % {_LSH_MOD}) - {_LSH_SHIFT} AS DOUBLE))"
+        )
+        terms.append(
+            f"(CASE WHEN {j} < {npl_ref} AND {sql_dot(vec_ref, hp)} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_recommended_n_planes(table: str, target_bucket_rows: int) -> str:
+    """SQL mirror of :func:`recommended_n_planes` as a scalar subquery
+    (floats only touch exactly-representable small ratios, so CEIL/LOG2
+    agree with Python's math.ceil/log2 away from exact powers of two,
+    and AT exact powers of two both are exact)."""
+    return (
+        f"(SELECT CASE WHEN COUNT(*) <= {target_bucket_rows} THEN 1 ELSE "
+        f"GREATEST(1, LEAST({len(_LSH_A)}, "
+        f"CAST(CEIL(LOG2(COUNT(*) / {target_bucket_rows}.0)) AS INT))) END "
+        f"FROM {table})"
+    )
 
 
 def recommended_n_planes(corpus_rows: int, target_bucket_rows: int = 100_000) -> int:

@@ -127,20 +127,51 @@ def q_sim_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Random-hyperplane LSH ANN (4 planes -> 16 buckets) — the bucketed
-# scale path; approximate but deterministic, so exactly replayable.
+# Random-hyperplane LSH ANN — the bucketed scale path; approximate but
+# deterministic, so exactly replayable. Plane count ADAPTS to corpus
+# size (recommended_n_planes), holding expected bucket population — and
+# so per-query candidate work — roughly constant as the corpus grows;
+# a fixed plane count is asymptotically quadratic once both sides
+# scale. The oracle reproduces the adaptive count with a COUNT(*)
+# scalar subquery, so the bucketing stays deterministic-from-data on
+# both engines.
 # --------------------------------------------------------------------------
-from ..operators.similarity import lsh_topk, sql_lsh_bucket  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    lsh_topk,
+    recommended_n_planes,
+    sql_lsh_bucket,
+    sql_lsh_bucket_masked,
+    sql_recommended_n_planes,
+)
 
 _DIM = 64
-_NPLANES = 4
+_NPLANES = 4  # fixed count used by the multiprobe entry (probe-sequence shape depends on it)
+# Registry target bucket population: small enough that the adaptive
+# knob actually moves across the test scales (sf0.01: 500 rows -> 2
+# planes, sf0.1: 2k -> 4, 10x scale point: 20k -> 8); a deployment
+# against a real corpus would use the operator default (100k).
+_LSH_TARGET_BUCKET_ROWS = 128
+_SQL_NPL = sql_recommended_n_planes("embeddings", _LSH_TARGET_BUCKET_ROWS)
+
+_np_cache: dict[str, int] = {}
+
+
+def _adaptive_planes(spark: SparkSession, sf_dir: str) -> int:
+    """Driver-side mirror of the oracle's COUNT(*) scalar subquery: a
+    parquet metadata count (no data read) feeding recommended_n_planes.
+    Cached per sf_dir — the count is a property of the dataset."""
+    if sf_dir not in _np_cache:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _np_cache[sf_dir] = recommended_n_planes(n, _LSH_TARGET_BUCKET_ROWS)
+    return _np_cache[sf_dir]
+
 
 _LSH_ORACLE = f"""
 WITH {_BASE_CTE},
 cb AS (SELECT vec_id AS neighbor_id, v AS cv,
-              {sql_lsh_bucket('v', _DIM, _NPLANES)} AS bucket FROM e),
+              {sql_lsh_bucket_masked('v', _DIM, _SQL_NPL)} AS bucket FROM e),
 qb AS (SELECT query_id, qv,
-              {sql_lsh_bucket('qv', _DIM, _NPLANES)} AS bucket FROM q),
+              {sql_lsh_bucket_masked('qv', _DIM, _SQL_NPL)} AS bucket FROM q),
 cand AS (
   SELECT qb.query_id, qb.qv, cb.neighbor_id, cb.cv
   FROM cb JOIN qb ON cb.bucket = qb.bucket
@@ -163,11 +194,15 @@ ORDER BY query_id, rank
 def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket = bit-packed hyperplane signs
     (map-side), candidates = bucket equi-join, exact-cosine rank <= 5.
-    2^4 buckets here; at corpus scale the bucket key fans the shuffle
-    out to corpus/2^planes rows per task, and multi-probe or more
-    planes tunes the recall/cost point."""
+    Plane count derives from the corpus size (recommended_n_planes via
+    a metadata count), so expected bucket population stays near the
+    target as the corpus grows — candidates per query are ~constant
+    instead of growing linearly, which is what keeps bucketed ANN
+    subquadratic in deployment; multi-probe tunes recall back up when
+    the bucket fan-out gets fine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = lsh_topk(_queries_df(spark, sf_dir), emb, dim=_DIM, n_planes=_NPLANES, k=_K)
+    npl = _adaptive_planes(spark, sf_dir)
+    out = lsh_topk(_queries_df(spark, sf_dir), emb, dim=_DIM, n_planes=npl, k=_K)
     return out.orderBy("query_id", "rank")
 
 
@@ -676,9 +711,9 @@ _RANGE_TAU = "0.4"  # literal in both engines; empirically-active for this data
 _RANGE_ORACLE = f"""
 WITH {_BASE_CTE},
 cb AS (SELECT vec_id AS neighbor_id, v AS cv,
-              {sql_lsh_bucket('v', _DIM, _NPLANES)} AS bucket FROM e),
+              {sql_lsh_bucket_masked('v', _DIM, _SQL_NPL)} AS bucket FROM e),
 qb AS (SELECT query_id, qv,
-              {sql_lsh_bucket('qv', _DIM, _NPLANES)} AS bucket FROM q),
+              {sql_lsh_bucket_masked('qv', _DIM, _SQL_NPL)} AS bucket FROM q),
 cand AS (
   SELECT qb.query_id, qb.qv, cb.neighbor_id, cb.cv
   FROM cb JOIN qb ON cb.bucket = qb.bucket
@@ -702,20 +737,24 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the LSH top-k path (bucket equi-join,
     corpus/2^planes rows per bucket) but with NO ranking window at all
-    — a pure filter + count, so the only shuffle is the bucket join."""
+    — a pure filter + count, so the only shuffle is the bucket join.
+    Plane count adapts to the corpus (recommended_n_planes), holding
+    bucket population — and so candidate counts — near the target as
+    the corpus grows instead of letting them scale linearly."""
     from ..functions.vector import as_double, cosine
     from ..operators.similarity import lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
+    npl = _adaptive_planes(spark, sf_dir)
     e = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         as_double("embedding").alias("cv"),
-        lsh_bucket(as_double("embedding"), _DIM, _NPLANES).alias("bucket"),
+        lsh_bucket(as_double("embedding"), _DIM, npl).alias("bucket"),
     )
     q = _queries_df(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         as_double("embedding").alias("qv"),
-        lsh_bucket(as_double("embedding"), _DIM, _NPLANES).alias("bucket"),
+        lsh_bucket(as_double("embedding"), _DIM, npl).alias("bucket"),
     )
     cand = e.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     return (

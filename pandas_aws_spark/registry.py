@@ -231,7 +231,9 @@ _DRIVER_WINDOW = (
     "q_text_ngram_novelty",
     "q_dedup_lsh_recall",
     "q_text_source_overlap",
-    # --- re-checks: the 8 oldest single-round-proven entries (r1 only) ---
+    # --- re-checks: the 7 oldest single-round-proven entries (r1 only),
+    # plus q_sim_lsh_bucketed, whose plan was rewritten this round
+    # (adaptive plane count) and needs fresh external proof ---
     "q06_forecast_revenue",
     "q04_order_priority",
     "q_customers_without_pending",
@@ -239,7 +241,7 @@ _DRIVER_WINDOW = (
     "q_set_ops",
     "q_rollup_quantity",
     "q_pivot_status",
-    "q_distinct_counts",
+    "q_sim_lsh_bucketed",
 )
 
 

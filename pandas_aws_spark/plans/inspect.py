@@ -30,6 +30,7 @@ __all__ = [
     "ScanInfo",
     "codegen_ids",
     "unpartitioned_windows",
+    "bnlj_build_side_rows",
     "assert_broadcast_only",
     "assert_pushed_filter",
     "assert_max_scan_columns",
@@ -199,3 +200,64 @@ def assert_max_scan_columns(df: DataFrame, table_substr: str, max_cols: int) -> 
             )
             return
     raise AssertionError(f"no scan matching {table_substr!r} in plan")
+
+
+def bnlj_build_side_rows(df: DataFrame) -> list[int]:
+    """Executed row count of the BROADCAST (build) side of every
+    BroadcastNestedLoopJoin in the plan — executable proof that an
+    allowlisted NLJ really broadcasts the tiny side it claims to
+    (a 1-row scalar aggregate, a dims-squared pair table), not a
+    corpus-sized input.
+
+    Executes the DataFrame via ``collect()`` (a write sink would plan
+    a FRESH QueryExecution and leave this one's metrics at zero), then
+    walks the finalized adaptive plan over py4j, unwrapping
+    ``AdaptiveSparkPlan``/``QueryStage`` wrappers, and reads the
+    ``numOutputRows`` metric of the ``BroadcastExchange`` at the root
+    of each BNLJ's build side. Returns one count per BNLJ node.
+    """
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    def unwrap(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return unwrap(node.executedPlan())
+        if "QueryStage" in name:
+            return unwrap(node.plan())
+        return node
+
+    def exchange_rows(node) -> int | None:
+        node = unwrap(node)
+        if node.nodeName() == "BroadcastExchange":
+            return int(node.metrics().apply("numOutputRows").value())
+        if node.nodeName() == "ReusedExchange":
+            # reuses another stage's BroadcastExchange — the original
+            # (with the real metrics) is its child
+            return exchange_rows(node.child())
+        for c in children(node):
+            r = exchange_rows(c)
+            if r is not None:
+                return r
+        return None
+
+    out: list[int] = []
+
+    def walk(node) -> None:
+        node = unwrap(node)
+        if "BroadcastNestedLoopJoin" in node.nodeName():
+            side = node.buildSide().toString()
+            cs = children(node)
+            build = cs[0] if "Left" in side else cs[1]
+            rows = exchange_rows(build)
+            assert rows is not None, "BNLJ build side has no BroadcastExchange"
+            out.append(rows)
+        for c in children(node):
+            walk(c)
+
+    walk(root)
+    return out

@@ -22,6 +22,7 @@ from ..functions.stable import dsum, sql_dsum
 from ..registry import query
 from ..streaming.pipeline import (
     events_stream,
+    record_drain,
     run_to_completion,
     stream_sessionize,
     stream_tumbling_hourly,
@@ -466,6 +467,7 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_drain(q)
     from ..functions.stable import dsum
 
     back = spark.read.parquet(out)
@@ -608,6 +610,7 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_drain(q)
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

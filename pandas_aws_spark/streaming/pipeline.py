@@ -238,6 +238,30 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# Progress snapshots of recently drained queries, appended after every
+# awaitTermination in this package. Async StreamingQueryListener events
+# can arrive AFTER a fast drain finishes (observed as spurious 0-state
+# peaks in SCALE.md's streaming table), so measurement tooling reads
+# the authoritative per-batch progress from here instead of relying on
+# listener delivery timing. Bounded; entries are (query_name, progress
+# dict) pairs.
+RECENT_DRAIN_PROGRESS: list[tuple[str, dict]] = []
+_MAX_DRAIN_PROGRESS = 256
+
+
+def record_drain(q) -> None:
+    """Capture a terminated StreamingQuery's recentProgress (all batches
+    of an AvailableNow drain) for state-peak measurement."""
+    try:
+        progresses = q.recentProgress or []
+    except Exception:
+        return
+    name = getattr(q, "name", None) or ""
+    for p in progresses:
+        RECENT_DRAIN_PROGRESS.append((name, p))
+    del RECENT_DRAIN_PROGRESS[:-_MAX_DRAIN_PROGRESS]
+
+
 def run_to_completion(
     result: DataFrame, sink_table: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -272,6 +296,7 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+        record_drain(q)
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -376,6 +401,7 @@ def stream_upsert_to_table(
         .start()
     )
     q.awaitTermination()
+    record_drain(q)
 
 
 # --------------------------------------------------------------------------

@@ -109,51 +109,57 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want
 
 
+# Allowlisted nested-loop joins: name -> max rows the BROADCAST (build)
+# side may carry, with the claim. The cap is not a comment — the audit
+# test below EXECUTES each query at sf0.01 and checks the build side's
+# actual numOutputRows metric against it, so a regression that swells a
+# "one-row scalar" into a corpus-sized broadcast fails here.
+NLJ_ALLOWED: dict[str, int] = {
+    "q_sim_bruteforce_topk": 16,  # capped query-side broadcast (5 at sf0.01)
+    "q_sim_ivf_fullprobe": 16,  # 8 coarse centroids
+    "q_sim_ivf_probe2": 16,  # 8 coarse centroids
+    "q_dedup_embedding_cosine": 16,  # query-side broadcast (plan may fold it)
+    "q22_global_sales_opportunity": 1,  # scalar-avg broadcast
+    "q11_important_parts": 1,  # threshold broadcast
+    "q_bloom_semi_join": 1,  # bitmap broadcast (the whole point)
+    "q_sim_ivf_kmeans": 16,  # trained centroids (same as fullprobe)
+    "q_sim_ivf_pq": 16,  # coarse cells + kilobyte codebook fan-out
+    "q_text_tfidf": 1,  # corpus-size broadcast
+    "q_text_pmi_bigrams": 1,  # corpus-size broadcast
+    "q_sketch_hll_distinct": 1,  # merged-sketch estimate x global exact count
+    "q_feature_binning": 1,  # quantile-bounds broadcast
+    "q_events_gap_fill": 8,  # 1-row bounds explode x tiny event-type dim
+    "q_text_mixture_plan": 1,  # global-budget broadcast
+    "q_sample_temperature": 1,  # weight-total broadcast
+    "q_customer_rfm": 1,  # NTILE total-count broadcast (two-phase ntile)
+    "q_supplier_pareto": 1,  # revenue grand-total broadcast
+    "q_drift_tvd": 1,  # time-range-midpoint broadcast
+    "q_feature_target_encode": 1,  # global-positive-rate broadcast
+    "q_dedup_semantic": 16,  # centroid fan-out (same as other IVF entries)
+    "q_sample_negative": 1,  # n_parts-domain broadcast
+    "q_text_unigram_surprisal": 1,  # corpus-token-total broadcast
+    "q_embed_matryoshka_recall": 16,  # capped query side, twice
+    "q_sample_importance": 1,  # max-weight broadcast
+    "q_events_ab_lift": 1,  # arm-aggregate x arm-aggregate
+    "q_text_bm25_search": 1,  # n_docs/avgdl broadcast
+    "q_sketch_join_size": 1,  # three 1-row scalar cross joins
+    "q_null_semantics": 1,  # three 1-row contract-aggregate cross joins
+    "q_events_funnel_steps": 1,  # three 1-row step-count cross joins
+    "q_label_churn": 1,  # observation-horizon broadcast
+    "q_sim_knn_classify": 16,  # capped query-side broadcast
+    "q_orders_seasonal_index": 1,  # revenue-total broadcast
+    "q_dedup_lsh_recall": 1,  # pair-count x pair-count
+    "q_sketch_kmv_jaccard": 32,  # |event_types| sketch dim (pairs form post-join)
+    "q_dedup_prefix_filter_join": 1,  # corpus-size guard broadcast
+}
+
+
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     """Repo-wide guard: no registered query may plan a CartesianProduct,
     and nested-loop joins are allowed only where intended (the ANN
     scoring passes, which broadcast the small query side on purpose)."""
     from pandas_aws_spark.plans.inspect import join_strategies
 
-    nlj_allowed = {
-        "q_sim_bruteforce_topk",
-        "q_sim_ivf_fullprobe",
-        "q_sim_ivf_probe2",
-        "q_dedup_embedding_cosine",
-        "q22_global_sales_opportunity",  # one-row scalar-avg broadcast
-        "q11_important_parts",  # one-row threshold broadcast
-        "q_bloom_semi_join",  # one-row bitmap broadcast (the whole point)
-        "q_sim_ivf_kmeans",  # ANN scoring cross joins (same as fullprobe)
-        "q_sim_ivf_pq",  # centroid fan-out cross joins (broadcast kilobyte model, same as other ANN entries)
-        "q_text_tfidf",  # one-row corpus-size broadcast
-        "q_text_pmi_bigrams",  # one-row corpus-size broadcast
-        "q_sketch_hll_distinct",  # one-row x one-row: merged-sketch estimate joins global exact count for the error contract
-
-        "q_feature_binning",  # one-row quantile-bounds broadcast
-        "q_events_gap_fill",  # calendar build: 1-row bounds explode x tiny type dim
-        "q_text_mixture_plan",  # one-row global-budget broadcast
-        "q_sample_temperature",  # one-row weight-total broadcast
-        "q_customer_rfm",  # one-row NTILE total-count broadcast (two-phase ntile)
-        "q_supplier_pareto",  # one-row revenue grand-total broadcast
-        "q_drift_tvd",  # one-row time-range-midpoint broadcast
-        "q_feature_target_encode",  # one-row global-positive-rate broadcast
-        "q_dedup_semantic",  # broadcast centroid fan-out (same as other IVF entries)
-        "q_sample_negative",  # one-row n_parts-domain broadcast
-        "q_text_unigram_surprisal",  # one-row corpus-token-total broadcast
-        "q_embed_matryoshka_recall",  # ANN scoring cross joins (same as bruteforce)
-        "q_sample_importance",  # one-row max-weight broadcast
-        "q_events_ab_lift",  # one-row x one-row arm-aggregate join
-        "q_text_bm25_search",  # one-row n_docs/avgdl broadcast
-        "q_sketch_join_size",  # three 1-row scalar cross joins (est/exact/totals)
-        "q_null_semantics",  # three 1-row contract-aggregate cross joins
-        "q_events_funnel_steps",  # three 1-row step-count cross joins
-        "q_label_churn",  # one-row observation-horizon broadcast
-        "q_sim_knn_classify",  # ANN scoring cross join (same as bruteforce)
-        "q_orders_seasonal_index",  # one-row revenue-total broadcast
-        "q_dedup_lsh_recall",  # one-row x one-row pair-count join
-        "q_sketch_kmv_jaccard",  # |event_types|^2 sketch-pair broadcast (bounded dim x dim)
-        "q_dedup_prefix_filter_join",  # one-row corpus-size guard broadcast
-    }
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
     skipped, bad = [], {}
@@ -164,7 +170,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         js = join_strategies(spec.fn(spark, sf_dir))
         if js.get("CartesianProduct", 0):
             bad[name] = dict(js)
-        if js.get("BroadcastNestedLoopJoin", 0) and name not in nlj_allowed:
+        if js.get("BroadcastNestedLoopJoin", 0) and name not in NLJ_ALLOWED:
             bad[name] = dict(js)
     assert not bad, f"unintended cartesian/NLJ plans: {bad}"
     # sanity cap: the skip list must stay the enumerable side-effect set
@@ -172,6 +178,24 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     # Raised 25 -> 28 for q_io_bucketed_join + q_io_roundtrip_jsonl +
     # q_stream_upsert_foreachbatch (all genuine writers/streams).
     assert len(skipped) < 28
+
+
+def test_nlj_allowlist_build_sides_are_tiny(spark, sf_dir):
+    """Executable audit of the NLJ allowlist (r4 verdict ask #7): run
+    every allowlisted query and verify each BroadcastNestedLoopJoin's
+    build side ACTUALLY broadcast at most its claimed row count — the
+    comment claims above become measured facts, so the allowlist cannot
+    quietly shelter a corpus-sized broadcast."""
+    from pandas_aws_spark.plans.inspect import bnlj_build_side_rows
+
+    reg = load_registry()
+    bad = {}
+    for name, cap in sorted(NLJ_ALLOWED.items()):
+        rows = bnlj_build_side_rows(reg[name].fn(spark, sf_dir))
+        over = [r for r in rows if r > cap]
+        if over:
+            bad[name] = {"cap": cap, "build_rows": rows}
+    assert not bad, f"allowlisted NLJ build sides exceed their claimed caps: {bad}"
 
 
 def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):

@@ -20,36 +20,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql.streaming import StreamingQueryListener
-
 from pandas_aws_spark.registry import load_registry
 from pandas_aws_spark.session import get_spark
+from pandas_aws_spark.streaming import pipeline as stream_pipeline
 
 
-class StateListener(StreamingQueryListener):
-    """Track the peak state rows/bytes any progress event reports."""
-
-    def __init__(self) -> None:
-        self.peak_rows = 0
-        self.peak_bytes = 0
-
-    def reset(self) -> None:
-        self.peak_rows = 0
-        self.peak_bytes = 0
-
-    def onQueryStarted(self, event) -> None:  # noqa: N802
-        pass
-
-    def onQueryProgress(self, event) -> None:  # noqa: N802
-        ops = event.progress.stateOperators
-        self.peak_rows = max(self.peak_rows, sum(o.numRowsTotal for o in ops))
-        self.peak_bytes = max(self.peak_bytes, sum(o.memoryUsedBytes for o in ops))
-
-    def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
-
-    def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+def _drain_peaks() -> tuple[int, int]:
+    """Peak state rows/bytes across every batch of the drains recorded
+    since the last clear — read from the terminated queries' own
+    recentProgress (authoritative, synchronous), NOT from an async
+    StreamingQueryListener whose events can arrive after a fast drain
+    finishes and silently report 0 (the SCALE.md 'listener sampled no
+    peak' footnotes this tool used to produce)."""
+    peak_rows = peak_bytes = 0
+    for _name, p in stream_pipeline.RECENT_DRAIN_PROGRESS:
+        ops = p.get("stateOperators") or []
+        peak_rows = max(peak_rows, sum(o.get("numRowsTotal", 0) for o in ops))
+        peak_bytes = max(peak_bytes, sum(o.get("memoryUsedBytes", 0) for o in ops))
+    return peak_rows, peak_bytes
 
 
 def main() -> int:
@@ -57,8 +45,6 @@ def main() -> int:
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="stream-scale", master=f"local[{cpus}]")
-    listener = StateListener()
-    spark.streams.addListener(listener)
 
     reg = load_registry()
     stream_qs = sorted(n for n in reg if n.startswith("q_stream_"))
@@ -69,14 +55,15 @@ def main() -> int:
     for name in stream_qs:
         row = {}
         for label, sf_dir in (("base", base), ("big", big)):
-            listener.reset()
+            stream_pipeline.RECENT_DRAIN_PROGRESS.clear()
             t0 = time.time()
             n = reg[name].fn(spark, sf_dir).count()
+            peak_rows, peak_bytes = _drain_peaks()
             row[label] = {
                 "sec": round(time.time() - t0, 2),
                 "rows": n,
-                "state_rows": listener.peak_rows,
-                "state_mb": round(listener.peak_bytes / 1e6, 1),
+                "state_rows": peak_rows,
+                "state_mb": round(peak_bytes / 1e6, 1),
             }
         row["ratio"] = round(row["big"]["sec"] / row["base"]["sec"], 2)
         results[name] = row

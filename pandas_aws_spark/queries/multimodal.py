@@ -308,3 +308,122 @@ def q_multimodal_hist_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Tolerant multimodal near-dup: 60-bit histogram signature, banded
+# Hamming join. q_multimodal_hist_signature groups payloads whose
+# quantized histograms match EXACTLY; re-encoded or lightly edited
+# media lands near-but-not-at the same signature, so this query does
+# LSH-style banding over signature bits and verifies candidates with
+# a Hamming-distance cap — never all-pairs.
+# --------------------------------------------------------------------------
+_PHASH_NEARDUP_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substring(text, CAST(i AS INT), 1))) AS byt,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+h AS (
+  SELECT doc_id, nb,
+         list_transform(range(0, 256), bin -> len(list_filter(byt, x -> x = bin))) AS hist
+  FROM b
+),
+sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 60), j ->
+           CASE WHEN (hist[CAST(4*j+1 AS INT)] + hist[CAST(4*j+2 AS INT)]
+                      + hist[CAST(4*j+3 AS INT)] + hist[CAST(4*j+4 AS INT)]) * 64 >= nb
+                THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS sig
+  FROM h
+),
+bands AS (
+  SELECT doc_id, sig, b.band,
+         (sig >> CAST(15 * b.band AS INT)) & 32767 AS bits
+  FROM sig, (SELECT UNNEST(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, c.doc_id AS id_b, c.sig AS sig_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id
+),
+verified AS (
+  SELECT bit_count(xor(sig_a, sig_b)) AS hamming
+  FROM cand
+  WHERE bit_count(xor(sig_a, sig_b)) <= 6
+)
+SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(*) AS n_pairs
+FROM verified GROUP BY hamming ORDER BY hamming
+"""
+
+
+@query(
+    "q_multimodal_phash_near_dup",
+    oracle=_PHASH_NEARDUP_ORACLE,
+    tags=("multimodal", "dedup", "udf"),
+)
+def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant near-dup detection for binary payloads: quantize the
+    256-bin byte histogram into a 60-bit signature (bit j = whether
+    4-bin group j holds >= 1/64 of the bytes), band the signature into
+    4 x 15-bit LSH bands, generate candidates ONLY from band equality,
+    and verify with Hamming distance <= 6 (bit_count of xor — pure JVM
+    integer ops). Reports the pair count per verified distance: the
+    distance histogram a threshold sweep reads. Exact-signature
+    grouping (q_multimodal_hist_signature) catches byte-identical
+    re-orderings; this catches the re-encoded/edited neighborhood
+    around them. A real perceptual hash swaps the histogram featurizer
+    for DCT coefficients; banding and verification are unchanged.
+
+    Scale shape: payload crosses the Arrow boundary once
+    (mapInPandas histogram); signatures are 8-byte keys; the candidate
+    join shuffles (band, 15-bit bucket) keys — corpus/2^15 expected
+    rows per bucket per band, never all-pairs; verification is one
+    integer op per candidate pair."""
+    from ..operators.multimodal import byte_histogram
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    hist = byte_histogram(docs.filter(F.length("payload") > 0), n_bins=256)
+    sig = hist.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc + "
+            "IF((hist[4*j] + hist[4*j+1] + hist[4*j+2] + hist[4*j+3]) * 64 >= n_bytes, "
+            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("bits", F.expr("shiftright(sig, 15 * band) & 32767"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bits"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("bits").alias("bits_b"),
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bits") == F.col("bits_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "sig_a", "id_b", "sig_b")
+        .distinct()
+    )
+    verified = cand.select(
+        F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 6)
+    return (
+        verified.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -827,3 +827,101 @@ def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cb * 1000000 div nb").alias("conv_b_ppm"),
         F.expr("cb * 1000000 div nb - ca * 1000000 div na").alias("lift_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffling: reproducible per-epoch permutations +
+# shard assignment for training-data loaders. Every epoch must see the
+# data in a different order, every rerun of the same epoch must see the
+# SAME order, and no coordinator may hold the permutation — all three
+# fall out of hashing (epoch, doc_id) into a 60-bit md5 key.
+# --------------------------------------------------------------------------
+_EPOCH_ORACLE = """
+WITH k AS (
+  SELECT e.epoch, d.doc_id,
+         CAST(concat('0x', substring(md5(concat(CAST(e.epoch AS VARCHAR), ':',
+                                                CAST(d.doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS key
+  FROM documents d, (SELECT UNNEST(range(0, 3)) AS epoch) e
+),
+sh AS (SELECT epoch, doc_id, key, key % 8 AS shard FROM k),
+per_shard AS (
+  SELECT epoch, shard, COUNT(*) AS n_docs, SUM(key % 1000000007) AS chk
+  FROM sh GROUP BY epoch, shard
+),
+stability AS (
+  SELECT a.epoch, COUNT(*) AS n_same_as_epoch0
+  FROM sh a JOIN sh b ON b.epoch = 0 AND b.doc_id = a.doc_id AND b.shard = a.shard
+  GROUP BY a.epoch
+)
+SELECT p.epoch,
+       CAST(SUM(p.n_docs) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_shards,
+       CAST(MAX(p.n_docs) AS BIGINT) AS max_shard,
+       CAST(MIN(p.n_docs) AS BIGINT) AS min_shard,
+       CAST(SUM(p.chk) % 1000000007 AS BIGINT) AS order_checksum,
+       CAST(MIN(s.n_same_as_epoch0) AS BIGINT) AS n_same_as_epoch0
+FROM per_shard p JOIN stability s USING (epoch)
+GROUP BY p.epoch ORDER BY p.epoch
+"""
+
+
+@query("q_sample_epoch_shuffle", oracle=_EPOCH_ORACLE, tags=("sampling", "training"))
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinator-free epoch shuffling: shard and order each training
+    epoch by the 60-bit md5 of (epoch, doc_id). Reruns of an epoch are
+    bit-reproducible (pure function of the key), different epochs are
+    decorrelated (n_same_as_epoch0 ~ n_docs/8 for epochs > 0 — the
+    independence check this query reports), and shards stay balanced
+    (max_shard/min_shard). order_checksum pins the within-shard
+    ordering so two engines — or two reruns — can prove they fed the
+    model identical streams without comparing the streams.
+
+    Scale shape: the 3x epoch fan-out is a map-side explode; everything
+    aggregates by (epoch, shard) — one narrow shuffle on a 2-int key
+    plus one doc_id-keyed self-join for the stability check (at real
+    scale: run per epoch, join only the audited epoch pair)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("key"),
+    )
+    sh = k.withColumn("shard", F.col("key") % 8)
+    per_shard = sh.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("key") % 1000000007).alias("chk"),
+    )
+    b = sh.filter(F.col("epoch") == 0).select(
+        F.col("doc_id").alias("b_doc"), F.col("shard").alias("b_shard")
+    )
+    stability = (
+        sh.join(b, (F.col("doc_id") == F.col("b_doc")) & (F.col("shard") == F.col("b_shard")))
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n_same_as_epoch0"))
+    )
+    return (
+        per_shard.join(stability, "epoch")
+        .groupBy("epoch")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shards"),
+            F.max("n_docs").cast("long").alias("max_shard"),
+            F.min("n_docs").cast("long").alias("min_shard"),
+            (F.sum("chk") % 1000000007).cast("long").alias("order_checksum"),
+            F.min("n_same_as_epoch0").cast("long").alias("n_same_as_epoch0"),
+        )
+        .orderBy("epoch")
+    )

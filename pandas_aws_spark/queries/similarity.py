@@ -853,3 +853,189 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("true_label").cast("long"), "n_queries", "n_correct")
         .orderBy("true_label")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-dimension diagnostics: per-dimension activity stats that
+# catch collapsed / dead dimensions before they silently waste index
+# storage and distance computation (a 100 TB embedding pipeline checks
+# this at ingest, not after the ANN index is built).
+# --------------------------------------------------------------------------
+_DIMDIAG_ORACLE = f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT i AS dim,
+         CAST(FLOOR(v[CAST(i AS INT) + 1] * 1000000 + 0.5) AS BIGINT) AS c
+  FROM e, UNNEST(range(0, {_DIM})) AS u(i)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(c) AS BIGINT) AS sum_ppm,
+       CAST(SUM(ABS(c)) AS BIGINT) AS sum_abs_ppm,
+       MIN(c) AS min_ppm,
+       MAX(c) AS max_ppm,
+       CASE WHEN MAX(c) - MIN(c) < 1000 THEN 1 ELSE 0 END AS collapsed
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
+@query("q_embed_dim_diagnostics", oracle=_DIMDIAG_ORACLE, tags=("similarity", "quality"))
+def q_embed_dim_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: count, signed/absolute magnitude
+    sums and min/max per coordinate, plus a collapsed-dimension flag
+    (range < 1e-3). A dimension every vector agrees on carries no
+    information — it inflates index storage and distance cost for
+    nothing, and at 100 TB you want that surfaced by a one-pass scan,
+    not discovered after building an IVF index over dead coordinates.
+    Components are fixed-pointed to ppm (floor(x * 1e6 + 0.5), the
+    identical double op on both engines) so every aggregate is an
+    exact integer.
+
+    Scale shape: posexplode widens rows 64x MAP-SIDE only — the partial
+    hash aggregate combines to 64 groups inside the same stage, so the
+    shuffle carries 64 rows per task regardless of corpus size. One
+    scan, one narrow shuffle."""
+    from ..functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    c = F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        emb.select(F.col("dim").cast("long"), c.alias("c"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("c").cast("long").alias("sum_ppm"),
+            F.sum(F.abs(F.col("c"))).cast("long").alias("sum_abs_ppm"),
+            F.min("c").alias("min_ppm"),
+            F.max("c").alias("max_ppm"),
+        )
+        .withColumn(
+            "collapsed",
+            F.when(F.col("max_ppm") - F.col("min_ppm") < 1000, 1).otherwise(0),
+        )
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN rank-quality eval: IVF(nprobe=2) top-10 vs the exact top-10 —
+# overlap, rank displacement, and reciprocal rank of the true nearest
+# neighbor. Recall@k (elsewhere) says WHETHER neighbors are found;
+# this says how well their ORDER survives the approximation.
+# --------------------------------------------------------------------------
+_EVAL_K = 10
+
+_RANKQ_ORACLE = f"""
+WITH {_BASE_CTE},
+exact AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.qv', 'c.v')} DESC, c.vec_id) AS rank
+    FROM q, e c WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= {_EVAL_K}
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_NCENT}
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS cell
+  FROM (SELECT e.vec_id, e.v, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC, ct.centroid_id) AS rn
+        FROM e, cent ct)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell
+  FROM (SELECT q.query_id, q.qv, ct.centroid_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {sql_cosine('q.qv', 'ct.cv')} DESC, ct.centroid_id) AS rn
+        FROM q, cent ct)
+  WHERE rn <= 2
+),
+approx AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {sql_cosine('p.qv', 'a.v')} DESC, a.vec_id) AS rank
+    FROM probes p JOIN assigned a ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rank <= {_EVAL_K}
+),
+joined AS (
+  SELECT x.query_id, x.rank AS rank_e, a.rank AS rank_a
+  FROM exact x JOIN approx a
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+),
+per_q AS (
+  SELECT q.query_id,
+         COALESCE(j.n_common, 0) AS n_common,
+         COALESCE(j.displacement, 0) AS displacement,
+         COALESCE(j.rr_ppm, 0) AS rr_ppm
+  FROM q LEFT JOIN (
+    SELECT query_id,
+           COUNT(*) AS n_common,
+           SUM(ABS(rank_e - rank_a)) AS displacement,
+           CAST(SUM(CASE WHEN rank_e = 1 THEN 1000000 // rank_a ELSE 0 END) AS BIGINT) AS rr_ppm
+    FROM joined GROUP BY query_id
+  ) j USING (query_id)
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(n_common) AS BIGINT) AS sum_overlap,
+       CAST(SUM(displacement) AS BIGINT) AS sum_displacement,
+       CAST(SUM(rr_ppm) AS BIGINT) AS sum_rr_ppm
+FROM per_q
+"""
+
+
+@query("q_sim_eval_rank_quality", oracle=_RANKQ_ORACLE, tags=("similarity", "ivf", "quality"))
+def q_sim_eval_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality eval of the IVF scale path against the exact
+    baseline at k=10: total overlap, total |rank displacement| over
+    shared neighbors, and summed reciprocal rank (ppm, integer-exact:
+    1e6 div rank) of each query's TRUE nearest neighbor inside the
+    approximate list. Recall@k elsewhere measures set membership; this
+    measures whether the ORDER a re-ranker or a serving layer depends
+    on survives the approximation.
+
+    Scale shape: both passes are the existing guarded ANN plans (exact:
+    broadcast capped query side; IVF: nprobe/C scan fraction); the eval
+    join carries only (query_id, neighbor_id, rank) triples — 2k rows
+    per query side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    exact = brute_force_topk(qs, emb, k=_EVAL_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_e")
+    )
+    approx = ivf_topk(qs, emb, n_centroids=_NCENT, nprobe=2, k=_EVAL_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_a")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"])
+    per_join = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.abs(F.col("rank_e") - F.col("rank_a"))).alias("displacement"),
+        F.sum(
+            F.when(F.col("rank_e") == 1, F.expr("1000000 div rank_a")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+    )
+    per_q = (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(per_join, "query_id", "left")
+        .select(
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("displacement", F.lit(0)).alias("displacement"),
+            F.coalesce("rr_ppm", F.lit(0)).alias("rr_ppm"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_common").cast("long").alias("sum_overlap"),
+        F.sum("displacement").cast("long").alias("sum_displacement"),
+        F.sum("rr_ppm").cast("long").alias("sum_rr_ppm"),
+    )

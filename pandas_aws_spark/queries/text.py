@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import sql_davg, davg
+from ..functions.texthash import tokens
 from ..operators.text import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
 from ..registry import load_table, query
 
@@ -1098,4 +1099,79 @@ def q_text_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_hash_sum"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality scoring with FROZEN weights: a linear classifier
+# over engineered features, in integer ppm arithmetic. The production
+# pattern (fasttext/logreg quality filters ahead of pretraining) with
+# the trained coefficients replaced by fixed public ones — the scoring
+# plumbing, feature extraction, and band-bucketed routing are the real
+# thing; retraining only swaps three constants.
+# --------------------------------------------------------------------------
+_LOGIT_ORACLE = f"""
+WITH f AS (
+  SELECT source,
+         len({_TOKS}) AS nw,
+         {_sql_hits('en')} AS stop_hits,
+         length(text) AS nch
+  FROM documents
+),
+s AS (
+  SELECT source,
+         (400000 * LEAST(nw, 120)) // 120
+         + (300000 * LEAST(stop_hits * 1000000 // nw, 400000)) // 400000
+         + (300000 * LEAST(nch * 1000 // nw, 6000)) // 6000 AS score_ppm
+  FROM f
+)
+SELECT source,
+       CAST(score_ppm // 200000 AS BIGINT) AS band,
+       COUNT(*) AS n_docs,
+       CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+       CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+FROM s GROUP BY source, band ORDER BY source, band
+"""
+
+
+@query("q_text_quality_logit", oracle=_LOGIT_ORACLE, tags=("text", "quality", "model"))
+def q_text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight linear quality classifier: three engineered
+    features (length credit capped at 120 tokens, stopword-rate credit
+    capped at 40%, mean-word-length credit capped at 6 chars) combine
+    into a 0..1e6 ppm score, bucketed into 200k-wide bands per source —
+    the routing signal a curation pipeline thresholds on. All feature
+    scaling is integer div on non-negative values, so the score is
+    bit-identical across engines; swapping the frozen coefficients for
+    trained ones changes no plan shape.
+
+    Scale shape: pure map-side expression work (no UDF, no explode)
+    over one documents scan + one 2-key hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    )
+    f = docs.select(
+        "source",
+        F.size(toks).alias("nw"),
+        stop_hits.alias("stop_hits"),
+        F.length("text").alias("nch"),
+    )
+    s = f.select(
+        "source",
+        (
+            F.expr("(400000 * LEAST(nw, 120)) div 120")
+            + F.expr("(300000 * LEAST(stop_hits * 1000000 div nw, 400000)) div 400000")
+            + F.expr("(300000 * LEAST(nch * 1000 div nw, 6000)) div 6000")
+        ).alias("score_ppm"),
+    )
+    return (
+        s.groupBy("source", F.expr("score_ppm div 200000").cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_ppm").cast("long").alias("min_score_ppm"),
+            F.max("score_ppm").cast("long").alias("max_score_ppm"),
+        )
+        .orderBy("source", "band")
     )

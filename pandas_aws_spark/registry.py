@@ -231,16 +231,17 @@ _DRIVER_WINDOW = (
     "q_text_ngram_novelty",
     "q_dedup_lsh_recall",
     "q_text_source_overlap",
-    # --- re-checks: the 7 oldest single-round-proven entries (r1 only),
+    # --- NEW in round 5 (verify-first, same charter as r4's additions) ---
+    "q_embed_dim_diagnostics",
+    "q_sim_eval_rank_quality",
+    "q_text_quality_logit",
+    "q_sample_epoch_shuffle",
+    "q_multimodal_phash_near_dup",
+    # --- re-checks: the 2 oldest single-round-proven entries (r1 only),
     # plus q_sim_lsh_bucketed, whose plan was rewritten this round
     # (adaptive plane count) and needs fresh external proof ---
     "q06_forecast_revenue",
     "q04_order_priority",
-    "q_customers_without_pending",
-    "q_top_orders",
-    "q_set_ops",
-    "q_rollup_quantity",
-    "q_pivot_status",
     "q_sim_lsh_bucketed",
 )
 

@@ -243,3 +243,25 @@ def test_reservoir_per_group_rejects_bad_k(spark):
     df = spark.range(3).select(F.col("id"), F.lit("g").alias("grp"))
     with pytest.raises(ValueError, match="k must be positive"):
         reservoir_per_group(df, "id", "grp", 0)
+
+
+def test_epoch_shuffle_reproducible_and_decorrelated(spark, sf_dir):
+    """Epoch 0 agrees with itself fully; later epochs keep only ~1/8 of
+    doc->shard assignments (independent hashing), and the checksums are
+    stable across reruns (the reproducibility contract)."""
+    from pandas_aws_spark.registry import load_registry
+
+    fn = load_registry()["q_sample_epoch_shuffle"].fn
+    rows = {r.epoch: r for r in fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    n = rows[0].n_docs
+    assert rows[0].n_same_as_epoch0 == n
+    for e in (1, 2):
+        assert rows[e].n_docs == n
+        # independence: expect ~n/8 stable assignments, never most of them
+        assert rows[e].n_same_as_epoch0 < n // 2
+        assert rows[e].n_shards == 8
+    rerun = {r.epoch: r for r in fn(spark, sf_dir).collect()}
+    assert {e: r.order_checksum for e, r in rows.items()} == {
+        e: r.order_checksum for e, r in rerun.items()
+    }

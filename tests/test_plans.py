@@ -151,6 +151,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_dedup_lsh_recall": 1,  # pair-count x pair-count
     "q_sketch_kmv_jaccard": 32,  # |event_types| sketch dim (pairs form post-join)
     "q_dedup_prefix_filter_join": 1,  # corpus-size guard broadcast
+    "q_sim_eval_rank_quality": 16,  # capped query side + centroid fan-out (brute + IVF passes)
 }
 
 
@@ -228,6 +229,9 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         "q_dedup_semantic": "row_number()",
         # rank over the already-limited top-k (<= 20 rows via TakeOrdered)
         "q_text_bm25_search": "row_number()",
+        # brute pass: capped-query-side guard count; IVF pass: <= C-row
+        # centroid-init window (tuple = either marker is a proven bound)
+        "q_sim_eval_rank_quality": ("count(1)", "row_number()"),
     }
     streaming_prefixes = ("q_stream_",)
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
@@ -239,7 +243,10 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         if not flagged:
             continue
         marker = bounded_ok.get(name)
-        if marker is None or not all(marker in line for line in flagged):
+        markers = marker if isinstance(marker, tuple) else (marker,)
+        if marker is None or not all(
+            any(m in line for m in markers) for line in flagged
+        ):
             bad[name] = flagged
     assert not bad, f"unpartitioned windows over unbounded input: {bad}"
 

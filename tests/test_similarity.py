@@ -244,3 +244,32 @@ def test_matryoshka_recall_partitions_queries(spark, sf_dir):
     rows = load_registry()["q_embed_matryoshka_recall"].fn(spark, sf_dir).collect()
     assert sum(r.n_queries for r in rows) == 5  # vec_id % 100 == 0 at sf0.001
     assert all(0 <= r.n_common <= 10 for r in rows)
+
+
+def test_embed_dim_diagnostics_shape(spark, sf_dir):
+    """64 dims, uniform vector counts, coherent min/max, binary flag."""
+    from pandas_aws_spark.registry import load_registry
+
+    rows = load_registry()["q_embed_dim_diagnostics"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    ns = {r.n_vecs for r in rows}
+    assert len(ns) == 1  # every dimension sees every vector
+    for r in rows:
+        assert r.min_ppm <= r.max_ppm
+        assert abs(r.sum_ppm) <= r.sum_abs_ppm
+        assert r.collapsed in (0, 1)
+
+
+def test_rank_quality_bounds(spark, sf_dir):
+    """Overlap/displacement/MRR respect their algebraic bounds, and the
+    approximate list can never beat exact recall of itself."""
+    from pandas_aws_spark.registry import load_registry
+
+    (r,) = load_registry()["q_sim_eval_rank_quality"].fn(spark, sf_dir).collect()
+    assert r.n_queries >= 1
+    assert 0 <= r.sum_overlap <= r.n_queries * 10
+    assert r.sum_displacement >= 0
+    # each query's RR is at most 1e6 (true NN found at approx rank 1)
+    assert 0 <= r.sum_rr_ppm <= r.n_queries * 1_000_000
+    # displacement only accrues on shared neighbors: <= 9 per shared pair
+    assert r.sum_displacement <= r.sum_overlap * 9

@@ -191,3 +191,31 @@ def test_hist_signature_counts_are_consistent(spark, sf_dir):
         assert r.n_signatures <= r.n_payloads
         assert r.max_group <= r.n_payloads
         assert 0 <= r.n_collided <= r.n_payloads
+
+
+def test_quality_logit_bands_partition_corpus(spark, sf_dir):
+    """Band arithmetic: scores in [0, 1e6], bands consistent with the
+    min/max inside them, doc counts summing to the corpus size."""
+    from pandas_aws_spark.registry import load_registry, load_table
+
+    rows = load_registry()["q_text_quality_logit"].fn(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r.band <= 5
+        assert 0 <= r.min_score_ppm <= r.max_score_ppm <= 1_000_000
+        assert r.min_score_ppm // 200_000 == r.band
+        assert r.max_score_ppm // 200_000 == r.band
+
+
+def test_phash_near_dup_within_cap(spark, sf_dir):
+    """Verified pairs respect the Hamming cap, and identical payload
+    histograms (distance 0) exist in this duplicate-bearing corpus."""
+    from pandas_aws_spark.registry import load_registry
+
+    rows = load_registry()["q_multimodal_phash_near_dup"].fn(spark, sf_dir).collect()
+    assert rows, "corpus with replicas must produce near-dup pairs"
+    for r in rows:
+        assert 0 <= r.hamming <= 6
+        assert r.n_pairs >= 1
+    assert min(r.hamming for r in rows) == 0

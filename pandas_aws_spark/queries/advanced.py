@@ -2322,3 +2322,117 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("degree").cast("long"), "n_nodes")
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE path enumeration over the event-type transition graph
+# (Spark 4's WITH RECURSIVE — the same string runs verbatim on DuckDB).
+# --------------------------------------------------------------------------
+# Engine-portable SQL: FLOOR(a / b) instead of integer div (Spark spells
+# it `div`, DuckDB `//`); all operands are non-negative ints within
+# 2^53, so the double division + FLOOR is exact on both engines.
+_RECURSIVE_PATHS_SQL = """
+WITH RECURSIVE
+steps AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS cnt
+  FROM steps WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+),
+tot AS (SELECT src, SUM(cnt) AS tot FROM trans GROUP BY src),
+probs AS (
+  SELECT t.src, t.dst, CAST(FLOOR(t.cnt * 1000000.0 / o.tot) AS BIGINT) AS p_ppm
+  FROM trans t JOIN tot o ON o.src = t.src
+),
+paths(path, last_type, p_ppm, depth) AS (
+  SELECT src, src, CAST(1000000 AS BIGINT), 1 FROM (SELECT DISTINCT src FROM probs) s
+  UNION ALL
+  SELECT p.path || '>' || pr.dst, pr.dst,
+         CAST(FLOOR(p.p_ppm * pr.p_ppm / 1000000.0) AS BIGINT), p.depth + 1
+  FROM paths p JOIN probs pr ON pr.src = p.last_type
+  WHERE p.depth < 3
+)
+SELECT path, p_ppm FROM paths WHERE depth = 3
+ORDER BY p_ppm DESC, path LIMIT 15
+"""
+
+
+@query("q_sql_recursive_paths", oracle=_RECURSIVE_PATHS_SQL, tags=("sql", "graph", "events"))
+def q_sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step most-probable paths through the event-type Markov graph,
+    enumerated with a RECURSIVE CTE (Spark 4 `WITH RECURSIVE`) — the
+    multi-hop extension of q_events_markov_chain's one-step matrix, and
+    the portable-SQL surface for graph expansion that BI/ELT layers
+    emit. Path probability is an integer-ppm product folded stepwise
+    (floor(p1*p2/1e6)), so the recursion is bit-replayable; the SAME
+    string is the DuckDB oracle (engine-portable arithmetic only:
+    FLOOR(a/b) on 2^53-bounded ints instead of div/`//`).
+
+    Scale shape: the recursion's working set is the TYPE graph
+    (|types| + |types|^2 rows), never the event stream — events fold
+    into the transition matrix with one LAG window partitioned by user
+    and one groupBy before recursion starts; each recursive step is a
+    broadcast-size join. Growth is |types|^depth with a hard depth
+    guard in the recursive predicate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_PATHS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Cohorted lifetime value: acquisition-year cohorts x order-age revenue.
+# --------------------------------------------------------------------------
+_COHORT_LTV_ORACLE = f"""
+WITH first_order AS (
+  SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate)) AS cohort_year
+  FROM orders GROUP BY o_custkey
+),
+aged AS (
+  SELECT f.cohort_year,
+         EXTRACT(year FROM o.o_orderdate) - f.cohort_year AS order_age,
+         o.o_custkey, o.o_totalprice
+  FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+)
+SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+       CAST(order_age AS BIGINT) AS order_age,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM aged GROUP BY cohort_year, order_age ORDER BY cohort_year, order_age
+"""
+
+
+@query("q_orders_cohort_ltv", oracle=_COHORT_LTV_ORACLE, tags=("relational", "cohort"))
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted lifetime value: customers grouped by acquisition year
+    (their first order), revenue and distinct actives tracked by order
+    age in years — the triangle a growth team reads retention economics
+    from, and the orders-side sibling of q_events_cohort_retention.
+    Revenue goes through the fixed-point decimal sum so the float
+    aggregate replays bit-for-bit.
+
+    Scale shape: the first-order table is a map-side-combinable MIN per
+    customer; the age join shuffles orders once on o_custkey (or rides
+    an existing customer bucketing); the final rollup is a
+    (cohort, age) hash aggregate — two narrow shuffles total."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    aged = orders.join(first, "o_custkey").select(
+        F.col("cohort_year").cast("long"),
+        (F.year("o_orderdate") - F.col("cohort_year")).cast("long").alias("order_age"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        aged.groupBy("cohort_year", "order_age")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("cohort_year", "order_age")
+    )

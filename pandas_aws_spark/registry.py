@@ -237,11 +237,11 @@ _DRIVER_WINDOW = (
     "q_text_quality_logit",
     "q_sample_epoch_shuffle",
     "q_multimodal_phash_near_dup",
-    # --- re-checks: the 2 oldest single-round-proven entries (r1 only),
-    # plus q_sim_lsh_bucketed, whose plan was rewritten this round
-    # (adaptive plane count) and needs fresh external proof ---
-    "q06_forecast_revenue",
-    "q04_order_priority",
+    "q_sql_recursive_paths",
+    "q_orders_cohort_ltv",
+    # --- re-check: q_sim_lsh_bucketed's plan was rewritten this round
+    # (adaptive plane count), so its r2 evidence needs fresh external
+    # proof under the new plan ---
     "q_sim_lsh_bucketed",
 )
 

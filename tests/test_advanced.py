@@ -150,3 +150,32 @@ def test_dsum_micro_partitioning_invariance(spark):
     for n in (1, 7, 32):
         vals.add(df.repartition(n).agg(dsum_micro("v").alias("s")).collect()[0].s)
     assert len(vals) == 1  # exact integer micro-units, any partitioning
+
+
+def test_recursive_paths_probabilities(spark, sf_dir):
+    """15 depth-3 paths, ppm products within bounds, descending order."""
+    from pandas_aws_spark.registry import load_registry
+
+    rows = load_registry()["q_sql_recursive_paths"].fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    ppms = [r.p_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+    for r in rows:
+        assert 0 <= r.p_ppm <= 1_000_000
+        assert r.path.count(">") == 2  # depth 3 = two transitions
+
+
+def test_cohort_ltv_triangle(spark, sf_dir):
+    """Cohort triangle invariants: age 0 exists for every cohort (the
+    acquisition order itself), ages are non-negative, customer counts
+    never exceed order counts."""
+    from pandas_aws_spark.registry import load_registry
+
+    rows = load_registry()["q_orders_cohort_ltv"].fn(spark, sf_dir).collect()
+    assert rows
+    cohorts = {r.cohort_year for r in rows}
+    age0 = {r.cohort_year for r in rows if r.order_age == 0}
+    assert age0 == cohorts
+    for r in rows:
+        assert r.order_age >= 0
+        assert 1 <= r.n_customers <= r.n_orders

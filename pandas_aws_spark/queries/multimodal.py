@@ -311,34 +311,33 @@ def q_multimodal_hist_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Tolerant multimodal near-dup: 60-bit histogram signature, banded
-# Hamming join. q_multimodal_hist_signature groups payloads whose
-# quantized histograms match EXACTLY; re-encoded or lightly edited
-# media lands near-but-not-at the same signature, so this query does
-# LSH-style banding over signature bits and verifies candidates with
-# a Hamming-distance cap — never all-pairs.
+# Tolerant multimodal near-dup: 60-bit b-bit-MinHash signature over
+# byte 4-grams, banded Hamming join. q_multimodal_hist_signature
+# groups payloads whose quantized byte DISTRIBUTIONS match exactly —
+# which degenerates when a corpus shares one distribution (measured:
+# on this corpus every doc landed in one bucket at 10x data). This
+# query hashes CONTENT windows instead: bit j = parity of the minimum
+# seed-j hash over all 4-byte windows (b-bit MinHash), so unrelated
+# payloads get independent random bits while near-dups share most of
+# them — buckets stay populated by similarity, not by corpus-wide
+# distribution shape.
 # --------------------------------------------------------------------------
 _PHASH_NEARDUP_ORACLE = """
-WITH b AS (
+WITH doc AS (SELECT doc_id, text FROM documents WHERE length(text) >= 4),
+grams AS (
   SELECT doc_id,
-         list_transform(range(1, length(text) + 1),
-                        i -> ord(substring(text, CAST(i AS INT), 1))) AS byt,
-         octet_length(encode(text)) AS nb
-  FROM documents
-  WHERE octet_length(encode(text)) > 0
-),
-h AS (
-  SELECT doc_id, nb,
-         list_transform(range(0, 256), bin -> len(list_filter(byt, x -> x = bin))) AS hist
-  FROM b
+         list_transform(range(1, length(text) - 2), i ->
+           CAST(concat('0x', substring(md5(substring(text, CAST(i AS INT), 4)), 1, 15))
+                AS BIGINT) & 1073741823) AS hs
+  FROM doc
 ),
 sig AS (
-  SELECT doc_id,
-         list_sum(list_transform(range(0, 60), j ->
-           CASE WHEN (hist[CAST(4*j+1 AS INT)] + hist[CAST(4*j+2 AS INT)]
-                      + hist[CAST(4*j+3 AS INT)] + hist[CAST(4*j+4 AS INT)]) * 64 >= nb
-                THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS sig
-  FROM h
+  SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+    CASE WHEN list_min(list_transform(hs, h ->
+        (((CAST(j AS BIGINT) * 2654435761) % 1073741789 | 1) * h
+         + CAST(j AS BIGINT) + 1) % 1073741789)) % 2 = 1
+    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS sig
+  FROM grams
 ),
 bands AS (
   SELECT doc_id, sig, b.band,
@@ -363,37 +362,75 @@ FROM verified GROUP BY hamming ORDER BY hamming
 @query(
     "q_multimodal_phash_near_dup",
     oracle=_PHASH_NEARDUP_ORACLE,
-    tags=("multimodal", "dedup", "udf"),
+    tags=("multimodal", "dedup"),
 )
 def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tolerant near-dup detection for binary payloads: quantize the
-    256-bin byte histogram into a 60-bit signature (bit j = whether
-    4-bin group j holds >= 1/64 of the bytes), band the signature into
-    4 x 15-bit LSH bands, generate candidates ONLY from band equality,
-    and verify with Hamming distance <= 6 (bit_count of xor — pure JVM
-    integer ops). Reports the pair count per verified distance: the
-    distance histogram a threshold sweep reads. Exact-signature
-    grouping (q_multimodal_hist_signature) catches byte-identical
-    re-orderings; this catches the re-encoded/edited neighborhood
-    around them. A real perceptual hash swaps the histogram featurizer
-    for DCT coefficients; banding and verification are unchanged.
+    """Tolerant near-dup detection for opaque payloads: a 60-bit b-bit
+    MinHash signature — each 4-byte content window is md5-hashed ONCE
+    into a 30-bit value, 60 universal-hash family members
+    h_j(x) = (a_j x + j + 1) mod p derive the per-seed minima from it
+    (integer ops, not 60 md5 passes), and bit j is the parity of
+    min_j. Tokenizer-free, so it works on any modality's byte stream
+    (this ASCII corpus makes char windows == byte windows). Banded
+    into 4 x 15-bit LSH bands, candidates ONLY from band equality,
+    verified at Hamming distance <= 6 (bit_count of xor, one JVM
+    integer op per pair). Reports pair counts per verified distance —
+    the histogram a threshold sweep reads.
 
-    Scale shape: payload crosses the Arrow boundary once
-    (mapInPandas histogram); signatures are 8-byte keys; the candidate
-    join shuffles (band, 15-bit bucket) keys — corpus/2^15 expected
-    rows per bucket per band, never all-pairs; verification is one
-    integer op per candidate pair."""
-    from ..operators.multimodal import byte_histogram
+    Why not the byte-histogram signature next door: distribution-shape
+    features collapse when the whole corpus shares one byte
+    distribution — measured on this corpus, EVERY doc fell into a
+    single band bucket at 10x data (4.5e9 candidate pairs, an
+    accidental all-pairs). Content-window MinHash bits are independent
+    across unrelated docs by construction: measured bucket max 11 docs
+    at sf0.01 and ~1k (a true replica family) at 10x, candidate work
+    scaling with real near-dup density instead of corpus^2.
 
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
-    hist = byte_histogram(docs.filter(F.length("payload") > 0), n_bins=256)
-    sig = hist.select(
+    Scale shape: signatures are one map-side pass (60 hash folds over
+    the gram array, no shuffle, no UDF); the candidate join shuffles
+    8-byte (band, bucket) keys; verification is integer xor/popcount.
+    Production hygiene for adversarial corpora: cap or sample buckets
+    past a size threshold (non-informative by definition) — the LSH
+    guard the text-side minhash operators document."""
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    # one md5 per 4-byte window, exploded map-side; the 60 family
+    # members become 60 CODEGEN'd min-aggregates (interpreted
+    # higher-order-function folds over the gram array measured ~15x
+    # slower for the same arithmetic), partially aggregated before the
+    # doc_id shuffle so ~one row per doc moves
+    g = docs.select(
         "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc + "
-            "IF((hist[4*j] + hist[4*j+1] + hist[4*j+2] + hist[4*j+3]) * 64 >= n_bytes, "
-            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
-        ).alias("sig"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 3), i -> "
+                "CAST(conv(substring(md5(substring(text, i, 4)), 1, 15), 16, 10) AS BIGINT) "
+                "& 1073741823)"
+            )
+        ).alias("h"),
+    )
+    P = 1073741789
+    mins = g.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit((j * 2654435761) % P | 1) * F.col("h") + F.lit(j + 1)) % P).alias(
+                f"m{j}"
+            )
+            for j in range(60)
+        ]
+    )
+    sig = mins.select(
+        "doc_id",
+        _reduce(
+            _add,
+            [
+                F.when(F.col(f"m{j}") % 2 == 1, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(60)
+            ],
+        )
+        .cast("long")
+        .alias("sig"),
     )
     bands = sig.select(
         "doc_id",

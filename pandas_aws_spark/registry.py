@@ -175,16 +175,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # io / skew), instead of whatever module import order happens to produce.
 # Everything not listed keeps its natural registration order after these.
 #
-# Round-5 rotation (this window): ALL 42 entries the driver has never
-# hash-verified across r1-r4 rotate IN — this drives the union of
-# externally verified queries to 207/207, the full registry — plus the
-# 8 oldest single-round-proven entries (r1 evidence only) as re-checks.
-# The window contents are NOT hand-curated bookkeeping anymore:
+# Round-5 rotation (this window): ALL entries the driver has never
+# hash-verified rotate IN — the 42-query r1-r4 backlog plus the 7
+# queries added in round 5 (verify-first) — which drives the union of
+# externally verified queries to 214/214, the full registry; the one
+# remaining slot re-checks q_sim_lsh_bucketed, whose plan was
+# rewritten this round. The window contents are NOT hand-curated
+# bookkeeping anymore:
 # tests/test_entry.py::test_driver_window_covers_never_verified
 # recomputes the never-verified set from the CORRECTNESS_r*.json files
 # on disk and asserts this window covers it exactly. Every window entry
 # has an oracle and a scalar-only output shape (tests/test_entry.py
-# gates both). Queries ADDED in round 5 or later register after the
+# gates both). Queries ADDED in round 6 or later register after the
 # window and form the r6 queue automatically (the invariant test
 # reports them).
 _DRIVER_WINDOW = (

@@ -83,6 +83,12 @@ def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select("doc_id", F.explode(arr).alias("h"))
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # NOTE (r5): joining only the filtered df>=threshold subset back
+    # (novelty-style) was tried and measured SLOWER here (6.1/52.7 vs
+    # 3.7/28.1) — on a low-diversity corpus most shingles pass the
+    # boilerplate threshold, so the "filtered" join keeps ~all rows
+    # and the reformulation just adds an aggregate and loses the
+    # reused exchange. The full-dfreq join stays.
     per_doc = (
         sh.join(dfreq, "h")
         .groupBy("doc_id")
@@ -532,9 +538,16 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops adding new content (novelty trending to zero = stop
     crawling, start dedup). Ingestion order is the doc_id order.
 
-    Scale shape: same two narrow 60-bit-hash shuffles as the
-    boilerplate query (first-owner groupBy + join back); min-doc_id
-    ownership is a map-side-combinable MIN."""
+    Scale shape (r5 rewrite): NO join back of the shingle stream.
+    n_novel is just the owner table re-aggregated by its first_doc
+    column and n_shingles a map-side-combinable count per doc — the
+    original join of every (doc, shingle) row against the owner table
+    re-shuffled the full shingle stream a second time to compute
+    counts both sides already contained (measured: 10x point 56.0s ->
+    27.2s, ratio 9.9x -> 7.3x; the residual ratio is 10x shingle
+    volume through the owner MIN, which is the query's irreducible
+    work). Three aggregates, all map-side combinable; the only wide
+    shuffle left is the owner MIN on 60-bit hash keys."""
     docs = load_table(spark, sf_dir, "documents")
     arr = F.array_distinct(
         F.transform(
@@ -544,14 +557,14 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select("doc_id", F.explode(arr).alias("h"))
     owner = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = owner.groupBy("first_doc").agg(F.count(F.lit(1)).alias("n_novel"))
     pd_ = (
-        sh.join(owner, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
-                "n_novel"
-            ),
+        totals.join(novel, totals.doc_id == novel.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
     )
     ppm = pd_.join(docs.select("doc_id", "source"), "doc_id").select(

@@ -49,6 +49,8 @@ __all__ = [
     "blocked_ngram_jaccard_pairs",
     "connected_components",
     "semantic_dedup",
+    "MAX_BLOCK_DOCS",
+    "MAX_SIMHASH16_DOCS",
 ]
 
 
@@ -58,6 +60,30 @@ def _hash_col(c: Column, seed: int, hash_fn: str) -> Column:
     if hash_fn == "xxhash64":
         return F.xxhash64(c, F.lit(seed)).cast("string")
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+# The exact/fixed-width candidate generators below go quadratic once
+# their bucketing unit saturates (a whole block joined all-pairs; a
+# 16-bit signature space packed with 100x its width). Same contract as
+# the ANN brute-force cap: an in-plan assert fails the job with a clear
+# message pointing at the subquadratic path instead of melting the
+# cluster. Measured motivation in SCALE.md (the blocked n-gram join did
+# not finish its 10x point; simhash16 ran 12x).
+MAX_BLOCK_DOCS = 10_000
+MAX_SIMHASH16_DOCS = 1_000_000
+
+
+def _guarded_by_scalar(
+    df: DataFrame, stat: DataFrame, col: str, cap: int, message: str
+) -> DataFrame:
+    """Broadcast a 1-row statistic into ``df`` and assert it is within
+    ``cap`` inside the plan (assert_true yields NULL on success, so the
+    filter passes every row; over-cap fails the job with ``message``)."""
+    return (
+        df.crossJoin(F.broadcast(stat))
+        .filter(F.assert_true(F.col(col) <= cap, F.lit(message)).isNull())
+        .drop(col)
+    )
 
 
 # Universal-hash family for MinHash: ONE md5 per shingle reduced to a
@@ -365,8 +391,25 @@ def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, *, threshold: float = 0.5, shingle_k: int = 3
 ) -> DataFrame:
     """Candidates = exact simhash16 collision (Hamming distance 0),
-    verified with exact shingle Jaccard >= threshold."""
-    sig = simhash16(df, id_col, text_col)
+    verified with exact shingle Jaccard >= threshold.
+
+    Scale guard: a 16-bit signature space holds 65,536 buckets, so
+    past ~1M docs every bucket averages 15+ docs and collision pairs
+    grow quadratically regardless of content (measured 12x runtime at
+    10x data from replica pile-up alone). The plan asserts the corpus
+    is under MAX_SIMHASH16_DOCS; past that, widen the signature and
+    band it (the q_multimodal_phash_near_dup pattern: 60-bit signature,
+    banded buckets, Hamming-tolerance verify) or use MinHash-LSH."""
+    n_docs = df.agg(F.count(F.lit(1)).alias("_ndocs"))
+    sig = _guarded_by_scalar(
+        simhash16(df, id_col, text_col),
+        n_docs,
+        "_ndocs",
+        MAX_SIMHASH16_DOCS,
+        "simhash_near_dup_pairs: corpus exceeds MAX_SIMHASH16_DOCS="
+        f"{MAX_SIMHASH16_DOCS}; a 16-bit signature space saturates here — "
+        "use a wider banded signature or MinHash-LSH (q_dedup_minhash_lsh)",
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -397,7 +440,29 @@ def blocked_ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise char-n-gram Jaccard restricted to blocks (classic
     blocking dedup: quadratic only within a block). Returns verified
-    pairs (id_a < id_b, jaccard >= threshold)."""
+    pairs (id_a < id_b, jaccard >= threshold).
+
+    Scale guard: "quadratic only within a block" is a promise about
+    BLOCK SIZE, so the plan asserts the largest block stays under
+    MAX_BLOCK_DOCS — at 10x test data a 12.5k-doc language block's
+    gram self-join enumerates tens of billions of pairs and the job
+    effectively never finishes (measured; see SCALE.md). Past the cap:
+    block finer (lang x domain x length-band) or run MinHash-LSH
+    within the block."""
+    max_block = (
+        df.groupBy(*[F.col(c) for c in block_cols])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_maxblk"))
+    )
+    df = _guarded_by_scalar(
+        df,
+        max_block,
+        "_maxblk",
+        MAX_BLOCK_DOCS,
+        f"blocked_ngram_jaccard_pairs: largest block exceeds MAX_BLOCK_DOCS="
+        f"{MAX_BLOCK_DOCS}; the within-block all-pairs join would be "
+        "unbounded — block finer or use MinHash-LSH within blocks",
+    )
     grams = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],

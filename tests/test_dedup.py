@@ -121,3 +121,34 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # enough rounds: the same chain converges to a single cluster
     labels = connected_components(chain, max_iter=10)
     assert {r["cluster_id"] for r in labels.collect()} == {0}
+
+
+def test_simhash_corpus_cap_guard(spark, sf_dir, monkeypatch):
+    """Past MAX_SIMHASH16_DOCS the 16-bit signature space saturates and
+    collision pairs grow quadratically regardless of content — the
+    in-plan assert must fail fast with the banded-signature/LSH
+    pointer."""
+    import pytest
+
+    from pandas_aws_spark.operators import dedup as dd
+    from pandas_aws_spark.registry import load_registry
+
+    monkeypatch.setattr(dd, "MAX_SIMHASH16_DOCS", 3)
+    df = load_registry()["q_dedup_simhash"].fn(spark, sf_dir)
+    with pytest.raises(Exception, match="MAX_SIMHASH16_DOCS"):
+        df.collect()
+
+
+def test_blocked_ngram_block_cap_guard(spark, sf_dir, monkeypatch):
+    """'Quadratic only within a block' is a promise about block size —
+    an oversized block must produce a clean capped error, not an
+    unbounded all-pairs join (the 10x measurement never finished)."""
+    import pytest
+
+    from pandas_aws_spark.operators import dedup as dd
+    from pandas_aws_spark.registry import load_registry
+
+    monkeypatch.setattr(dd, "MAX_BLOCK_DOCS", 3)
+    df = load_registry()["q_dedup_ngram_jaccard"].fn(spark, sf_dir)
+    with pytest.raises(Exception, match="MAX_BLOCK_DOCS"):
+        df.collect()

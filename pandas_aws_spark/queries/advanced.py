@@ -2331,6 +2331,11 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-portable SQL: FLOOR(a / b) instead of integer div (Spark spells
 # it `div`, DuckDB `//`); all operands are non-negative ints within
 # 2^53, so the double division + FLOOR is exact on both engines.
+# The divisor is spelled 1e6 deliberately: Spark parses an exponent
+# FORM literal as DOUBLE, but would parse `1000000.0` as DECIMAL(8,1)
+# and run decimal division with HALF_UP rounding — close enough to
+# agree with DuckDB today, but not the identical IEEE op this comment
+# promises. Keep the exponent form (or CAST(... AS DOUBLE)) if editing.
 _RECURSIVE_PATHS_SQL = """
 WITH RECURSIVE
 steps AS (
@@ -2344,14 +2349,14 @@ trans AS (
 ),
 tot AS (SELECT src, SUM(cnt) AS tot FROM trans GROUP BY src),
 probs AS (
-  SELECT t.src, t.dst, CAST(FLOOR(t.cnt * 1000000.0 / o.tot) AS BIGINT) AS p_ppm
+  SELECT t.src, t.dst, CAST(FLOOR(t.cnt * 1e6 / o.tot) AS BIGINT) AS p_ppm
   FROM trans t JOIN tot o ON o.src = t.src
 ),
 paths(path, last_type, p_ppm, depth) AS (
   SELECT src, src, CAST(1000000 AS BIGINT), 1 FROM (SELECT DISTINCT src FROM probs) s
   UNION ALL
   SELECT p.path || '>' || pr.dst, pr.dst,
-         CAST(FLOOR(p.p_ppm * pr.p_ppm / 1000000.0) AS BIGINT), p.depth + 1
+         CAST(FLOOR(p.p_ppm * pr.p_ppm / 1e6) AS BIGINT), p.depth + 1
   FROM paths p JOIN probs pr ON pr.src = p.last_type
   WHERE p.depth < 3
 )

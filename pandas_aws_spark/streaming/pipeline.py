@@ -256,6 +256,31 @@ def record_drain(q) -> None:
         progresses = q.recentProgress or []
     except Exception:
         return
+    # recentProgress retains only the last numRecentProgressUpdates
+    # entries (default 100). A drain that produced exactly the cap has
+    # probably dropped its earliest batches — peaks from it would be
+    # silent underreports, so say so (measurement tools raise the cap).
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        cap = int(
+            active.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+            if active is not None
+            else 100
+        )
+        if len(progresses) >= cap:
+            import warnings
+
+            warnings.warn(
+                f"record_drain: recentProgress holds {len(progresses)} entries, "
+                f"the retention cap ({cap}) — earliest batches' state peaks may "
+                "have been dropped; raise spark.sql.streaming."
+                "numRecentProgressUpdates before the drain",
+                stacklevel=2,
+            )
+    except Exception:
+        pass
     name = getattr(q, "name", None) or ""
     for p in progresses:
         RECENT_DRAIN_PROGRESS.append((name, p))

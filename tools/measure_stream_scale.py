@@ -45,6 +45,11 @@ def main() -> int:
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="stream-scale", master=f"local[{cpus}]")
+    # recentProgress is truncated to the last N updates (default 100);
+    # a drain with more micro-batches would silently drop the earliest
+    # batches' state peaks — the same underreport the listener-based
+    # tool had. Raise retention far above any drain's batch count.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     reg = load_registry()
     stream_qs = sorted(n for n in reg if n.startswith("q_stream_"))

@@ -46,6 +46,8 @@ __all__ = [
     "drop_list_from_pairs",
     "simhash16",
     "simhash_near_dup_pairs",
+    "simhash60",
+    "simhash_banded_near_dup_pairs",
     "blocked_ngram_jaccard_pairs",
     "connected_components",
     "semantic_dedup",
@@ -424,6 +426,123 @@ def simhash_near_dup_pairs(
     return _verify_jaccard(cand, sh, id_col, threshold)
 
 
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over the token stream (weights = occurrences),
+    returned as a single packed int64 ``sig``.
+
+    Bit j (0..59) is the sign of the per-doc sum of +-1 votes, where
+    token t votes bit j of the 60-bit value parsed from the first 15
+    hex digits of md5(t). The md5 runs ONCE per token row and the 60
+    family members are codegen'd integer shift/mask sums (the
+    q_multimodal_phash_near_dup pattern: 60 partial-aggregated
+    conditional sums, ~one row per doc through the shuffle — never a
+    60-way position explode like the legacy :func:`simhash16`).
+
+    Why 60 bits: a 16-bit space saturates past ~1M docs (SCALE.md
+    measured 12-22x at 10x data from bucket pile-up alone); 2^60
+    signatures keep exact-collision buckets populated by *similarity*
+    at any realistic corpus size, and 60 = 4 x 15 bands cleanly.
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long").alias("h60"),
+    )
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(60)
+        ]
+    )
+    sig = _reduce(
+        _add,
+        [
+            F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(60)
+        ],
+    )
+    return sums.select(F.col(id_col), sig.cast("long").alias("sig"))
+
+
+def simhash_banded_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    bands: int = 4,
+    band_bits: int = 15,
+    hamming_max: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup with a banded 60-bit signature — the scale path
+    the :func:`simhash_near_dup_pairs` guard message prescribes.
+
+    Candidates come from 15-bit band equality (LSH over the signature,
+    never all-pairs), are pre-filtered to full-signature Hamming
+    distance <= ``hamming_max`` (one xor+popcount per candidate), and
+    are then verified with EXACT shingle-set Jaccard >= ``threshold``
+    — the same verified-pairs contract as the 16-bit operator.
+
+    With ``bands=4`` and ``hamming_max=3`` the band capture is
+    *complete*: any pair within Hamming 3 differs in at most 3 of the
+    4 bands (pigeonhole), so at least one band matches exactly and the
+    output is deterministic — all pairs with sig-Hamming <= 3 AND
+    jaccard >= threshold. Scale shape: signature build is one narrow
+    shuffle (60 int64 partial aggregates); the candidate join shuffles
+    8-byte (band, bits) keys; bucket population tracks true signature
+    similarity, not corpus size (the 16-bit operator's failure mode).
+    ``max_band_bucket`` drops degenerate buckets (e.g. boilerplate
+    corpora collapsing a band) the way the MinHash-LSH operator does.
+    """
+    assert bands * band_bits <= 60, "bands x band_bits exceeds the 60-bit signature"
+    assert hamming_max < bands, (
+        f"hamming_max={hamming_max} >= bands={bands} voids the pigeonhole "
+        "capture guarantee — add bands or lower the radius"
+    )
+    mask = (1 << band_bits) - 1
+    sig = simhash60(df, id_col, text_col)
+    buckets = sig.select(
+        F.col(id_col),
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn("bits", F.expr(f"shiftright(sig, {band_bits} * band) & {mask}"))
+    if max_band_bucket is not None:
+        sizes = buckets.groupBy("band", "bits").agg(F.count("*").alias("bn"))
+        buckets = buckets.join(
+            F.broadcast(sizes.filter(F.col("bn") <= max_band_bucket)),
+            ["band", "bits"],
+            "left_semi",
+        )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bits"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("bits").alias("bits_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bits") == F.col("bits_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        # Hamming pre-filter BEFORE the distinct: one integer op per
+        # collision row beats deduplicating rows the filter will drop.
+        .filter(F.expr("bit_count(sig_a ^ sig_b)") <= hamming_max)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k)
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
 # --------------------------------------------------------------------------
 # Blocked character-n-gram Jaccard
 # --------------------------------------------------------------------------
@@ -437,40 +556,77 @@ def blocked_ngram_jaccard_pairs(
     *,
     n: int = 5,
     threshold: float = 0.7,
+    max_block_docs: int | None = None,
+    lsh_fallback: bool = True,
+    n_hashes: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """Pairwise char-n-gram Jaccard restricted to blocks (classic
     blocking dedup: quadratic only within a block). Returns verified
     pairs (id_a < id_b, jaccard >= threshold).
 
-    Scale guard: "quadratic only within a block" is a promise about
-    BLOCK SIZE, so the plan asserts the largest block stays under
-    MAX_BLOCK_DOCS — at 10x test data a 12.5k-doc language block's
-    gram self-join enumerates tens of billions of pairs and the job
-    effectively never finishes (measured; see SCALE.md). Past the cap:
-    block finer (lang x domain x length-band) or run MinHash-LSH
-    within the block."""
-    max_block = (
-        df.groupBy(*[F.col(c) for c in block_cols])
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("_maxblk"))
+    "Quadratic only within a block" is a promise about BLOCK SIZE —
+    at 10x test data a 12.5k-doc language block's gram self-join
+    enumerates tens of billions of pairs and never finishes (measured;
+    SCALE.md). So blocks are routed by size against ``max_block_docs``
+    (default :data:`MAX_BLOCK_DOCS`):
+
+    * blocks **within** the cap run the exact all-gram self-join —
+      recall 1.0, the blocking contract;
+    * blocks **over** the cap (``lsh_fallback=True``, the default)
+      generate candidates with MinHash-LSH *within the block*
+      (signatures over the same hashed n-gram sets, band buckets keyed
+      on (block, band, sig) so cross-block pairs stay impossible), then
+      verify with the SAME exact n-gram Jaccard — subquadratic
+      candidates, exact verification, recall = LSH capture probability
+      at the threshold (>=97% at jaccard 0.8 with 8 hashes x 4 bands);
+    * with ``lsh_fallback=False`` an oversized block fails fast in-plan
+      (the pre-r6 behavior, kept as the backstop for callers that
+      require recall 1.0 and would rather block finer than approximate).
+
+    Both branches produce pairs with identical semantics (exact
+    verified Jaccard); a block lands wholly in one branch, so no pair
+    can span branches and the union is disjoint by construction.
+    """
+    cap = MAX_BLOCK_DOCS if max_block_docs is None else max_block_docs
+    blk_sizes = df.groupBy(*[F.col(c) for c in block_cols]).agg(
+        F.count(F.lit(1)).alias("_blk_n")
     )
-    df = _guarded_by_scalar(
-        df,
-        max_block,
-        "_maxblk",
-        MAX_BLOCK_DOCS,
-        f"blocked_ngram_jaccard_pairs: largest block exceeds MAX_BLOCK_DOCS="
-        f"{MAX_BLOCK_DOCS}; the within-block all-pairs join would be "
-        "unbounded — block finer or use MinHash-LSH within blocks",
-    )
+    if not lsh_fallback:
+        # Backstop shape: NO size routing in the plan (a routing filter
+        # can be reordered before an assert filter, silently dropping
+        # over-cap blocks instead of failing) — every doc flows through
+        # the guarded all-pairs branch, so the assert sees every row.
+        max_block = blk_sizes.agg(F.max("_blk_n").alias("_maxblk"))
+        df = _guarded_by_scalar(
+            df,
+            max_block,
+            "_maxblk",
+            cap,
+            f"blocked_ngram_jaccard_pairs: largest block exceeds MAX_BLOCK_DOCS="
+            f"{cap}; the within-block all-pairs join would be "
+            "unbounded — block finer, or pass lsh_fallback=True to route "
+            "oversized blocks through MinHash-LSH candidates",
+        )
+        df = df.withColumn("_blk_n", F.lit(0))
+    else:
+        df = df.join(blk_sizes, block_cols)
     grams = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
+        F.col("_blk_n"),
         F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("g"),
     )
+    # sizes over ALL docs (both branches verify against the same
+    # denominator); gram sets are identical in either branch.
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_g"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+
+    # --- exact branch: all-pairs gram self-join, small blocks only
+    # (with lsh_fallback=False every _blk_n is 0 = "small": the whole
+    # corpus takes this branch under the fail-fast guard) ---
+    small = grams.filter(F.col("_blk_n") <= cap)
+    a = small.alias("a")
+    b = small.alias("b")
     cond = (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -479,6 +635,74 @@ def blocked_ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+
+    if lsh_fallback:
+        # --- LSH branch: oversized blocks, candidates from banded
+        # MinHash over the hashed gram sets (28-bit base hash + affine
+        # family — the q_dedup_minhash_lsh machinery), buckets keyed on
+        # the block so candidates never cross it ---
+        rows = n_hashes // bands
+        big = grams.filter(F.col("_blk_n") > cap)
+        hashed = big.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            shingle_base_hash(F.col("g")).alias("_h"),
+        )
+        aggs = [
+            F.min(
+                (F.lit(_MINHASH_A[j]) * F.col("_h") + F.lit(_MINHASH_B[j])) % MINHASH_P
+            ).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+        sig = hashed.groupBy(F.col(id_col), *[F.col(c) for c in block_cols]).agg(*aggs)
+
+        def band_sig(bi: int) -> Column:
+            s = F.col(f"h{bi * rows}")
+            for r in range(1, rows):
+                s = s * MINHASH_P + F.col(f"h{bi * rows + r}")
+            return s
+
+        entries = F.array(
+            *[
+                F.struct(F.lit(bi).alias("band"), band_sig(bi).alias("sig"))
+                for bi in range(bands)
+            ]
+        )
+        buckets = sig.select(
+            F.col(id_col), *[F.col(c) for c in block_cols], F.explode(entries).alias("e")
+        ).select(
+            id_col,
+            *block_cols,
+            F.col("e.band").alias("band"),
+            F.col("e.sig").alias("sig"),
+        )
+        ba = buckets.alias("ba")
+        bb = buckets.alias("bb")
+        bcond = (
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}"))
+        )
+        for c in block_cols:
+            bcond = bcond & (F.col(f"ba.{c}") == F.col(f"bb.{c}"))
+        cand = (
+            ba.join(bb, bcond)
+            .select(
+                F.col(f"ba.{id_col}").alias("id_a"), F.col(f"bb.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+        # exact-gram intersection for the LSH candidates only
+        ga = grams.select(F.col(id_col).alias("id_a"), F.col("g"))
+        gb = grams.select(F.col(id_col).alias("id_b"), F.col("g"))
+        lsh_inter = (
+            cand.join(ga, "id_a")
+            .join(gb, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        inter = inter.unionByName(lsh_inter)
+
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
     return (

@@ -220,8 +220,10 @@ def kmeans_fit(
 
     Distribution shape: assignment is a broadcast join (centroids are
     k x dim doubles — bytes); the mean update is posexplode ->
-    groupBy(cell, pos) avg — one shuffle of (cell, pos, x) triples per
-    iteration, partial-aggregated map-side. Only the k x dim model
+    groupBy(cell, pos) sorted-fold mean — one shuffle of (cell, pos, x)
+    triples per iteration (the deterministic fold trades map-side
+    partial aggregation for bit-portability; on a 100 TB corpus train
+    on a sample, where the triples are small). Only the k x dim model
     state ever reaches the driver (collected per round to cut the
     iterative lineage, the standard Spark pattern for model-state
     loops). At 100 TB: sample the corpus for training (k-means needs a
@@ -240,10 +242,24 @@ def kmeans_fit(
     schema = f"centroid_id int, {vec_col} array<double>"
     for _ in range(iters):
         assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+        # Centroid mean = ascending-sorted sequential fold / count (the
+        # pq_train pattern, r6): F.avg's partial-agg combine order
+        # perturbs the last ULPs per partitioning, which is invisible to
+        # full-probe consumers but blocks a bit-exact SQL replay of the
+        # trained index — DuckDB mirrors this fold with
+        # list(x ORDER BY x) + list_reduce, making coarse="kmeans"
+        # IVF-PQ oracle-verifiable (q_sim_ivf_pq_trained).
         means = (
             assigned.select("cell", F.posexplode(as_double(vec_col)).alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+            .select(
+                "cell",
+                "pos",
+                (
+                    F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x) / F.size("xs")
+                ).alias("m"),
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(

@@ -139,13 +139,11 @@ def q_sim_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.similarity import (  # noqa: E402
     lsh_topk,
     recommended_n_planes,
-    sql_lsh_bucket,
     sql_lsh_bucket_masked,
     sql_recommended_n_planes,
 )
 
 _DIM = 64
-_NPLANES = 4  # fixed count used by the multiprobe entry (probe-sequence shape depends on it)
 # Registry target bucket population: small enough that the adaptive
 # knob actually moves across the test scales (sf0.01: 500 rows -> 2
 # planes, sf0.1: 2k -> 4, 10x scale point: 20k -> 8); a deployment
@@ -207,14 +205,17 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multi-probe LSH: home bucket + weakest-plane flip per query.
+# Multi-probe LSH: home bucket + weakest-plane flip per query. Plane
+# count ADAPTS to corpus size exactly like the single-probe entry (r6;
+# the probe sequence depends on the plane count, so the weakest-plane
+# argmin is masked to the first npl planes on both engines).
 # --------------------------------------------------------------------------
-from ..operators.similarity import lsh_topk_multiprobe  # noqa: E402
+from ..operators.similarity import _LSH_A, lsh_topk_multiprobe  # noqa: E402
 from ..functions.vector import sql_dot  # noqa: E402
 
 
 def _sql_plane(j: int) -> str:
-    from ..operators.similarity import _LSH_A, _LSH_B, _LSH_MOD, _LSH_SHIFT
+    from ..operators.similarity import _LSH_B, _LSH_MOD, _LSH_SHIFT
 
     return (
         f"list_transform(range(1, {_DIM + 1}), d -> "
@@ -222,23 +223,33 @@ def _sql_plane(j: int) -> str:
     )
 
 
-_QDOTS = ",\n       ".join(f"abs({sql_dot('qv', _sql_plane(j))}) AS ad{j}" for j in range(_NPLANES))
+# masked |dot| per plane: planes beyond the adaptive count get a +inf
+# sentinel so they can never win the weakest-plane argmin (LEAST) and
+# the CASE equality scan resolves ties to the LOWEST index — matching
+# the Spark side's sort_array((abs_dot, j)) tie-break.
+_QDOTS = ",\n       ".join(
+    f"CASE WHEN {j} < {_SQL_NPL} THEN abs({sql_dot('qv', _sql_plane(j))}) "
+    f"ELSE CAST(1e308 AS DOUBLE) END AS ad{j}"
+    for j in range(len(_LSH_A))
+)
+_MP_LEAST = "LEAST(" + ", ".join(f"ad{j}" for j in range(len(_LSH_A))) + ")"
+_MP_MASK = (
+    "CASE "
+    + " ".join(f"WHEN ad{j} = m THEN {1 << j}" for j in range(len(_LSH_A)))
+    + " END"
+)
 
 _MULTIPROBE_ORACLE = f"""
 WITH {_BASE_CTE},
 cb AS (SELECT vec_id AS neighbor_id, v AS cv,
-              {sql_lsh_bucket('v', _DIM, _NPLANES)} AS bucket FROM e),
+              {sql_lsh_bucket_masked('v', _DIM, _SQL_NPL)} AS bucket FROM e),
 qd AS (SELECT query_id, qv,
-              {sql_lsh_bucket('qv', _DIM, _NPLANES)} AS bucket,
+              {sql_lsh_bucket_masked('qv', _DIM, _SQL_NPL)} AS bucket,
        {_QDOTS}
        FROM q),
 qflip AS (
-  SELECT query_id, qv, bucket,
-         CASE WHEN ad0 <= ad1 AND ad0 <= ad2 AND ad0 <= ad3 THEN 1
-              WHEN ad1 <= ad2 AND ad1 <= ad3 THEN 2
-              WHEN ad2 <= ad3 THEN 4
-              ELSE 8 END AS mask
-  FROM qd
+  SELECT query_id, qv, bucket, {_MP_MASK} AS mask
+  FROM (SELECT *, {_MP_LEAST} AS m FROM qd)
 ),
 probes AS (
   SELECT query_id, qv, bucket FROM qflip
@@ -266,12 +277,20 @@ ORDER BY query_id, rank
 @query("q_sim_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE, tags=("similarity", "lsh"))
 def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH: each query also probes across its weakest
-    hyperplane (smallest |dot| — the boundary it nearly straddles),
-    roughly doubling recall on boundary neighbors for 2x candidate
-    cost and zero extra corpus passes."""
+    hyperplane (smallest |dot| among the ACTIVE planes — the boundary
+    it nearly straddles), roughly doubling recall on boundary
+    neighbors for 2x candidate cost and zero extra corpus passes.
+    The plane count derives from the corpus size (recommended_n_planes
+    via a metadata count, same knob as q_sim_lsh_bucketed — r5's
+    adaptive rewrite left this entry on a fixed 4, re-acquiring the
+    quadratic tail the rewrite removed; r6 closes that). The probe
+    sequence adapts with it: the weakest-plane argmin only ranges over
+    the active planes, which the oracle mirrors with +inf-masked |dot|
+    terms."""
     emb = load_table(spark, sf_dir, "embeddings")
+    npl = _adaptive_planes(spark, sf_dir)
     out = lsh_topk_multiprobe(
-        _queries_df(spark, sf_dir), emb, dim=_DIM, n_planes=_NPLANES, k=_K
+        _queries_df(spark, sf_dir), emb, dim=_DIM, n_planes=npl, k=_K
     )
     return out.orderBy("query_id", "rank")
 
@@ -562,6 +581,181 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PQ_ITERS,
         k=_PQ_TOPK,
         oversample=_PQ_OVERSAMPLE,
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with TRAINED coarse cells (coarse="kmeans") — the documented
+# production choice, now oracle-verified (r6): the 3 Lloyd rounds
+# unroll into CTEs exactly like the PQ training above. kmeans_fit's
+# centroid mean is the same ascending-sorted sequential fold as
+# pq_train (r6 change), so the trained centroids — and everything
+# downstream of them — are bit-identical across engines.
+# --------------------------------------------------------------------------
+_COARSE_ITERS = 3
+
+
+def _kmeans_iteration_ctes(t: int) -> str:
+    """kcells{t} (argmax cosine vs kcent{t-1}, id tie-break) +
+    kcent{t} (per-cell sorted-fold means) — the SQL mirror of one
+    kmeans_fit round over the normalized corpus."""
+    return f"""
+kcells{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, kcent{t - 1} ct)
+  WHERE rn = 1
+),
+kcent{t} AS (
+  SELECT cell AS centroid_id, list(m ORDER BY pos) AS cv
+  FROM (
+    SELECT cell, pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY x)),
+                       (a, b) -> a + b) / COUNT(*) AS m
+    FROM (SELECT k.cell, p.pos, k.v[p.pos] AS x
+          FROM kcells{t} k, (SELECT unnest(range(1, {_DIM + 1})) AS pos) p)
+    GROUP BY cell, pos)
+  GROUP BY cell
+)"""
+
+
+_IVFPQ_TRAINED_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1).strip()},
+{_pq_iteration_ctes(2).strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+kcent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_NCENT}
+),
+{_kmeans_iteration_ctes(1).strip()},
+{_kmeans_iteration_ctes(2).strip()},
+{_kmeans_iteration_ctes(3).strip()},
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, kcent{_COARSE_ITERS} ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, kcent{_COARSE_ITERS} ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "q_sim_ivf_pq_trained",
+    oracle=_IVFPQ_TRAINED_ORACLE,
+    tags=("similarity", "pq", "ivf", "kmeans"),
+)
+def q_sim_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with TRAINED coarse cells — q_sim_ivf_pq's architecture
+    with coarse="kmeans" (3 Lloyd rounds over the normalized corpus),
+    the documented production choice: trained cells track the data
+    distribution so nprobe cells hold more of each query's true
+    neighbors (+recall at the same scan fraction, SCALE.md). Until r6
+    this path had only a pytest recall floor; kmeans_fit's centroid
+    means are now the same sorted sequential fold as PQ training, so
+    the whole trained pipeline — Lloyd rounds included — unrolls into
+    oracle CTEs and is hash-verified. Runs through ivf_pq_build /
+    prebuilt-index ivf_pq_topk, so the build-once/search-many
+    deployment path is what the driver checks."""
+    from ..operators.pq import ivf_pq_build, ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents, cb, codes = ivf_pq_build(
+        emb,
+        n_centroids=_NCENT,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        iters=_PQ_ITERS,
+        coarse="kmeans",
+        coarse_iters=_COARSE_ITERS,
+    )
+    return ivf_pq_topk(
+        queries,
+        emb,
+        nprobe=_IVFPQ_NPROBE,
+        k=_PQ_TOPK,
+        oversample=_PQ_OVERSAMPLE,
+        centroids=cents,
+        codebook=cb,
+        codes=codes,
     ).orderBy("query_id", "rank")
 
 

@@ -11,6 +11,8 @@ from pandas_aws_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     simhash16,
+    simhash60,
+    simhash_banded_near_dup_pairs,
     simhash_near_dup_pairs,
 )
 
@@ -59,6 +61,30 @@ def test_simhash_identical_docs_same_signature(spark, docs):
 def test_simhash_near_dup_pairs(spark, docs):
     pairs = {(r.id_a, r.id_b) for r in simhash_near_dup_pairs(docs, "doc_id", "text").collect()}
     assert (1, 4) in pairs
+
+
+def test_simhash60_identical_docs_same_signature(spark, docs):
+    sigs = {r.doc_id: r.sig for r in simhash60(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+    assert 0 <= sigs[1] < (1 << 60)
+
+
+def test_simhash_banded_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in simhash_banded_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact copy: Hamming 0
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_banded_pigeonhole_guard():
+    """hamming_max >= bands would silently lose the capture guarantee —
+    the operator must refuse (the assert fires before any Spark work,
+    so no session is needed)."""
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_banded_near_dup_pairs(None, "id", "text", hamming_max=4)
 
 
 def test_blocked_ngram_respects_blocks(spark):
@@ -123,18 +149,19 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert {r["cluster_id"] for r in labels.collect()} == {0}
 
 
-def test_simhash_corpus_cap_guard(spark, sf_dir, monkeypatch):
-    """Past MAX_SIMHASH16_DOCS the 16-bit signature space saturates and
-    collision pairs grow quadratically regardless of content — the
-    in-plan assert must fail fast with the banded-signature/LSH
-    pointer."""
+def test_simhash_corpus_cap_guard(spark, docs, monkeypatch):
+    """The LEGACY 16-bit path keeps its fail-fast backstop: past
+    MAX_SIMHASH16_DOCS its signature space saturates and collision
+    pairs grow quadratically regardless of content — the in-plan
+    assert must fail with the banded-signature/LSH pointer. (The
+    registry query q_dedup_simhash now runs the banded 60-bit path,
+    which has no corpus cap to trip.)"""
     import pytest
 
     from pandas_aws_spark.operators import dedup as dd
-    from pandas_aws_spark.registry import load_registry
 
     monkeypatch.setattr(dd, "MAX_SIMHASH16_DOCS", 3)
-    df = load_registry()["q_dedup_simhash"].fn(spark, sf_dir)
+    df = dd.simhash_near_dup_pairs(docs, "doc_id", "text")
     with pytest.raises(Exception, match="MAX_SIMHASH16_DOCS"):
         df.collect()
 
@@ -146,9 +173,39 @@ def test_blocked_ngram_block_cap_guard(spark, sf_dir, monkeypatch):
     import pytest
 
     from pandas_aws_spark.operators import dedup as dd
-    from pandas_aws_spark.registry import load_registry
 
     monkeypatch.setattr(dd, "MAX_BLOCK_DOCS", 3)
-    df = load_registry()["q_dedup_ngram_jaccard"].fn(spark, sf_dir)
+    rows = [(i, BASE, "en") for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df = dd.blocked_ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang"], lsh_fallback=False
+    )
     with pytest.raises(Exception, match="MAX_BLOCK_DOCS"):
         df.collect()
+
+
+def test_blocked_ngram_lsh_fallback_routes_oversized_blocks(spark):
+    """With lsh_fallback=True (the default), an oversized block is
+    routed through MinHash-LSH candidates instead of failing — and the
+    planted duplicates inside it are still found with exact jaccard.
+    The small block runs the exact branch in the same call."""
+    rows = (
+        [(i, BASE, "en") for i in range(1, 6)]  # en: 5 docs, over the cap
+        + [(10, NEAR, "en")]
+        + [(20, BASE, "fr"), (21, BASE, "fr")]  # fr: 2 docs, exact branch
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in blocked_ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang"], threshold=0.5, max_block_docs=3
+        ).collect()
+    }
+    # LSH branch: identical docs always collide (identical signatures)
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0
+    # LSH branch: the one-token edit shares 7/8 minhash slots -> found
+    assert (1, 10) in pairs and pairs[(1, 10)] > 0.5
+    # exact branch still runs for the small block
+    assert pairs[(20, 21)] == 1.0
+    # no cross-block pair, ever
+    assert all(not (a < 20 <= b or a >= 20 > b) for a, b in pairs)

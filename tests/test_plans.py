@@ -152,9 +152,10 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_sketch_kmv_jaccard": 32,  # |event_types| sketch dim (pairs form post-join)
     "q_dedup_prefix_filter_join": 1,  # corpus-size guard broadcast
     "q_sim_eval_rank_quality": 16,  # capped query side + centroid fan-out (brute + IVF passes)
-    "q_dedup_simhash": 1,  # one-row corpus-size guard broadcast (signature-space saturation cap)
-    "q_dedup_ngram_jaccard": 1,  # one-row max-block-size guard broadcast
 }
+# r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
+# (size-routed LSH-within-block) no longer carry scalar guard broadcasts —
+# their scale safety is structural, so they left the NLJ allowlist.
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):

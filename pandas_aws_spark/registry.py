@@ -175,76 +175,78 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # io / skew), instead of whatever module import order happens to produce.
 # Everything not listed keeps its natural registration order after these.
 #
-# Round-5 rotation (this window): ALL entries the driver has never
-# hash-verified rotate IN — the 42-query r1-r4 backlog plus the 7
-# queries added in round 5 (verify-first) — which drives the union of
-# externally verified queries to 214/214, the full registry; the one
-# remaining slot re-checks q_sim_lsh_bucketed, whose plan was
-# rewritten this round. The window contents are NOT hand-curated
-# bookkeeping anymore:
+# Round-6 rotation (this window): the never-verified set is EMPTY
+# (r5 completed external coverage: union over CORRECTNESS_r1-r5 =
+# 214/214), so the regime flips to oldest-evidence-first re-checks —
+# exactly the r5 verdict's ask #2. Slots: 1 verify-first NEW r6 query
+# (q_sim_ivf_pq_trained), then the 49 entries with the STALEST
+# external evidence — all 39 r1-verified entries plus 10 of the 26
+# r2-verified ones, prioritizing the three whose plans were rewritten
+# this round (banded simhash, size-routed n-gram jaccard, adaptive
+# multi-probe LSH) and the bench headline queries. The window contents
+# are NOT hand-curated bookkeeping:
 # tests/test_entry.py::test_driver_window_covers_never_verified
-# recomputes the never-verified set from the CORRECTNESS_r*.json files
-# on disk and asserts this window covers it exactly. Every window entry
-# has an oracle and a scalar-only output shape (tests/test_entry.py
-# gates both). Queries ADDED in round 6 or later register after the
-# window and form the r6 queue automatically (the invariant test
-# reports them).
+# recomputes evidence ages from the CORRECTNESS_r*.json files on disk
+# and asserts (a) anything never verified is in the window and (b) no
+# re-check slot is spent on fresher evidence while a stalest entry
+# waits outside. Every window entry has an oracle and a scalar-only
+# output shape (tests/test_entry.py gates both).
 _DRIVER_WINDOW = (
-    # --- never externally verified (the r5 queue from the r4 verdict) ---
-    "q_null_semantics",
-    "q_grouping_fn",
-    "q_events_rolling_median",
-    "q_events_interval_coverage",
-    "q_events_markov_chain",
-    "q_events_acf_hourly",
-    "q_events_heatmap",
-    "q_events_session_conversion",
-    "q_events_variant_extract",
-    "q_events_stickiness",
-    "q_io_roundtrip_jsonl",
-    "q_io_csv_malformed",
-    "q_embed_matryoshka_recall",
-    "q_sim_range_search",
-    "q_sim_knn_classify",
-    "q_text_vocab_hapax",
-    "q_text_bm25_search",
-    "q_text_udtf_chunks",
-    "q_multimodal_hist_signature",
-    "q_stream_outer_join",
-    "q_sketch_kmv_jaccard",
-    "q_sketch_join_size",
-    "q_recsys_item_cosine",
-    "q_attribution_linear",
-    "q_events_funnel_steps",
-    "q_feature_lag_windows",
-    "q_label_churn",
-    "q_orders_seasonal_index",
-    "q_stats_bootstrap_ci",
-    "q_orders_interarrival",
-    "q_set_ops_bag",
-    "q_sql_lateral_topk",
-    "q_graph_degree_dist",
-    "q_sample_importance",
-    "q_events_ab_lift",
-    "q_text_boilerplate_ngrams",
-    "q_text_unigram_surprisal",
-    "q_dedup_minhash_error",
-    "q_dedup_prefix_filter_join",
-    "q_text_ngram_novelty",
-    "q_dedup_lsh_recall",
-    "q_text_source_overlap",
-    # --- NEW in round 5 (verify-first, same charter as r4's additions) ---
-    "q_embed_dim_diagnostics",
-    "q_sim_eval_rank_quality",
-    "q_text_quality_logit",
-    "q_sample_epoch_shuffle",
-    "q_multimodal_phash_near_dup",
-    "q_sql_recursive_paths",
-    "q_orders_cohort_ltv",
-    # --- re-check: q_sim_lsh_bucketed's plan was rewritten this round
-    # (adaptive plane count), so its r2 evidence needs fresh external
-    # proof under the new plan ---
-    "q_sim_lsh_bucketed",
+    # --- NEW in round 6 (verify-first) ---
+    "q_sim_ivf_pq_trained",
+    # --- re-checks: plans rewritten in round 6 (r2 evidence anyway) ---
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_sim_lsh_multiprobe",
+    # --- re-checks: the whole r1-evidence cohort (oldest on disk) ---
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q_cube_price",
+    "q_customers_without_pending",
+    "q_distinct_counts",
+    "q_events_cohort_retention",
+    "q_events_funnel_latency",
+    "q_events_heavy_hitters",
+    "q_events_rolling_7d",
+    "q_events_sessionize",
+    "q_events_sliding_window",
+    "q_events_tumbling_hourly",
+    "q_min_cost_supplier",
+    "q_ntile_quartiles",
+    "q_order_price_delta",
+    "q_pivot_status",
+    "q_quantile_stats",
+    "q_rich_inactive_customers",
+    "q_rollup_quantity",
+    "q_running_customer_spend",
+    "q_scalar_functions",
+    "q_set_ops",
+    "q_top_orders",
+    "q_unpivot_metrics",
+    # --- re-checks: r2-evidence entries — bench headliners first, then
+    # entries sharing the rewritten dedup/similarity helper code ---
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_top_customers_per_segment",
+    "q_sim_ivf_fullprobe",
+    "q_dedup_embedding_cosine",
+    "q_dedup_normalized",
 )
 
 

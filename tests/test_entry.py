@@ -54,15 +54,17 @@ def test_all_queries_return_dataframes(spark, sf_dir):
             )
 
 
-def _externally_verified() -> set[str]:
-    """Names hash-verified green in any driver round, recomputed from the
+def _evidence_rounds() -> dict[str, int]:
+    """name -> LATEST round hash-verified green, recomputed from the
     CORRECTNESS_r*.json files on disk (no hand-maintained lists)."""
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             for name, rec in json.load(fh).items():
                 if (
@@ -71,8 +73,13 @@ def _externally_verified() -> set[str]:
                     and rec.get("hash_match")
                     and not rec.get("err")
                 ):
-                    verified.add(name)
-    return verified
+                    latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _externally_verified() -> set[str]:
+    """Names hash-verified green in any driver round."""
+    return set(_evidence_rounds())
 
 
 def test_driver_window_curated_and_first():
@@ -101,14 +108,17 @@ def test_driver_window_covers_never_verified():
     * more than 50 -> the window must be entirely never-verified names
       (no slot wasted on a re-check while a queue exists).
 
-    Once the union hits the full registry, the never-verified set is
-    empty and the window is pure re-checks — the first branch with an
-    empty obligation, so the assertion degrades to "window is valid".
+    Once the union hits the full registry (r5), the never-verified set
+    is empty and the window becomes pure re-checks; regime 2 (below)
+    then requires those re-checks to rotate OLDEST-EVIDENCE-FIRST: no
+    slot may hold evidence fresher than an entry still waiting outside
+    the window (ties by round make the boundary round shareable).
     """
     from pandas_aws_spark.registry import _DRIVER_WINDOW, load_registry
 
     reg = load_registry()
-    verified = _externally_verified()
+    latest = _evidence_rounds()
+    verified = set(latest)
     # Sanity: the correctness files reference real registry names.
     assert verified & set(reg), "no CORRECTNESS_r*.json evidence found on disk"
     never = [n for n in reg if n not in verified]
@@ -119,6 +129,22 @@ def test_driver_window_covers_never_verified():
             f"{len(missing)} never-externally-verified queries left out of "
             f"the driver window: {sorted(missing)}"
         )
+        # regime 2: re-check slots must carry the STALEST evidence —
+        # the freshest evidence inside the window may not postdate the
+        # stalest evidence left outside it.
+        recheck = window & verified
+        outside = verified & set(reg) - window
+        if recheck and outside:
+            newest_in = max(latest[n] for n in recheck)
+            oldest_out = min(latest[n] for n in outside)
+            offenders = sorted(
+                n for n in recheck if latest[n] > oldest_out
+            )
+            assert newest_in <= oldest_out, (
+                f"re-check slots hold r{newest_in} evidence while r{oldest_out} "
+                f"evidence waits outside the window; fresher-than-necessary "
+                f"slots: {offenders}"
+            )
     else:
         recheck_slots = window - set(never)
         assert not recheck_slots, (

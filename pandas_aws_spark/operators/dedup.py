@@ -328,6 +328,44 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str, threshold: floa
     )
 
 
+def _verify_jaccard_packed(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verification via PACKED per-doc hash arrays: the
+    candidate pairs join to one array row per side and the intersection
+    runs JVM-side (``array_intersect``) — two |cand|-row joins instead
+    of exploding every pair back into pair x shingle rows (the
+    ``q_dedup_prefix_filter_join`` r5 technique; measured ~5x faster
+    than the exploded join at 10x on the banded-simhash verify, where
+    true-dup density makes |cand| large). Semantically identical to
+    :func:`_verify_jaccard`: per-doc hashes are distinct, so the
+    intersect size equals the exploded join's match count."""
+    packs = sh.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    return (
+        cand.join(
+            packs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+        )
+        .join(
+            packs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("nc"),
+            F.size("hs_a").cast("long").alias("na"),
+            F.size("hs_b").cast("long").alias("nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def drop_list_from_pairs(pairs: DataFrame) -> DataFrame:
     """One-hop dedup decision: a doc is dropped iff it has a verified
     near-duplicate with a smaller id; ``dup_of`` = the smallest such
@@ -487,6 +525,15 @@ def simhash_banded_near_dup_pairs(
     are then verified with EXACT shingle-set Jaccard >= ``threshold``
     — the same verified-pairs contract as the 16-bit operator.
 
+    Honest asymptote: a simhash signature is FIXED-width, so random
+    band collisions still carry an n^2 / 2^band_bits term (measured:
+    276k raw collisions at 5k docs -> 26M at 50k, ~n^2, while
+    post-Hamming candidates tracked true-dup density). Each collision
+    row costs one integer compare+popcount, so this is cheap through
+    ~a few million docs (vs ~tens of thousands for the 16-bit
+    operator) — beyond that use MinHash-LSH, whose packed band
+    signatures are effectively collision-free in corpus size.
+
     With ``bands=4`` and ``hamming_max=3`` the band capture is
     *complete*: any pair within Hamming 3 differs in at most 3 of the
     4 bands (pigeonhole), so at least one band matches exactly and the
@@ -540,7 +587,7 @@ def simhash_banded_near_dup_pairs(
         .distinct()
     )
     sh = doc_shingle_hashes(df, id_col, text_col, shingle_k)
-    return _verify_jaccard(cand, sh, id_col, threshold)
+    return _verify_jaccard_packed(cand, sh, id_col, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -692,14 +739,25 @@ def blocked_ngram_jaccard_pairs(
             )
             .distinct()
         )
-        # exact-gram intersection for the LSH candidates only
-        ga = grams.select(F.col(id_col).alias("id_a"), F.col("g"))
-        gb = grams.select(F.col(id_col).alias("id_b"), F.col("g"))
+        # exact-gram intersection for the LSH candidates only — packed
+        # per-doc gram arrays + array_intersect (two |cand|-row joins,
+        # no pair x gram explode; grams are per-doc distinct so the
+        # intersect size equals the exploded join's match count)
+        gpacks = grams.groupBy(id_col).agg(F.collect_list("g").alias("gs"))
         lsh_inter = (
-            cand.join(ga, "id_a")
-            .join(gb, ["id_b", "g"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_common"))
+            cand.join(
+                gpacks.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a")),
+                "id_a",
+            )
+            .join(
+                gpacks.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias("n_common"),
+            )
         )
         inter = inter.unionByName(lsh_inter)
 

@@ -17,8 +17,12 @@ sf0.1 tables with key offsets:
 * dimension tables (region, nation, customer, supplier, part) copy
   unchanged.
 
-Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor]
-Defaults: /root/testdata/sf0.1 -> /tmp/scale_sf1, factor 10.
+Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor] [tables]
+Defaults: /root/testdata/sf0.1 -> /tmp/scale_sf1, factor 10, all tables.
+``tables`` is a comma-separated fact-table subset (dims always copy) —
+used for the 100x second-decade point, where only the adaptive-knob
+operators' tables (documents, embeddings, events) are needed and a
+100x lineitem would be pure disk cost.
 """
 
 from __future__ import annotations
@@ -29,16 +33,20 @@ import sys
 import duckdb
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
 
 
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    wanted = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set(FACTS)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
     def gen(table: str, sql_per_replica: str) -> None:
+        if table not in wanted:
+            return
         parts = " UNION ALL ".join(
             sql_per_replica.format(r=r, src=f"'{src}/{table}.parquet'")
             for r in range(factor)

@@ -279,8 +279,19 @@ def kmeans_fit(
 # oracle regenerates with the same arithmetic. Deterministic, seedless,
 # and identical across engines (integer ops, then a sequential double
 # fold for the sign, same order both sides).
-_LSH_A = (7368787, 9999991, 15485867, 32452867, 49979693, 67867979, 86028157, 104395303)
-_LSH_B = (104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379)
+# 16 family members (r6: was 8): recommended_n_planes clamps at the
+# family size, and the 100x scale point needs 11 planes (200k vectors
+# at the 128-row registry target) — with 8 the knob saturated and
+# bucket population started growing with the corpus again. 14 planes
+# cover 1e9 vectors at the 100k default target; 16 leaves headroom.
+_LSH_A = (
+    7368787, 9999991, 15485867, 32452867, 49979693, 67867979, 86028157, 104395303,
+    122949829, 141650963, 160481219, 179424691, 198491329, 217645199, 236887699, 256203221,
+)
+_LSH_B = (
+    104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379,
+    1159523, 1299709, 1441027, 1583539, 1727239, 1872103, 2018239, 2165569,
+)
 _LSH_MOD = 2003
 _LSH_SHIFT = 1001
 
@@ -355,10 +366,10 @@ def recommended_n_planes(corpus_rows: int, target_bucket_rows: int = 100_000) ->
     quadratic once both sides scale (measured in SCALE.md); growing
     planes logarithmically with the corpus holds per-bucket — and so
     per-query — candidate work roughly constant, which is what makes
-    hyperplane LSH subquadratic in deployment. At 100 TB
-    (~1e9 vectors, default target): ceil(log2(1e9/1e5)) = 14 -> clamped
-    to 8 planes / 256 buckets; raise ``target_bucket_rows`` or extend
-    the plane family for finer fan-out."""
+    hyperplane LSH subquadratic in deployment. The 16-member plane
+    family (r6) covers 1e9 vectors at the 100k default target
+    (ceil(log2(1e9/1e5)) = 14 planes) with headroom; past 2^16
+    buckets, raise ``target_bucket_rows`` or extend the family."""
     import math
 
     if corpus_rows <= target_bucket_rows:

@@ -226,8 +226,9 @@ def test_recommended_n_planes_scaling():
     assert recommended_n_planes(100_000) == 1
     assert recommended_n_planes(200_000) == 1
     assert recommended_n_planes(1_600_000) == 4        # ceil(log2(16))
-    assert recommended_n_planes(100_000_000) == 8      # clamped to family size
-    assert recommended_n_planes(10**9) == 8
+    assert recommended_n_planes(100_000_000) == 10     # ceil(log2(1000))
+    assert recommended_n_planes(10_000_000_000) == 16  # clamped to family size (16 since r6)
+    assert recommended_n_planes(10**9) == 14  # the 100 TB point now fits the family
     # monotone non-decreasing
     sizes = [10**k for k in range(3, 10)]
     planes = [recommended_n_planes(n) for n in sizes]

@@ -17,12 +17,21 @@ sf0.1 tables with key offsets:
 * dimension tables (region, nation, customer, supplier, part) copy
   unchanged.
 
-Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor] [tables]
-Defaults: /root/testdata/sf0.1 -> /tmp/scale_sf1, factor 10, all tables.
+Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor] [tables] [mutation]
+Defaults: /root/testdata/sf0.1 -> /tmp/scale_sf1, factor 10, all tables,
+mutation=narrow.
 ``tables`` is a comma-separated fact-table subset (dims always copy) —
 used for the 100x second-decade point, where only the adaptive-knob
 operators' tables (documents, embeddings, events) are needed and a
 100x lineitem would be pure disk cost.
+``mutation`` controls the document replica edit: ``narrow`` appends one
+replica token (every replica stays a near-dup of every other — right
+for 10x, where families of 10 mutual near-dups are plausible);
+``wide`` appends five (replica-vs-ORIGINAL jaccard stays over the 0.8
+dedup threshold but replica-vs-replica falls under it, so families are
+STARS and verified-pair counts grow linearly with the factor — a 100x
+corpus models a constant duplication RATE, not 100-deep duplication of
+every document).
 """
 
 from __future__ import annotations
@@ -41,6 +50,8 @@ def main() -> int:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     wanted = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set(FACTS)
+    mutation = sys.argv[5] if len(sys.argv) > 5 else "narrow"
+    assert mutation in ("narrow", "wide"), mutation
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -85,11 +96,12 @@ def main() -> int:
         "ts + INTERVAL ({r} * 36) DAY AS ts) FROM read_parquet({src})",
     )
     doc = span("documents", "doc_id")
+    suffix = " r{r}" if mutation == "narrow" else " r{r} s{r} t{r} u{r} v{r}"
     gen(
         "documents",
         "SELECT * REPLACE (doc_id + {r} * " + str(doc) + " AS doc_id, "
-        "CASE WHEN {r} = 0 THEN text ELSE text || ' r{r}' END AS text, "
-        "n_chars + CASE WHEN {r} = 0 THEN 0 ELSE length(' r{r}') END AS n_chars) "
+        f"CASE WHEN {{r}} = 0 THEN text ELSE text || '{suffix}' END AS text, "
+        f"n_chars + CASE WHEN {{r}} = 0 THEN 0 ELSE length('{suffix}') END AS n_chars) "
         "FROM read_parquet({src})",
     )
     vec = span("embeddings", "vec_id")

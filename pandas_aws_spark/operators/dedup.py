@@ -44,6 +44,7 @@ __all__ = [
     "lsh_band_buckets",
     "minhash_near_dup_pairs",
     "drop_list_from_pairs",
+    "incremental_near_dup_pairs",
     "simhash16",
     "simhash_near_dup_pairs",
     "simhash60",
@@ -378,6 +379,50 @@ def drop_list_from_pairs(pairs: DataFrame) -> DataFrame:
             F.min_by("jaccard", "id_a").alias("dup_jaccard"),
         )
     )
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "affine",
+) -> DataFrame:
+    """Batch-vs-corpus MinHash-LSH near-dup — the incremental-ingest
+    shape: candidates come from an ASYMMETRIC band join (batch side x
+    existing side only, never existing x existing), so per-ingest cost
+    is O(batch + collisions) regardless of accumulated corpus size.
+    Ids must be disjoint across the two frames. Returns verified pairs
+    (id_a = batch doc, id_b = existing doc, jaccard >= threshold) with
+    exact packed-array jaccard.
+
+    At deployment the existing side's signatures/band buckets are the
+    persisted dedup INDEX (append each accepted batch's buckets after
+    ingest); this function recomputes them so the registry entry is a
+    self-contained oracle-replayable pipeline."""
+    rows = n_hashes // bands
+    all_docs = batch.select(F.col(id_col), F.col(text_col)).unionByName(
+        existing.select(F.col(id_col), F.col(text_col))
+    )
+    sh = doc_shingle_hashes(all_docs, id_col, text_col, shingle_k, hash_fn).persist()
+    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    bb = buckets.join(batch.select(id_col), id_col, "left_semi").alias("a")
+    be = buckets.join(existing.select(id_col), id_col, "left_semi").alias("b")
+    cand = (
+        bb.join(
+            be,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard_packed(cand, sh, id_col, threshold)
 
 
 # --------------------------------------------------------------------------

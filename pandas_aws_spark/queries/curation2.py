@@ -1,0 +1,344 @@
+"""Round-6 curation additions: exact duplicated-span coverage (the
+Lee et al. 2022 "Deduplicating Training Data…" corpus metric),
+incremental batch-vs-corpus near-dup (the crawl-ingest dedup shape),
+and rolling-origin backtest folds (time-series CV splits).
+
+All three are integer-exact end to end, so the DuckDB oracles
+hash-match bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.texthash import tokens
+from ..operators.dedup import incremental_near_dup_pairs
+from ..registry import load_table, query
+
+# --------------------------------------------------------------------------
+# Exact duplicated-span coverage: what fraction of each source's TOKENS
+# sits inside a 10-token run that already appeared in an earlier doc.
+# This is the span-level metric behind exact-substring dedup: ownership
+# of each rolling 10-token window goes to the smallest doc_id, windows
+# owned elsewhere are "duplicated", and their [i, i+9] intervals are
+# UNIONED per doc (gaps-and-islands) so overlapping runs aren't double
+# counted — the number a dedup pass would actually remove.
+# --------------------------------------------------------------------------
+_SPAN_K = 10
+
+_DUP_SPAN_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, source,
+                    string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+doc AS (SELECT doc_id, source, toks, len(toks) AS n FROM tok),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(concat('0x', substring(md5(
+             array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {_SPAN_K - 1}), ' ')
+         ), 1, 7)) AS BIGINT) AS h
+  FROM doc, UNNEST(range(1, n - {_SPAN_K} + 2)) AS u(i)
+  WHERE n >= {_SPAN_K}
+),
+owner AS (SELECT h, MIN(doc_id) AS owner FROM win GROUP BY h),
+dup AS (
+  SELECT w.doc_id, w.i, w.i + {_SPAN_K} - 1 AS e
+  FROM win w JOIN owner o ON o.h = w.h
+  WHERE o.owner < w.doc_id
+),
+isl AS (
+  SELECT doc_id, i, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= i THEN 0 ELSE 1 END AS new_island
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, i, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, SUM(mx - mn + 1) AS covered
+  FROM (SELECT doc_id, island, MIN(i) AS mn, MAX(e) AS mx
+        FROM isl2 GROUP BY doc_id, island)
+  GROUP BY doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(c.covered), 0) AS BIGINT) AS covered_tokens,
+       CAST((COALESCE(SUM(c.covered), 0) * 1000000) // SUM(d.n) AS BIGINT) AS covered_ppm
+FROM doc d LEFT JOIN cov c ON c.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q_text_dup_span_coverage", oracle=_DUP_SPAN_ORACLE, tags=("text", "dedup"))
+def q_text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage (Lee et al. 2022's metric): per
+    source, the share of tokens inside a 10-token run already present
+    in an earlier doc. Rolling window hashes are built map-side inside
+    one array transform (one md5 per position, 28-bit fold — the same
+    hashed-element trade every dedup operator here documents);
+    ownership is one groupBy on the 8-byte hash; interval union is
+    gaps-and-islands with two doc-partitioned windows — no self-join,
+    no pair space anywhere, so the pipeline is linear in corpus tokens
+    at any scale. Differs from q_text_ngram_novelty (which counts
+    distinct first-seen shingles) by measuring POSITIONS with interval
+    union — the number a span-removal pass would actually delete."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SPAN_K
+    doc = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    win = (
+        doc.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n - {k} + 1), i -> struct(CAST(i AS BIGINT) AS i, "
+                    f"CAST(conv(substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 7), 16, 10) AS BIGINT) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    )
+    owner = win.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    dup = (
+        win.join(owner, "h")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select("doc_id", "i", (F.col("i") + k - 1).alias("e"))
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("i")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "new_island", F.when(prev_max >= F.col("i"), F.lit(0)).otherwise(F.lit(1))
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("i").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("covered"))
+    )
+    return (
+        doc.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.expr("(coalesce(sum(covered), 0) * 1000000) div sum(n)")
+            .cast("long")
+            .alias("covered_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental batch-vs-corpus near-dup: the crawl-ingest shape — a new
+# batch is deduplicated AGAINST the existing corpus (asymmetric LSH
+# join, never a self-join of the whole union). Batch = doc_id % 5 = 0,
+# existing = the rest.
+# --------------------------------------------------------------------------
+_INCR_ORACLE = r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+hh AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
+       FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+cand AS (SELECT DISTINCT b.doc_id AS batch_id, e.doc_id AS existing_id
+         FROM bands b JOIN bands e ON b.band = e.band AND b.sig = e.sig
+         WHERE b.doc_id % 5 = 0 AND e.doc_id % 5 <> 0),
+packs AS (SELECT doc_id, list(h) AS hs FROM hh GROUP BY doc_id),
+inter AS (
+  SELECT c.batch_id, c.existing_id,
+         len(list_intersect(pa.hs, pb.hs)) AS nc
+  FROM cand c
+  JOIN packs pa ON pa.doc_id = c.batch_id
+  JOIN packs pb ON pb.doc_id = c.existing_id
+),
+pairs AS (
+  SELECT i.batch_id, i.existing_id,
+         CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.batch_id
+  JOIN sizes sb ON sb.doc_id = i.existing_id
+  WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.8)
+SELECT batch_id AS doc_id, MIN(existing_id) AS dup_of,
+       arg_min(jaccard, existing_id) AS dup_jaccard
+FROM pairs GROUP BY batch_id ORDER BY doc_id
+"""
+
+
+@query("q_dedup_incremental_batch", oracle=_INCR_ORACLE, tags=("dedup", "lsh"))
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup — the incremental-crawl dedup shape:
+    the new batch (doc_id % 5 = 0) is checked against the EXISTING
+    corpus only. The LSH band join is asymmetric (batch side x corpus
+    side, never corpus x corpus), so per-ingest cost is
+    O(batch + collisions) no matter how large the accumulated corpus
+    index grows — signatures/bands for the existing side are exactly
+    what a production pipeline persists between ingests (build once,
+    probe per batch; same reuse story as the prebuilt IVF-PQ index).
+    Verification is exact packed-array jaccard (>= 0.8), and the
+    result is the batch drop-list keyed to the earliest existing
+    partner."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    pairs = incremental_near_dup_pairs(
+        batch, existing, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+    )
+    return (
+        pairs.groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.min("id_b").alias("dup_of"),
+            F.min_by("jaccard", "id_b").alias("dup_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin backtest folds: expanding-window time-series CV splits
+# with integer-microsecond cutoffs — train/test row and user counts
+# plus the cold-start (unseen-user) count per fold.
+# --------------------------------------------------------------------------
+_BACKTEST_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+),
+folds AS (
+  SELECT f.fold,
+         b.t0 + (b.t1 - b.t0) * f.fold // 4 AS cut,
+         b.t0 + (b.t1 - b.t0) * (f.fold + 1) // 4 AS cut_hi
+  FROM bounds b, (SELECT UNNEST(range(1, 4)) AS fold) f
+),
+ev AS (SELECT epoch_us(ts) AS t, user_id FROM events),
+tr AS (
+  SELECT f.fold, COUNT(*) AS train_rows, COUNT(DISTINCT e.user_id) AS train_users
+  FROM folds f JOIN ev e ON e.t < f.cut GROUP BY f.fold
+),
+te AS (
+  SELECT f.fold, COUNT(*) AS test_rows, COUNT(DISTINCT e.user_id) AS test_users
+  FROM folds f JOIN ev e ON e.t >= f.cut AND e.t < f.cut_hi GROUP BY f.fold
+),
+cold AS (
+  SELECT f.fold, COUNT(DISTINCT e.user_id) AS cold_users
+  FROM folds f
+  JOIN ev e ON e.t >= f.cut AND e.t < f.cut_hi
+  WHERE NOT EXISTS (SELECT 1 FROM ev p WHERE p.user_id = e.user_id AND p.t < f.cut)
+  GROUP BY f.fold
+)
+SELECT CAST(t.fold AS BIGINT) AS fold,
+       CAST(t.train_rows AS BIGINT) AS train_rows,
+       CAST(t.train_users AS BIGINT) AS train_users,
+       CAST(s.test_rows AS BIGINT) AS test_rows,
+       CAST(s.test_users AS BIGINT) AS test_users,
+       CAST(COALESCE(c.cold_users, 0) AS BIGINT) AS cold_users
+FROM tr t JOIN te s ON s.fold = t.fold LEFT JOIN cold c ON c.fold = t.fold
+ORDER BY fold
+"""
+
+
+@query("q_events_backtest_folds", oracle=_BACKTEST_ORACLE, tags=("events", "ml"))
+def q_events_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest folds — the
+    time-series cross-validation layout every forecasting/label
+    pipeline needs BEFORE training: fold i trains on everything
+    before cutoff T_i and tests on [T_i, T_{i+1}), cutoffs at integer
+    quarters of the observed microsecond span (exact integer
+    arithmetic — no timestamp rounding ambiguity across engines).
+    Reports per fold: train/test rows and distinct users, plus the
+    cold-start count (test users never seen in train — the number
+    that bounds how much of the fold a user-keyed model can even
+    score). Scale shape: one pass per side with min/max bounds
+    broadcast from a 1-row aggregate; the cold-start count is a
+    left-anti join on user_id keyed by fold — no event ever joins
+    another event."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t"), "user_id"
+    )
+    bounds = ev.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    folds = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("fold"), "t0", "t1"
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            F.expr("t0 + (t1 - t0) * fold div 4").alias("cut"),
+            F.expr("t0 + (t1 - t0) * (fold + 1) div 4").alias("cut_hi"),
+        )
+    )
+    f = F.broadcast(folds)
+    tr = (
+        f.join(ev, ev.t < folds.cut)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("train_rows"),
+            F.count_distinct("user_id").cast("long").alias("train_users"),
+        )
+    )
+    te = (
+        f.join(ev, (ev.t >= folds.cut) & (ev.t < folds.cut_hi))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("test_rows"),
+            F.count_distinct("user_id").cast("long").alias("test_users"),
+        )
+    )
+    # cold-start: distinct (fold, user) in test, anti-joined against
+    # distinct (fold, user) in train
+    test_users = (
+        f.join(ev, (ev.t >= folds.cut) & (ev.t < folds.cut_hi))
+        .select("fold", "user_id")
+        .distinct()
+    )
+    train_users = (
+        f.join(ev, ev.t < folds.cut).select("fold", "user_id").distinct()
+    )
+    cold = (
+        test_users.join(train_users, ["fold", "user_id"], "left_anti")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("cold_users"))
+    )
+    return (
+        tr.join(te, "fold")
+        .join(cold, "fold", "left")
+        .select(
+            "fold",
+            "train_rows",
+            "train_users",
+            "test_rows",
+            "test_users",
+            F.coalesce("cold_users", F.lit(0)).cast("long").alias("cold_users"),
+        )
+        .orderBy("fold")
+    )

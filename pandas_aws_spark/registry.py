@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.advanced",
     "pandas_aws_spark.queries.pipeline",
     "pandas_aws_spark.queries.corpus",
+    "pandas_aws_spark.queries.curation2",
 )
 
 
@@ -178,9 +179,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Round-6 rotation (this window): the never-verified set is EMPTY
 # (r5 completed external coverage: union over CORRECTNESS_r1-r5 =
 # 214/214), so the regime flips to oldest-evidence-first re-checks —
-# exactly the r5 verdict's ask #2. Slots: 1 verify-first NEW r6 query
-# (q_sim_ivf_pq_trained), then the 49 entries with the STALEST
-# external evidence — all 39 r1-verified entries plus 10 of the 26
+# exactly the r5 verdict's ask #2. Slots: 4 verify-first NEW r6
+# queries (trained IVF-PQ, dup-span coverage, incremental batch dedup,
+# backtest folds), then the 46 entries with the STALEST external
+# evidence — all 39 r1-verified entries plus 7 of the 26
 # r2-verified ones, prioritizing the three whose plans were rewritten
 # this round (banded simhash, size-routed n-gram jaccard, adaptive
 # multi-probe LSH) and the bench headline queries. The window contents
@@ -194,6 +196,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DRIVER_WINDOW = (
     # --- NEW in round 6 (verify-first) ---
     "q_sim_ivf_pq_trained",
+    "q_text_dup_span_coverage",
+    "q_dedup_incremental_batch",
+    "q_events_backtest_folds",
     # --- re-checks: plans rewritten in round 6 (r2 evidence anyway) ---
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
@@ -244,9 +249,6 @@ _DRIVER_WINDOW = (
     "q03_shipping_priority",
     "q05_region_revenue",
     "q_top_customers_per_segment",
-    "q_sim_ivf_fullprobe",
-    "q_dedup_embedding_cosine",
-    "q_dedup_normalized",
 )
 
 

@@ -124,6 +124,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_bloom_semi_join": 1,  # bitmap broadcast (the whole point)
     "q_sim_ivf_kmeans": 16,  # trained centroids (same as fullprobe)
     "q_sim_ivf_pq": 16,  # coarse cells + kilobyte codebook fan-out
+    "q_sim_ivf_pq_trained": 16,  # same shape, Lloyd-trained coarse cells
+    "q_events_backtest_folds": 3,  # 3-row fold-cutoff table x events (range predicate)
     "q_text_tfidf": 1,  # corpus-size broadcast
     "q_text_pmi_bigrams": 1,  # corpus-size broadcast
     "q_sketch_hll_distinct": 1,  # merged-sketch estimate x global exact count
@@ -229,6 +231,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         "q_sim_ivf_fullprobe": "row_number()",
         "q_sim_ivf_probe2": "row_number()",
         "q_sim_ivf_pq": "row_number()",
+        "q_sim_ivf_pq_trained": "row_number()",
         "q_dedup_semantic": "row_number()",
         # rank over the already-limited top-k (<= 20 rows via TakeOrdered)
         "q_text_bm25_search": "row_number()",

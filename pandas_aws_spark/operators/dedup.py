@@ -703,11 +703,23 @@ def blocked_ngram_jaccard_pairs(
         df = df.withColumn("_blk_n", F.lit(0))
     else:
         df = df.join(blk_sizes, block_cols)
+    # grams are HASHED map-side (28-bit md5 fold, the doc_shingle_hashes
+    # trade, r6): every downstream stage — the self-join key, the
+    # minhash base, the verification packs — carries 8-byte longs
+    # instead of n-char strings, which measured ~2x on the sf0.1 base
+    # cost alone. Collisions fold two grams into one set element; the
+    # oracle applies the identical reduction.
+    hashed_grams = F.array_distinct(
+        F.transform(
+            F.array_distinct(char_ngrams(text_col, n)),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+        )
+    )
     grams = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.col("_blk_n"),
-        F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("g"),
+        F.explode(hashed_grams).alias("g"),
     )
     # sizes over ALL docs (both branches verify against the same
     # denominator); gram sets are identical in either branch.
@@ -738,7 +750,7 @@ def blocked_ngram_jaccard_pairs(
         hashed = big.select(
             F.col(id_col),
             *[F.col(c) for c in block_cols],
-            shingle_base_hash(F.col("g")).alias("_h"),
+            F.col("g").alias("_h"),  # grams are already 28-bit hashes
         )
         aggs = [
             F.min(

@@ -190,7 +190,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _NGRAM_ORACLE = r"""
 WITH blk AS (SELECT lang, COUNT(*) AS bn FROM documents GROUP BY lang),
-g AS (SELECT DISTINCT d.doc_id, d.lang, b.bn, substring(d.text, CAST(i AS INT), 5) AS gm
+g AS (SELECT DISTINCT d.doc_id, d.lang, b.bn,
+             CAST(concat('0x', substring(md5(substring(d.text, CAST(i AS INT), 5)), 1, 7)) AS BIGINT) AS gm
       FROM documents d JOIN blk b ON b.lang = d.lang,
            UNNEST(range(1, length(d.text) - 3)) AS u(i)
       WHERE length(d.text) >= 5),
@@ -200,9 +201,7 @@ exact_inter AS (
   FROM g a JOIN g b ON a.lang = b.lang AND a.gm = b.gm AND a.doc_id < b.doc_id
   WHERE a.bn <= 100
   GROUP BY a.doc_id, b.doc_id),
-hg AS (SELECT doc_id, lang,
-              CAST(concat('0x', substring(md5(gm), 1, 7)) AS BIGINT) AS h
-       FROM g WHERE bn > 100),
+hg AS (SELECT doc_id, lang, gm AS h FROM g WHERE bn > 100),
 mh AS (SELECT doc_id, lang,
               MIN((1299721*h + 12345)   % 1000000007) AS h0,
               MIN((15485863*h + 678910) % 1000000007) AS h1,
@@ -249,7 +248,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash check exercises both branches, including the branch
     union; production uses MAX_BLOCK_DOCS=10k. Verification is the
     same exact gram jaccard in both branches — LSH only prunes the
-    candidate space."""
+    candidate space. Grams are 28-bit md5 hashes end to end (r6):
+    8-byte join keys and verification packs instead of 5-char strings,
+    with the oracle applying the identical collision-fold."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         blocked_ngram_jaccard_pairs(

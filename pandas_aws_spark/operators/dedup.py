@@ -296,7 +296,10 @@ def minhash_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh, id_col, threshold)
+    # packed verification (r6): at high true-dup density the verify
+    # join dominates — measured 649s exploded vs 228.6s packed at the
+    # 100x point's 31M candidates (SCALE.md).
+    return _verify_jaccard_packed(cand, sh, id_col, threshold)
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:

@@ -181,11 +181,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # 214/214), so the regime flips to oldest-evidence-first re-checks —
 # exactly the r5 verdict's ask #2. Slots: 4 verify-first NEW r6
 # queries (trained IVF-PQ, dup-span coverage, incremental batch dedup,
-# backtest folds), then the 46 entries with the STALEST external
-# evidence — all 39 r1-verified entries plus 7 of the 26
-# r2-verified ones, prioritizing the three whose plans were rewritten
-# this round (banded simhash, size-routed n-gram jaccard, adaptive
-# multi-probe LSH) and the bench headline queries. The window contents
+# backtest folds) + 4 plan-rewrites (_REWRITTEN_THIS_ROUND — their old
+# evidence attests plans that no longer exist), then the 42 entries
+# with the STALEST external evidence — all 39 r1-verified entries plus
+# the 3 bench headline queries from the r2 cohort. The window contents
 # are NOT hand-curated bookkeeping:
 # tests/test_entry.py::test_driver_window_covers_never_verified
 # recomputes evidence ages from the CORRECTNESS_r*.json files on disk
@@ -193,16 +192,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-check slot is spent on fresher evidence while a stalest entry
 # waits outside. Every window entry has an oracle and a scalar-only
 # output shape (tests/test_entry.py gates both).
+# Entries whose PLANS were rewritten this round: their prior hash
+# evidence attests a plan that no longer exists, so the rotation test
+# treats them as verify-first obligations alongside brand-new queries
+# (they must be in the window and are exempt from the stalest-first
+# comparison). Auditable against the round's git diff.
+_REWRITTEN_THIS_ROUND = (
+    "q_dedup_simhash",       # 60-bit banded signature + packed verify
+    "q_dedup_ngram_jaccard",  # LSH-within-block routing + hashed grams
+    "q_sim_lsh_multiprobe",  # adaptive plane count
+    "q_dedup_minhash_lsh",   # packed array_intersect verification
+)
+
 _DRIVER_WINDOW = (
     # --- NEW in round 6 (verify-first) ---
     "q_sim_ivf_pq_trained",
     "q_text_dup_span_coverage",
     "q_dedup_incremental_batch",
     "q_events_backtest_folds",
-    # --- re-checks: plans rewritten in round 6 (r2 evidence anyway) ---
+    # --- re-checks: plans rewritten in round 6 (see _REWRITTEN_THIS_ROUND) ---
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_sim_lsh_multiprobe",
+    "q_dedup_minhash_lsh",
     # --- re-checks: the whole r1-evidence cohort (oldest on disk) ---
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -248,7 +260,6 @@ _DRIVER_WINDOW = (
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
-    "q_top_customers_per_segment",
 )
 
 

@@ -129,10 +129,20 @@ def test_driver_window_covers_never_verified():
             f"{len(missing)} never-externally-verified queries left out of "
             f"the driver window: {sorted(missing)}"
         )
+        # Plan-rewritten entries are verify-first obligations like new
+        # queries (their old hash evidence attests plans that no longer
+        # exist): they must hold a slot and are exempt from the
+        # stalest-first comparison below.
+        from pandas_aws_spark.registry import _REWRITTEN_THIS_ROUND
+
+        missing_rw = set(_REWRITTEN_THIS_ROUND) - window
+        assert not missing_rw, (
+            f"plan-rewritten entries left out of the window: {sorted(missing_rw)}"
+        )
         # regime 2: re-check slots must carry the STALEST evidence —
         # the freshest evidence inside the window may not postdate the
         # stalest evidence left outside it.
-        recheck = window & verified
+        recheck = window & verified - set(_REWRITTEN_THIS_ROUND)
         outside = verified & set(reg) - window
         if recheck and outside:
             newest_in = max(latest[n] for n in recheck)

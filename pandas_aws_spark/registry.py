@@ -181,10 +181,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # 214/214), so the regime flips to oldest-evidence-first re-checks —
 # exactly the r5 verdict's ask #2. Slots: 4 verify-first NEW r6
 # queries (trained IVF-PQ, dup-span coverage, incremental batch dedup,
-# backtest folds) + 4 plan-rewrites (_REWRITTEN_THIS_ROUND — their old
-# evidence attests plans that no longer exist), then the 42 entries
+# backtest folds) + 5 plan-rewrites (_REWRITTEN_THIS_ROUND — their old
+# evidence attests plans that no longer exist), then the 41 entries
 # with the STALEST external evidence — all 39 r1-verified entries plus
-# the 3 bench headline queries from the r2 cohort. The window contents
+# 2 bench headline queries from the r2 cohort. The window contents
 # are NOT hand-curated bookkeeping:
 # tests/test_entry.py::test_driver_window_covers_never_verified
 # recomputes evidence ages from the CORRECTNESS_r*.json files on disk
@@ -202,6 +202,7 @@ _REWRITTEN_THIS_ROUND = (
     "q_dedup_ngram_jaccard",  # LSH-within-block routing + hashed grams
     "q_sim_lsh_multiprobe",  # adaptive plane count
     "q_dedup_minhash_lsh",   # packed array_intersect verification
+    "q_attribution_linear",  # 7-day-bucketed lookback join key
 )
 
 _DRIVER_WINDOW = (
@@ -215,6 +216,7 @@ _DRIVER_WINDOW = (
     "q_dedup_ngram_jaccard",
     "q_sim_lsh_multiprobe",
     "q_dedup_minhash_lsh",
+    "q_attribution_linear",
     # --- re-checks: the whole r1-evidence cohort (oldest on disk) ---
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -259,7 +261,6 @@ _DRIVER_WINDOW = (
     # entries sharing the rewritten dedup/similarity helper code ---
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q05_region_revenue",
 )
 
 

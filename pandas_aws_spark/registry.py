@@ -170,108 +170,106 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # The driver's per-round CORRECTNESS sweep verifies the FIRST ~50 registry
 # entries in insertion order and stops (observed in CORRECTNESS_r01.json:
-# exactly slots 1-50). Curate that window explicitly so it carries one
-# representative per SURVEY.md §2 row plus every north-star family
-# (dedup / similarity / text / multimodal / streaming / sketch / warehouse /
-# io / skew), instead of whatever module import order happens to produce.
-# Everything not listed keeps its natural registration order after these.
+# exactly slots 1-50). Since round 7 that window is DERIVED from the
+# evidence files on disk instead of hand-rotated (the r6 verdict's ask #1:
+# the static tuple went stale — and the rotation tripwire test red — the
+# moment each round's CORRECTNESS file landed). Derivation, in priority
+# order, filling exactly _WINDOW_SIZE slots:
 #
-# Round-6 rotation (this window): the never-verified set is EMPTY
-# (r5 completed external coverage: union over CORRECTNESS_r1-r5 =
-# 214/214), so the regime flips to oldest-evidence-first re-checks —
-# exactly the r5 verdict's ask #2. Slots: 4 verify-first NEW r6
-# queries (trained IVF-PQ, dup-span coverage, incremental batch dedup,
-# backtest folds) + 5 plan-rewrites (_REWRITTEN_THIS_ROUND — their old
-# evidence attests plans that no longer exist), then the 41 entries
-# with the STALEST external evidence — all 39 r1-verified entries plus
-# 2 bench headline queries from the r2 cohort. The window contents
-# are NOT hand-curated bookkeeping:
+#   1. never-externally-verified entries (no green hash in any
+#      CORRECTNESS_r*.json), in registration order — new queries are
+#      verify-first obligations;
+#   2. _REWRITTEN_THIS_ROUND — entries whose PHYSICAL PLAN changed this
+#      round: their prior hash evidence attests a plan that no longer
+#      exists, so they re-verify alongside brand-new queries (the list
+#      stays hand-maintained because "did the plan change" is a fact
+#      about the round's git diff, not about disk state);
+#   3. re-checks, OLDEST-EVIDENCE-FIRST: remaining slots go to the
+#      entries whose latest green hash is stalest, ties broken by name
+#      so the window is deterministic and auditable.
+#
 # tests/test_entry.py::test_driver_window_covers_never_verified
-# recomputes evidence ages from the CORRECTNESS_r*.json files on disk
-# and asserts (a) anything never verified is in the window and (b) no
-# re-check slot is spent on fresher evidence while a stalest entry
-# waits outside. Every window entry has an oracle and a scalar-only
+# re-derives the invariants from the same disk state with independent
+# code and asserts (a) anything never verified is in the window and
+# (b) no re-check slot holds evidence fresher than an entry still
+# waiting outside. Because both sides now read CORRECTNESS_r*.json,
+# the window self-rotates when a round's evidence lands and the test
+# stays green. Every window entry has an oracle and a scalar-only
 # output shape (tests/test_entry.py gates both).
-# Entries whose PLANS were rewritten this round: their prior hash
-# evidence attests a plan that no longer exists, so the rotation test
-# treats them as verify-first obligations alongside brand-new queries
-# (they must be in the window and are exempt from the stalest-first
-# comparison). Auditable against the round's git diff.
 _REWRITTEN_THIS_ROUND = (
-    "q_dedup_simhash",       # 60-bit banded signature + packed verify
-    "q_dedup_ngram_jaccard",  # LSH-within-block routing + hashed grams
-    "q_sim_lsh_multiprobe",  # adaptive plane count
-    "q_dedup_minhash_lsh",   # packed array_intersect verification
-    "q_attribution_linear",  # 7-day-bucketed lookback join key
+    "q_dedup_minhash_lsh",   # corpus-derived max_band_bucket cap in-plan
+    "q_dedup_simhash",       # corpus-derived max_band_bucket cap in-plan
+    "q_sim_ivf_kmeans",      # r6 kmeans_fit fold rewrite, carried per the
+                             # plan-rewrite policy (r6 ADVICE: its old
+                             # evidence attests the F.avg-centroid plan)
 )
 
-_DRIVER_WINDOW = (
-    # --- NEW in round 6 (verify-first) ---
-    "q_sim_ivf_pq_trained",
-    "q_text_dup_span_coverage",
-    "q_dedup_incremental_batch",
-    "q_events_backtest_folds",
-    # --- re-checks: plans rewritten in round 6 (see _REWRITTEN_THIS_ROUND) ---
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_sim_lsh_multiprobe",
-    "q_dedup_minhash_lsh",
-    "q_attribution_linear",
-    # --- re-checks: the whole r1-evidence cohort (oldest on disk) ---
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q_cube_price",
-    "q_customers_without_pending",
-    "q_distinct_counts",
-    "q_events_cohort_retention",
-    "q_events_funnel_latency",
-    "q_events_heavy_hitters",
-    "q_events_rolling_7d",
-    "q_events_sessionize",
-    "q_events_sliding_window",
-    "q_events_tumbling_hourly",
-    "q_min_cost_supplier",
-    "q_ntile_quartiles",
-    "q_order_price_delta",
-    "q_pivot_status",
-    "q_quantile_stats",
-    "q_rich_inactive_customers",
-    "q_rollup_quantity",
-    "q_running_customer_spend",
-    "q_scalar_functions",
-    "q_set_ops",
-    "q_top_orders",
-    "q_unpivot_metrics",
-    # --- re-checks: r2-evidence entries — bench headliners first, then
-    # entries sharing the rewritten dedup/similarity helper code ---
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-)
+_WINDOW_SIZE = 50
+
+
+def evidence_rounds() -> dict[str, int]:
+    """name -> LATEST round externally hash-verified green, read from the
+    CORRECTNESS_r*.json files the per-round driver writes at the repo
+    root. Missing files (fresh clone) yield {} — the window then fills
+    with never-verified entries in registration order."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        try:
+            with open(path) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in records.items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and not rec.get("err")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def derive_driver_window() -> tuple[str, ...]:
+    """Compute the 50-slot driver verification window from disk evidence
+    (see the rotation-policy comment above)."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    latest = evidence_rounds()
+    window: list[str] = [n for n in REGISTRY if n not in latest]
+    if len(window) >= _WINDOW_SIZE:
+        return tuple(window[:_WINDOW_SIZE])
+    missing_rw = [n for n in _REWRITTEN_THIS_ROUND if n not in REGISTRY]
+    if missing_rw:
+        raise RuntimeError(f"_REWRITTEN_THIS_ROUND names not registered: {missing_rw}")
+    window += [n for n in _REWRITTEN_THIS_ROUND if n not in window]
+    pool = sorted(
+        (n for n in REGISTRY if n in latest and n not in window),
+        key=lambda n: (latest[n], n),
+    )
+    window += pool[: _WINDOW_SIZE - len(window)]
+    return tuple(window)
+
+
+def __getattr__(name: str):
+    # _DRIVER_WINDOW stays importable (tests and tools use it) but is now
+    # derived on first access rather than hand-maintained.
+    if name == "_DRIVER_WINDOW":
+        return derive_driver_window()
+    raise AttributeError(name)
 
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules and return the populated registry,
-    reordered so the driver-verified window comes first."""
-    for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
-    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
-    if missing:
-        raise RuntimeError(f"_DRIVER_WINDOW names not registered: {missing}")
-    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+    reordered so the derived driver-verified window comes first."""
+    window = derive_driver_window()
+    ordered = {n: REGISTRY[n] for n in window}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

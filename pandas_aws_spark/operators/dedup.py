@@ -43,8 +43,16 @@ __all__ = [
     "minhash_signatures",
     "lsh_band_buckets",
     "minhash_near_dup_pairs",
+    "recommended_max_band_bucket",
+    "sql_recommended_max_band_bucket",
     "drop_list_from_pairs",
     "incremental_near_dup_pairs",
+    "DedupIndex",
+    "build_dedup_index",
+    "write_dedup_index",
+    "read_dedup_index",
+    "append_dedup_index",
+    "indexed_near_dup_pairs",
     "simhash16",
     "simhash_near_dup_pairs",
     "simhash60",
@@ -302,6 +310,44 @@ def minhash_near_dup_pairs(
     return _verify_jaccard_packed(cand, sh, id_col, threshold)
 
 
+def recommended_max_band_bucket(corpus_rows: int, floor: int = 64) -> int:
+    """Corpus-derived LSH band-bucket cap: ``max(floor, ceil(sqrt(n)))``
+    — the production default for ``max_band_bucket`` (same derivation
+    pattern as ``similarity.recommended_n_planes``, so the DuckDB
+    oracle can replay it via :func:`sql_recommended_max_band_bucket`).
+
+    Why sqrt: a band bucket of size m contributes m(m-1)/2 candidate
+    pairs, so one degenerate bucket (boilerplate collapsing a band) can
+    reach O(n^2) alone; capping at sqrt(n) bounds any single bucket's
+    contribution to ~n/2 pairs — the worst CASE becomes linear-per-
+    bucket while every plausibly-true near-dup family (far smaller
+    than sqrt(n) in any corpus that survived exact dedup) keeps its
+    buckets. Measured at the 100x point (500k docs, replica-family
+    corpus, SCALE.md r7): cap 707 cuts candidates 31.34M -> 29.69M
+    (-5.3%) and loses 2,822 of 17.35M true pairs (0.016% — families
+    that ONLY collided inside an over-cap bucket); the modest cut is
+    honest — on that corpus the large buckets are true replica
+    families, and the cap's value is the worst-case bound plus the
+    boilerplate case (unit-tested with a 12-identical-doc bucket).
+    ``floor`` keeps small-corpus behavior un-capped in practice.
+
+    The float path is engine-portable: IEEE sqrt is correctly rounded,
+    so perfect squares are exact and CEIL agrees between Python and
+    DuckDB everywhere else."""
+    import math
+
+    return max(floor, math.ceil(math.sqrt(corpus_rows)))
+
+
+def sql_recommended_max_band_bucket(table: str, floor: int = 64) -> str:
+    """SQL mirror of :func:`recommended_max_band_bucket` as a scalar
+    subquery on ``table``'s row count."""
+    return (
+        f"(SELECT GREATEST({floor}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
+        f"FROM {table})"
+    )
+
+
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """Exact Jaccard over the (hashed) shingle sets for candidate pairs
     only — ``sh`` is (id, h) from :func:`doc_shingle_hashes`, so the
@@ -345,12 +391,26 @@ def _verify_jaccard_packed(
     :func:`_verify_jaccard`: per-doc hashes are distinct, so the
     intersect size equals the exploded join's match count."""
     packs = sh.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    return _verify_jaccard_from_packs(cand, packs, packs, id_col, threshold)
+
+
+def _verify_jaccard_from_packs(
+    cand: DataFrame,
+    packs_a: DataFrame,
+    packs_b: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Packed-verify core with independent pack frames per pair side —
+    the self-join dedup operators pass the same frame twice; the
+    persisted-index search path passes batch packs / index packs so the
+    existing corpus is verified from stored arrays, never re-shingled."""
     return (
         cand.join(
-            packs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+            packs_a.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
         )
         .join(
-            packs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b"
+            packs_b.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b"
         )
         .select(
             "id_a",
@@ -405,9 +465,10 @@ def incremental_near_dup_pairs(
     exact packed-array jaccard.
 
     At deployment the existing side's signatures/band buckets are the
-    persisted dedup INDEX (append each accepted batch's buckets after
-    ingest); this function recomputes them so the registry entry is a
-    self-contained oracle-replayable pipeline."""
+    persisted dedup INDEX — :func:`build_dedup_index` /
+    :func:`indexed_near_dup_pairs` below, where the existing corpus is
+    never re-scanned; this function recomputes them so the registry
+    entry is a self-contained oracle-replayable pipeline."""
     rows = n_hashes // bands
     all_docs = batch.select(F.col(id_col), F.col(text_col)).unionByName(
         existing.select(F.col(id_col), F.col(text_col))
@@ -426,6 +487,150 @@ def incremental_near_dup_pairs(
         .distinct()
     )
     return _verify_jaccard_packed(cand, sh, id_col, threshold)
+
+
+# --------------------------------------------------------------------------
+# Persisted dedup index (the crawl-ingest deployment artifact)
+# --------------------------------------------------------------------------
+
+
+class DedupIndex:
+    """Persisted MinHash-LSH dedup index — the deployment artifact the
+    incremental-ingest shape needs: per-ingest cost must be O(batch +
+    collisions) in SCAN work too, not just in join work, so the
+    accumulated corpus's text is shingled exactly once (at its own
+    ingest) and never again.
+
+    Holds two frames plus the signature recipe:
+
+    * ``buckets`` — (id, band, sig): the LSH band postings the
+      asymmetric candidate join probes;
+    * ``packs`` — (id, hs: array<long>): per-doc sorted distinct
+      shingle hashes for exact-jaccard verification of candidates;
+    * ``params`` — id_col / shingle_k / n_hashes / bands / hash_fn.
+      A batch is only comparable against an index built with the same
+      recipe; the append/search paths assert it.
+
+    Scale shape: the index is O(docs x bands) 12-byte posting rows plus
+    O(total shingles) packed longs — a fraction of corpus text size.
+    The probe join shuffles on the 8-byte (band, sig) key; at warehouse
+    deployment write ``buckets`` bucketed on ``sig`` (saveAsTable +
+    bucketBy) to make successive ingests zero-exchange on the index
+    side; the path-based parquet layout here is the storage-agnostic
+    default.
+    """
+
+    def __init__(self, buckets: DataFrame, packs: DataFrame, params: dict):
+        self.buckets = buckets
+        self.packs = packs
+        self.params = params
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    hash_fn: str = "affine",
+) -> DedupIndex:
+    """Build the persisted-index frames from a (new) document frame —
+    one shingle scan feeds both the band postings and the verify packs.
+    Used once for the initial corpus and once per accepted batch (the
+    delta is then :func:`append_dedup_index`-ed)."""
+    rows = n_hashes // bands
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k, hash_fn).persist()
+    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    # array_sort for deterministic stored bytes (collect_list order is
+    # partition-dependent; the index is a persistent artifact).
+    packs = sh.groupBy(id_col).agg(F.array_sort(F.collect_list("h")).alias("hs"))
+    params = {
+        "id_col": id_col,
+        "shingle_k": shingle_k,
+        "n_hashes": n_hashes,
+        "bands": bands,
+        "hash_fn": hash_fn,
+    }
+    return DedupIndex(buckets, packs, params)
+
+
+def write_dedup_index(index: DedupIndex, path: str, *, mode: str = "overwrite") -> None:
+    """Persist an index under ``path`` (parquet: ``buckets``, ``packs``,
+    one-row ``params``). Storage-agnostic — ``path`` may be any Hadoop
+    FS URI. ``mode='append'`` is the raw append primitive; prefer
+    :func:`append_dedup_index`, which asserts recipe equality first."""
+    spark = index.buckets.sparkSession
+    index.buckets.write.mode(mode).parquet(f"{path}/buckets")
+    index.packs.write.mode(mode).parquet(f"{path}/packs")
+    if mode == "overwrite":
+        spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
+            f"{path}/params"
+        )
+
+
+def read_dedup_index(spark, path: str) -> DedupIndex:
+    """Load a persisted index. The params read is a one-row kilobyte
+    collect; buckets/packs stay lazy parquet scans."""
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    return DedupIndex(
+        spark.read.parquet(f"{path}/buckets"),
+        spark.read.parquet(f"{path}/packs"),
+        params,
+    )
+
+
+def append_dedup_index(delta: DedupIndex, path: str) -> None:
+    """Append an accepted batch's index delta to the stored index —
+    the per-ingest bookkeeping step. Asserts the delta was built with
+    the stored recipe (comparing against mismatched signatures would
+    silently miss every duplicate)."""
+    spark = delta.buckets.sparkSession
+    stored = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    if stored != delta.params:
+        raise ValueError(
+            f"index recipe mismatch: stored {stored} vs delta {delta.params}"
+        )
+    write_dedup_index(delta, path, mode="append")
+
+
+def indexed_near_dup_pairs(
+    batch: DataFrame,
+    index: DedupIndex,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Batch-vs-index MinHash-LSH near-dup search: the batch side is
+    shingled/signed fresh; the existing side comes ENTIRELY from the
+    persisted index (band postings for candidates, stored packs for
+    exact verification) — no corpus text scan anywhere in the plan
+    (tests/test_dedup.py asserts this on the physical plan). Ids must
+    be disjoint from the index's. Returns (id_a = batch doc, id_b =
+    indexed doc, jaccard >= threshold).
+
+    Per-ingest cost: O(batch scan) + the candidate collisions + one
+    |cand|-row join into the stored packs — flat in accumulated corpus
+    size except for the index-side posting probe (SCALE.md row)."""
+    p = index.params
+    id_col = p["id_col"]
+    rows = p["n_hashes"] // p["bands"]
+    sh_b = doc_shingle_hashes(batch, id_col, text_col, p["shingle_k"], p["hash_fn"]).persist()
+    sig_b = minhash_signatures(sh_b, id_col, p["n_hashes"], p["hash_fn"])
+    bb = lsh_band_buckets(sig_b, id_col, p["bands"], rows).alias("a")
+    be = index.buckets.alias("b")
+    cand = (
+        bb.join(
+            be,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    packs_b = sh_b.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    return _verify_jaccard_from_packs(cand, packs_b, index.packs, id_col, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -652,7 +857,7 @@ def blocked_ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.7,
     max_block_docs: int | None = None,
-    lsh_fallback: bool = True,
+    lsh_fallback: bool | None = None,
     n_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
@@ -682,7 +887,25 @@ def blocked_ngram_jaccard_pairs(
     Both branches produce pairs with identical semantics (exact
     verified Jaccard); a block lands wholly in one branch, so no pair
     can span branches and the union is disjoint by construction.
+
+    The r6 default flip (fail-fast -> LSH routing) changed the recall
+    contract for callers that never chose: leaving ``lsh_fallback``
+    unset emits a one-time ``UserWarning`` naming the trade (r6 ADVICE)
+    — pass ``True``/``False`` explicitly to acknowledge it.
     """
+    if lsh_fallback is None:
+        import warnings
+
+        warnings.warn(
+            "blocked_ngram_jaccard_pairs defaults to lsh_fallback=True: blocks "
+            f"over max_block_docs route through MinHash-LSH candidates (recall "
+            "= LSH capture probability, not 1.0). Pass lsh_fallback explicitly "
+            "to silence this; use False to fail fast on oversized blocks "
+            "instead (the pre-r6 recall-1.0 contract).",
+            UserWarning,
+            stacklevel=2,
+        )
+        lsh_fallback = True
     cap = MAX_BLOCK_DOCS if max_block_docs is None else max_block_docs
     blk_sizes = df.groupBy(*[F.col(c) for c in block_cols]).agg(
         F.count(F.lit(1)).alias("_blk_n")

@@ -360,7 +360,8 @@ def sql_recommended_n_planes(table: str, target_bucket_rows: int) -> str:
 def recommended_n_planes(corpus_rows: int, target_bucket_rows: int = 100_000) -> int:
     """Plane count that keeps the expected LSH bucket near
     ``target_bucket_rows`` as the corpus grows: ``ceil(log2(corpus /
-    target))``, clamped to [1, 8] (the derived-plane family size).
+    target))``, clamped to [1, 16] (the derived-plane family size —
+    extended from 8 in r6 when the 100x point saturated the clamp).
 
     With a FIXED plane count, bucketed ANN is still asymptotically
     quadratic once both sides scale (measured in SCALE.md); growing

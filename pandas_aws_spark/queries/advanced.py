@@ -1789,7 +1789,10 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     now carries a 7-DAY TIME BUCKET (the operators/intervaljoin.py
     technique): clicks key on their own bucket, each purchase probes
     its bucket and the previous one (a 7-day lookback spans at most
-    two 7-day buckets — exact: floor((t - W)/W) = floor(t/W) - 1), so
+    two 7-day buckets — exact: floor((t - W)/W) = floor(t/W) - 1; note
+    Spark's ``div`` truncates toward zero, so this identity — and the
+    click capture with it — assumes NON-NEGATIVE unix_micros, i.e. no
+    pre-1970 event timestamps, which the events schema guarantees), so
     per-key pairs are bounded by one user's WEEKLY click rate at any
     corpus size. Left-join correctness under probe replication: every
     matching click matches in exactly one probe (its own bucket), and

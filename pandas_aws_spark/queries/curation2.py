@@ -227,6 +227,112 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Persisted dedup index lifecycle (r6 verdict ask #3): build the index
+# from the corpus, ingest batch 1 against it, APPEND batch 1's delta,
+# then ingest batch 2 against the appended ON-DISK index read back from
+# parquet — corpus text is scanned exactly once per doc, at its own
+# ingest. corpus = doc_id % 4 != 0; batch1 = % 8 = 0; batch2 = % 8 = 4.
+# --------------------------------------------------------------------------
+_INDEX_ORACLE = r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
+       WHERE len(toks) >= 3),
+hh AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
+       FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+cand1 AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+          FROM bands a JOIN bands e ON a.band = e.band AND a.sig = e.sig
+          WHERE a.doc_id % 8 = 0 AND e.doc_id % 4 <> 0),
+cand2 AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+          FROM bands a JOIN bands e ON a.band = e.band AND a.sig = e.sig
+          WHERE a.doc_id % 8 = 4 AND (e.doc_id % 4 <> 0 OR e.doc_id % 8 = 0)),
+cand AS (SELECT 1 AS ingest, id_a, id_b FROM cand1
+         UNION ALL
+         SELECT 2, id_a, id_b FROM cand2),
+packs AS (SELECT doc_id, list(h) AS hs FROM hh GROUP BY doc_id),
+inter AS (SELECT c.ingest, c.id_a, c.id_b,
+                 len(list_intersect(pa.hs, pb.hs)) AS nc
+          FROM cand c
+          JOIN packs pa ON pa.doc_id = c.id_a
+          JOIN packs pb ON pb.doc_id = c.id_b),
+pairs AS (SELECT i.ingest, i.id_a, i.id_b,
+                 CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.8)
+SELECT ingest, id_a, id_b, jaccard FROM pairs ORDER BY ingest, id_a, id_b
+"""
+
+
+@query("q_dedup_index_ingest", oracle=_INDEX_ORACLE, tags=("dedup", "lsh", "incremental"))
+def q_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-dedup-index lifecycle, end to end on real parquet:
+    ``build_dedup_index`` over the corpus -> ``write_dedup_index`` ->
+    ingest batch 1 via ``indexed_near_dup_pairs`` (existing side =
+    stored band postings + packed shingle arrays, NO corpus text in
+    the plan — tests/test_dedup.py asserts the physical plan) ->
+    ``append_dedup_index`` with batch 1's delta -> re-read the
+    APPENDED index from disk -> ingest batch 2, whose matches can hit
+    both original-corpus and batch-1 docs. Per-ingest scan cost is
+    O(batch) regardless of accumulated corpus size — the property the
+    in-memory ``incremental_near_dup_pairs`` entry documents but (by
+    design, for oracle replay) does not persist; SCALE.md carries the
+    flat-per-batch measurement."""
+    import tempfile
+
+    from ..operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    b1 = docs.filter(F.col("doc_id") % 8 == 0)
+    b2 = docs.filter(F.col("doc_id") % 8 == 4)
+    path = tempfile.mkdtemp(prefix="pandas_aws_spark_dedup_index_")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    stored = read_dedup_index(spark, path)
+    # localCheckpoint pins ingest-1's result BEFORE the append mutates
+    # the index files (the stored frames are lazy parquet scans).
+    p1 = (
+        indexed_near_dup_pairs(b1, stored, "text", threshold=0.8)
+        .withColumn("ingest", F.lit(1))
+        .localCheckpoint()
+    )
+    append_dedup_index(build_dedup_index(b1, "doc_id", "text"), path)
+    stored2 = read_dedup_index(spark, path)
+    p2 = indexed_near_dup_pairs(b2, stored2, "text", threshold=0.8).withColumn(
+        "ingest", F.lit(2)
+    )
+    return (
+        p1.unionByName(p2)
+        .select("ingest", "id_a", "id_b", "jaccard")
+        .orderBy("ingest", "id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Rolling-origin backtest folds: expanding-window time-series CV splits
 # with integer-microsecond cutoffs — train/test row and user counts
 # plus the cold-start (unseen-user) count per fold.

@@ -100,8 +100,11 @@ bands AS (
   SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
   SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
   SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+ok AS (SELECT band, sig FROM bands GROUP BY band, sig
+       HAVING COUNT(*) <= {cap}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a
+         JOIN ok ON ok.band = a.band AND ok.sig = a.sig
          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
 """
     + _VERIFY_CTE.format(thr=0.8)
@@ -112,15 +115,42 @@ FROM pairs GROUP BY id_b ORDER BY doc_id
 )
 
 
-@query("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE, headline=True, tags=("dedup", "lsh"))
+def _minhash_oracle() -> str:
+    from ..operators.dedup import sql_recommended_max_band_bucket
+
+    return _MINHASH_ORACLE.replace(
+        "{cap}", sql_recommended_max_band_bucket("documents")
+    )
+
+
+@query("q_dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True, tags=("dedup", "lsh"))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup dedup: shingle -> 8-way minhash -> 4-band
     LSH -> candidate pairs -> exact-jaccard verify (>=0.8) -> one-hop
     drop list. The pair space is never materialized beyond LSH
-    collisions — the property that keeps this subquadratic at 100 TB."""
+    collisions — the property that keeps this subquadratic at 100 TB.
+
+    Since r7 the degenerate-bucket cap is IN the production plan,
+    derived from the corpus size (``recommended_max_band_bucket``:
+    max(64, ceil(sqrt(n))) via a metadata count — the r6 verdict's
+    ask #2; the 100x point measured LSH precision falling 84% -> 55%
+    with the entry uncapped) and replayed identically by the oracle's
+    scalar subquery. Trade measured before adoption: at 500k docs the
+    cap cuts candidates 5.3% for 0.016% true-pair loss (SCALE.md r7) —
+    the bound exists for the boilerplate worst case, which exact-dedup-
+    first ordering (q_text_curation_pipeline) cannot always remove."""
+    from ..operators.dedup import recommended_max_band_bucket
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=8,
+        bands=4,
+        threshold=0.8,
+        max_band_bucket=recommended_max_band_bucket(docs.count()),
     )
     return drop_list_from_pairs(pairs).orderBy("doc_id")
 
@@ -151,8 +181,12 @@ sig AS (SELECT doc_id,
 bands AS (SELECT doc_id, sig, b.band,
                  (sig >> CAST(15 * b.band AS INT)) & 32767 AS bits
           FROM sig, (SELECT UNNEST(range(0, 4)) AS band) b),
+ok AS (SELECT band, bits FROM bands GROUP BY band, bits
+       HAVING COUNT(*) <= {cap}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-         FROM bands a JOIN bands c
+         FROM bands a
+         JOIN ok ON ok.band = a.band AND ok.bits = a.bits
+         JOIN bands c
            ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id
           WHERE bit_count(xor(a.sig, c.sig)) <= 3),
 """
@@ -163,7 +197,15 @@ SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
 )
 
 
-@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def _simhash_oracle() -> str:
+    from ..operators.dedup import sql_recommended_max_band_bucket
+
+    return _SIMHASH_ORACLE.replace(
+        "{cap}", sql_recommended_max_band_bucket("documents")
+    )
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup on the 60-bit banded signature: token-vote
     simhash packed into one int64, 4 x 15-bit LSH bands for candidates
@@ -173,10 +215,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-22x runtime from bucket pile-up); band buckets here are
     populated by signature similarity, not corpus size. The legacy
     16-bit path survives as operators/dedup.simhash_near_dup_pairs
-    with its fail-fast corpus cap."""
+    with its fail-fast corpus cap.
+
+    r7: the corpus-derived degenerate-bucket cap
+    (``recommended_max_band_bucket``, oracle-replayed as a scalar
+    subquery) runs in-plan, same rationale as q_dedup_minhash_lsh —
+    a single boilerplate band value may not produce O(n^2) collision
+    rows even before the cheap Hamming compare."""
+    from ..operators.dedup import recommended_max_band_bucket
+
     docs = load_table(spark, sf_dir, "documents")
     return (
-        simhash_banded_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+        simhash_banded_near_dup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            threshold=0.5,
+            max_band_bucket=recommended_max_band_bucket(docs.count()),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -254,7 +310,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         blocked_ngram_jaccard_pairs(
-            docs, "doc_id", "text", ["lang"], n=5, threshold=0.8, max_block_docs=100
+            docs, "doc_id", "text", ["lang"], n=5, threshold=0.8, max_block_docs=100,
+            lsh_fallback=True,
         )
         .orderBy("id_a", "id_b")
     )

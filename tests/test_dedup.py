@@ -92,7 +92,9 @@ def test_blocked_ngram_respects_blocks(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     pairs = {
         (r.id_a, r.id_b)
-        for r in blocked_ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], threshold=0.9).collect()
+        for r in blocked_ngram_jaccard_pairs(
+            df, "doc_id", "text", ["lang"], threshold=0.9, lsh_fallback=True
+        ).collect()
     }
     assert (1, 3) in pairs  # same block, identical text
     assert (1, 2) not in pairs  # identical text but different block
@@ -198,7 +200,7 @@ def test_blocked_ngram_lsh_fallback_routes_oversized_blocks(spark):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
         for r in blocked_ngram_jaccard_pairs(
-            docs, "doc_id", "text", ["lang"], threshold=0.5, max_block_docs=3
+            docs, "doc_id", "text", ["lang"], threshold=0.5, max_block_docs=3, lsh_fallback=True
         ).collect()
     }
     # LSH branch: identical docs always collide (identical signatures)
@@ -209,3 +211,90 @@ def test_blocked_ngram_lsh_fallback_routes_oversized_blocks(spark):
     assert pairs[(20, 21)] == 1.0
     # no cross-block pair, ever
     assert all(not (a < 20 <= b or a >= 20 > b) for a, b in pairs)
+
+
+# --------------------------------------------------------------------------
+# Persisted dedup index (build / write / append / indexed search)
+# --------------------------------------------------------------------------
+
+
+def test_dedup_index_roundtrip_append_search(spark, tmp_path):
+    """Full index lifecycle: batch 1 matches the stored corpus; after
+    append, batch 2 matches both the corpus doc AND the appended
+    batch-1 doc — proving the append extends the searchable index."""
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame([(1, BASE), (3, OTHER)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    idx = read_dedup_index(spark, path)
+    batch1 = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in indexed_near_dup_pairs(batch1, idx, "text", threshold=0.5).collect()
+    }
+    assert p1 == {(10, 1)}
+    append_dedup_index(build_dedup_index(batch1, "doc_id", "text"), path)
+    idx2 = read_dedup_index(spark, path)
+    batch2 = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in indexed_near_dup_pairs(batch2, idx2, "text", threshold=0.5).collect()
+    }
+    assert p2 == {(20, 1), (20, 10)}
+
+
+def test_indexed_search_plan_reads_only_the_index(spark, tmp_path):
+    """The deployment contract: a second ingest's plan scans the INDEX
+    parquet only — the accumulated corpus's text parquet appears
+    nowhere (per-ingest scan cost is O(batch), not O(corpus))."""
+    from pandas_aws_spark.operators.dedup import (
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from pandas_aws_spark.plans.inspect import scans
+
+    corpus_path = str(tmp_path / "corpus_text.parquet")
+    spark.createDataFrame(
+        [(1, BASE), (3, OTHER)], "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    idx_path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), idx_path)
+    idx = read_dedup_index(spark, idx_path)
+    batch = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    plan_scans = scans(indexed_near_dup_pairs(batch, idx, "text"))
+    locations = [s.location for s in plan_scans if s.location]
+    assert locations, "expected file scans for the index side"
+    assert all("corpus_text" not in loc for loc in locations), (
+        f"corpus text scanned by the indexed search: {locations}"
+    )
+    assert any("idx" in loc for loc in locations)
+
+
+def test_append_dedup_index_recipe_mismatch_raises(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    delta = build_dedup_index(
+        spark.createDataFrame([(10, NEAR)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+        shingle_k=4,
+    )
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        append_dedup_index(delta, path)

@@ -286,11 +286,20 @@ def minhash_near_dup_pairs(
     sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
     buckets = lsh_band_buckets(sig, id_col, bands, rows)
     if max_band_bucket is not None:
-        # drop degenerate buckets (boilerplate collisions) — cheap
-        # window-free guard: bucket size via groupBy join.
-        sizes = buckets.groupBy("band", "sig").agg(F.count("*").alias("bn"))
-        buckets = buckets.join(
-            F.broadcast(sizes.filter(F.col("bn") <= max_band_bucket)), ["band", "sig"], "left_semi"
+        # drop degenerate buckets (boilerplate collisions) via a window
+        # over the band key: ONE shuffle on (band, sig) — the same
+        # partitioning the candidate self-join needs — instead of a
+        # groupBy + broadcast semi-join, whose build side is O(buckets)
+        # and therefore grows with the corpus (the wrong shape at 100 TB).
+        # Same-process pair at the 100x point: capped 68.7s vs uncapped
+        # 98.7s — the candidate cut pays for the window (SCALE.md r7).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_band_bucket)
+            .drop("_bn")
         )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -811,11 +820,15 @@ def simhash_banded_near_dup_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn("bits", F.expr(f"shiftright(sig, {band_bits} * band) & {mask}"))
     if max_band_bucket is not None:
-        sizes = buckets.groupBy("band", "bits").agg(F.count("*").alias("bn"))
-        buckets = buckets.join(
-            F.broadcast(sizes.filter(F.col("bn") <= max_band_bucket)),
-            ["band", "bits"],
-            "left_semi",
+        # window form for the same reason as minhash_near_dup_pairs:
+        # one (band, bits) shuffle, no O(buckets) broadcast build side.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bits")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_band_bucket)
+            .drop("_bn")
         )
     a = buckets.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bits"

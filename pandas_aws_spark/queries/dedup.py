@@ -354,6 +354,71 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding near-dup at scale: hyperplane-LSH buckets replace the label
+# block (r7 — the scale path q_dedup_embedding_cosine's docstring
+# points at). Adaptive plane count from the corpus metadata count, same
+# knob as the bucketed-ANN entries.
+# --------------------------------------------------------------------------
+
+
+def _emb_lsh_oracle() -> str:
+    from ..operators.similarity import sql_lsh_bucket_masked, sql_recommended_n_planes
+
+    npl = sql_recommended_n_planes("embeddings", 128)
+    bucket = sql_lsh_bucket_masked("v", 64, npl)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       {sql_cosine('a.v', 'c.v')} AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {sql_cosine('a.v', 'c.v')} >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_embedding_lsh", oracle=_emb_lsh_oracle(), tags=("dedup", "embedding", "lsh"))
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with hyperplane-LSH blocking — the deployment
+    variant of q_dedup_embedding_cosine (whose label block assumes a
+    trusted partitioning key exists): buckets come from the data itself
+    via bit-packed hyperplane signs, so the pair space is corpus^2 /
+    2^planes instead of corpus^2, and the plane count ADAPTS to the
+    corpus metadata count (recommended_n_planes, target 128/bucket —
+    the q_sim_lsh_bucketed knob) to hold per-bucket population, and
+    hence per-bucket pair work, roughly constant as the corpus grows.
+    Candidates = same-bucket pairs; verification = exact decimal
+    cosine >= 0.4, bit-identical to the oracle. Approximate by design
+    (a near-dup pair split across a plane boundary is missed — the
+    multi-probe technique raises recall when needed); the
+    approximation itself is deterministic and oracle-replayed."""
+    from ..operators.similarity import lsh_bucket
+    from .similarity import _adaptive_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    npl = _adaptive_planes(spark, sf_dir)
+    e = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), 64, npl)
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Transitive near-dup clusters: minhash pairs -> connected components.
 # Oracle: recursive CTE computing min-reachable-id labels over the
 # same pair graph.

@@ -423,7 +423,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: recursive CTE computing min-reachable-id labels over the
 # same pair graph.
 # --------------------------------------------------------------------------
-_CLUSTER_ORACLE = (
+_CLUSTER_CTE = (
     "WITH RECURSIVE "
     + _SHINGLES_CTE.lstrip()
     + r""",
@@ -456,6 +456,12 @@ reach(id, r) AS (
   SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
 ),
 cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+"""
+)
+
+_CLUSTER_ORACLE = (
+    _CLUSTER_CTE
+    + """
 SELECT cluster_id, COUNT(*) AS n_docs
 FROM cc GROUP BY cluster_id ORDER BY cluster_id
 """
@@ -476,6 +482,66 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs)
     return cc.groupBy("cluster_id").agg(F.count("*").alias("n_docs")).orderBy("cluster_id")
+
+
+# --------------------------------------------------------------------------
+# Quality-aware cluster survivor (r7): keep the BEST doc per near-dup
+# cluster instead of the min-id one — the production curation policy
+# (RefinedWeb-style: among near-duplicates, keep the longest/highest-
+# quality member; min-id is an arbitrary tie-break that discards
+# quality signal for free).
+# --------------------------------------------------------------------------
+_CLUSTER_BEST_ORACLE = (
+    _CLUSTER_CTE
+    + """,
+best AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS kept_id, n_docs, n_chars AS kept_chars
+FROM best WHERE rn = 1 ORDER BY cluster_id
+"""
+)
+
+
+@query("q_dedup_cluster_best", oracle=_CLUSTER_BEST_ORACLE, tags=("dedup", "clustering", "curation"))
+def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: transitive near-dup
+    clusters (same minhash pair graph as q_dedup_clusters), but the
+    kept document per cluster is the argmax of a quality score —
+    n_chars here, any scalar scorer in production (the Gopher/logit
+    quality columns compose directly) — with doc_id as the
+    deterministic tie-break. One partitioned window over cluster
+    members (never unbounded: members << corpus), so the selection
+    adds no shuffle beyond the clustering itself."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components, minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+    )
+    cc = connected_components(pairs)
+    members = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    return (
+        members.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("n_chars"), F.col("doc_id"))),
+        )
+        .withColumn("n_docs", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_id"),
+            "n_docs",
+            F.col("n_chars").alias("kept_chars"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 # --------------------------------------------------------------------------

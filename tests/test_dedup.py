@@ -298,3 +298,34 @@ def test_append_dedup_index_recipe_mismatch_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="recipe mismatch"):
         append_dedup_index(delta, path)
+
+
+def test_cluster_best_keeps_highest_quality_member(spark):
+    """Survivor selection is argmax(score) per cluster with id
+    tie-break — not min-id: the longest member of the planted cluster
+    must win even though it has the largest id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.85)],
+        "id_a long, id_b long, jaccard double",
+    )
+    scores = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (10, 50), (11, 40)],
+        "doc_id long, n_chars long",
+    )
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    best = (
+        cc.join(scores, "doc_id")
+        .withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("n_chars"), F.col("doc_id")))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    got = {r.cluster_id: r.doc_id for r in best.collect()}
+    # cluster {1,2,3}: 2 and 3 tie on length -> lower id 2 wins, not min-id 1
+    assert got == {1: 2, 10: 10}

@@ -442,8 +442,11 @@ bands AS (
   SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
   SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
   SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+ok AS (SELECT band, sig FROM bands GROUP BY band, sig
+       HAVING COUNT(*) <= {cap}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a
+         JOIN ok ON ok.band = a.band AND ok.sig = a.sig
          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
 """
     + _VERIFY_CTE.format(thr=0.8)
@@ -459,26 +462,47 @@ cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
 """
 )
 
-_CLUSTER_ORACLE = (
-    _CLUSTER_CTE
-    + """
+def _cluster_oracle() -> str:
+    from ..operators.dedup import sql_recommended_max_band_bucket
+
+    return (
+        _CLUSTER_CTE
+        + """
 SELECT cluster_id, COUNT(*) AS n_docs
 FROM cc GROUP BY cluster_id ORDER BY cluster_id
 """
-)
+    ).replace("{cap}", sql_recommended_max_band_bucket("documents"))
 
 
-@query("q_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("dedup", "clustering"))
+@query("q_dedup_clusters", oracle=_cluster_oracle(), tags=("dedup", "clustering"))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: verified minhash pairs ->
     iterative min-label connected components (O(log diameter) rounds,
     each one edge-join + groupBy — no transitive closure ever
-    materialized). Cluster id = smallest member doc_id."""
-    from ..operators.dedup import connected_components, minhash_near_dup_pairs
+    materialized). Cluster id = smallest member doc_id.
+
+    r8: the corpus-derived degenerate-bucket cap runs in the pair
+    stage (r7 verdict ask #1 — this entry shipped uncapped while its
+    siblings gained the cap, and a single boilerplate bucket is WORSE
+    here than in flat dedup: beyond the O(n^2) candidate cost it
+    fuses unrelated clusters through spurious edges). Oracle replays
+    the cap as the same scalar subquery as ``_minhash_oracle``."""
+    from ..operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+        recommended_max_band_bucket,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=8,
+        bands=4,
+        threshold=0.8,
+        max_band_bucket=recommended_max_band_bucket(docs.count()),
     )
     cc = connected_components(pairs)
     return cc.groupBy("cluster_id").agg(F.count("*").alias("n_docs")).orderBy("cluster_id")
@@ -491,9 +515,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality member; min-id is an arbitrary tie-break that discards
 # quality signal for free).
 # --------------------------------------------------------------------------
-_CLUSTER_BEST_ORACLE = (
-    _CLUSTER_CTE
-    + """,
+def _cluster_best_oracle() -> str:
+    from ..operators.dedup import sql_recommended_max_band_bucket
+
+    return (
+        _CLUSTER_CTE
+        + """,
 best AS (
   SELECT c.cluster_id, d.doc_id, d.n_chars,
          ROW_NUMBER() OVER (PARTITION BY c.cluster_id
@@ -503,10 +530,10 @@ best AS (
 SELECT cluster_id, doc_id AS kept_id, n_docs, n_chars AS kept_chars
 FROM best WHERE rn = 1 ORDER BY cluster_id
 """
-)
+    ).replace("{cap}", sql_recommended_max_band_bucket("documents"))
 
 
-@query("q_dedup_cluster_best", oracle=_CLUSTER_BEST_ORACLE, tags=("dedup", "clustering", "curation"))
+@query("q_dedup_cluster_best", oracle=_cluster_best_oracle(), tags=("dedup", "clustering", "curation"))
 def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup survivor selection: transitive near-dup
     clusters (same minhash pair graph as q_dedup_clusters), but the
@@ -515,14 +542,29 @@ def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality columns compose directly) — with doc_id as the
     deterministic tie-break. One partitioned window over cluster
     members (never unbounded: members << corpus), so the selection
-    adds no shuffle beyond the clustering itself."""
+    adds no shuffle beyond the clustering itself.
+
+    r8: corpus-derived degenerate-bucket cap in the pair stage,
+    oracle-replayed as a scalar subquery (r7 verdict ask #1 — see
+    q_dedup_clusters)."""
     from pyspark.sql import Window
 
-    from ..operators.dedup import connected_components, minhash_near_dup_pairs
+    from ..operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+        recommended_max_band_bucket,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle_k=3, n_hashes=8, bands=4, threshold=0.8
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=8,
+        bands=4,
+        threshold=0.8,
+        max_band_bucket=recommended_max_band_bucket(docs.count()),
     )
     cc = connected_components(pairs)
     members = cc.join(docs.select("doc_id", "n_chars"), "doc_id")

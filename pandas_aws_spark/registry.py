@@ -196,13 +196,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the window self-rotates when a round's evidence lands and the test
 # stays green. Every window entry has an oracle and a scalar-only
 # output shape (tests/test_entry.py gates both).
-_REWRITTEN_THIS_ROUND = (
-    "q_dedup_minhash_lsh",   # corpus-derived max_band_bucket cap in-plan
-    "q_dedup_simhash",       # corpus-derived max_band_bucket cap in-plan
-    "q_sim_ivf_kmeans",      # r6 kmeans_fit fold rewrite, carried per the
-                             # plan-rewrite policy (r6 ADVICE: its old
-                             # evidence attests the F.avg-centroid plan)
-)
+#
+# Since r8 each rewrite records THE ROUND IT HAPPENED IN, making the
+# list self-expiring (r7 verdict ask #3): an entry is live while its
+# latest on-disk evidence predates its rewrite round, and
+# tests/test_entry.py::test_rewritten_entries_expire goes red the
+# moment fresher evidence lands without the entry being cleared —
+# the same round-start tripwire that forced the window derivation
+# to be automated. The mapping itself stays hand-maintained because
+# "did the physical plan change" is a fact about the round's git
+# diff, not about disk state.
+_REWRITTEN_THIS_ROUND: dict[str, int] = {
+    "q_dedup_clusters": 8,      # corpus-derived max_band_bucket cap in-plan
+    "q_dedup_cluster_best": 8,  # same cap wired into the shared pair stage
+}
 
 _WINDOW_SIZE = 50
 
@@ -243,19 +250,26 @@ def derive_driver_window() -> tuple[str, ...]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     latest = evidence_rounds()
-    window: list[str] = [n for n in REGISTRY if n not in latest]
-    if len(window) >= _WINDOW_SIZE:
-        return tuple(window[:_WINDOW_SIZE])
     missing_rw = [n for n in _REWRITTEN_THIS_ROUND if n not in REGISTRY]
     if missing_rw:
         raise RuntimeError(f"_REWRITTEN_THIS_ROUND names not registered: {missing_rw}")
+    # Priority: never-verified (registration order), then rewritten-plan
+    # entries, then oldest-evidence re-checks. The window is truncated
+    # to exactly _WINDOW_SIZE at the end — if never-verified entries
+    # alone overflow it, rewritten entries explicitly WAIT behind them
+    # (a brand-new query has zero evidence; a rewritten one still has
+    # old-plan evidence, strictly weaker but not nothing), and the
+    # r7 ADVICE overflow bug (`pool[:negative]` appending the whole
+    # verified pool) cannot recur because `take` is clamped at 0.
+    window: list[str] = [n for n in REGISTRY if n not in latest]
     window += [n for n in _REWRITTEN_THIS_ROUND if n not in window]
     pool = sorted(
         (n for n in REGISTRY if n in latest and n not in window),
         key=lambda n: (latest[n], n),
     )
-    window += pool[: _WINDOW_SIZE - len(window)]
-    return tuple(window)
+    take = max(0, _WINDOW_SIZE - len(window))
+    window += pool[:take]
+    return tuple(window[:_WINDOW_SIZE])
 
 
 def __getattr__(name: str):

@@ -82,6 +82,30 @@ def _externally_verified() -> set[str]:
     return set(_evidence_rounds())
 
 
+def test_rewritten_entries_expire():
+    """_REWRITTEN_THIS_ROUND is self-expiring (r7 verdict ask #3): each
+    entry records the round its physical plan was rewritten in, and it
+    is only live while its latest on-disk evidence PREDATES that round
+    (the old evidence attests a plan that no longer exists). The moment
+    the rewrite re-verifies — its own round's CORRECTNESS file lands
+    green — this test goes red at round start until the entry is
+    cleared, exactly the tripwire that forced the window derivation to
+    be automated in r7."""
+    from pandas_aws_spark.registry import _REWRITTEN_THIS_ROUND
+
+    latest = _evidence_rounds()
+    stale = {
+        name: (latest[name], rewritten_in)
+        for name, rewritten_in in _REWRITTEN_THIS_ROUND.items()
+        if latest.get(name, -1) >= rewritten_in
+    }
+    assert not stale, (
+        f"_REWRITTEN_THIS_ROUND entries already re-verified at/after their "
+        f"rewrite round (latest_evidence, rewrite_round): {stale} — clear "
+        "them from the mapping; their slots belong to stale re-checks now"
+    )
+
+
 def test_driver_window_curated_and_first():
     """The driver's correctness gate verifies registry slots 1-50 in
     insertion order; pin that the curated window IS those slots and is

@@ -293,6 +293,18 @@ def minhash_near_dup_pairs(
         # and therefore grows with the corpus (the wrong shape at 100 TB).
         # Same-process pair at the 100x point: capped 68.7s vs uncapped
         # 98.7s — the candidate cut pays for the window (SCALE.md r7).
+        #
+        # Skew trade-off (r7 ADVICE): the count-window funnels each
+        # bucket into one task with no partial aggregation, so the
+        # degenerate bucket the cap neutralizes is itself a one-task
+        # hotspot DURING the count. That is bounded and linear — the
+        # task counts m posting rows (12 bytes each) and emits them;
+        # the alternative it replaces is the self-join producing
+        # m(m-1)/2 pairs from the same partition, which no partial agg
+        # helps either. Measured with a planted O(n)-sized bucket
+        # (SCALE.md r8 planted-bucket experiment): the window stays a
+        # small constant of the scan while the uncapped join diverges
+        # quadratically.
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "sig")
@@ -533,6 +545,20 @@ class DedupIndex:
         self.buckets = buckets
         self.packs = packs
         self.params = params
+        # build-time cached inputs (the shared shingle scan); released by
+        # write_dedup_index once both frames are materialized on disk, or
+        # explicitly by long-lived callers via release_cache().
+        self._cached: tuple = ()
+
+    def release_cache(self) -> None:
+        """Unpersist build-time cached inputs. Safe to call repeatedly.
+        ``write_dedup_index`` calls this after both frames are on disk;
+        callers that keep using the in-memory frames afterwards trade a
+        recompute for not accumulating cached shingle sets across a
+        long-lived ingest loop (r7 ADVICE)."""
+        for frame in self._cached:
+            frame.unpersist()
+        self._cached = ()
 
 
 def build_dedup_index(
@@ -563,46 +589,76 @@ def build_dedup_index(
         "bands": bands,
         "hash_fn": hash_fn,
     }
-    return DedupIndex(buckets, packs, params)
+    index = DedupIndex(buckets, packs, params)
+    index._cached = (sh,)
+    return index
 
 
-def write_dedup_index(index: DedupIndex, path: str, *, mode: str = "overwrite") -> None:
-    """Persist an index under ``path`` (parquet: ``buckets``, ``packs``,
-    one-row ``params``). Storage-agnostic — ``path`` may be any Hadoop
-    FS URI. ``mode='append'`` is the raw append primitive; prefer
-    :func:`append_dedup_index`, which asserts recipe equality first."""
+def write_dedup_index(
+    index: DedupIndex, path: str, *, batch_id: str = "base"
+) -> None:
+    """Persist an index under ``path``. Layout: ``packs/batch=<id>/``
+    and ``buckets/batch=<id>/`` parquet subdirectories (one per ingest
+    batch, Hive partition naming so a plain parquet read discovers
+    them) plus a one-row ``params``. Storage-agnostic — ``path`` may
+    be any Hadoop FS URI.
+
+    Crash consistency (r7 ADVICE — the old two-bare-appends layout had
+    a window where band postings landed without their packs, silently
+    dropping those candidates at every later verify join): each batch
+    writes its OWN subdirectory, packs FIRST, postings LAST. An orphan
+    pack dir (crash between the writes) is inert — no posting ever
+    probes it — and never loses matches, while the reverse order
+    would. Recovery is a plain retry: the batch id is caller-chosen
+    and deterministic, so the retry OVERWRITES the same two
+    subdirectories instead of appending duplicates (idempotent
+    ingest — the exactly-once discipline a production crawl pipeline
+    uses). Single-writer per index path is assumed; concurrent
+    appends of DIFFERENT batch ids are safe on a directory-atomic
+    store, same-id races need a transactional table format
+    (Delta/Iceberg — jars absent in this container, documented in
+    SURVEY §2 R12)."""
     spark = index.buckets.sparkSession
-    index.buckets.write.mode(mode).parquet(f"{path}/buckets")
-    index.packs.write.mode(mode).parquet(f"{path}/packs")
-    if mode == "overwrite":
+    index.packs.write.mode("overwrite").parquet(f"{path}/packs/batch={batch_id}")
+    index.buckets.write.mode("overwrite").parquet(f"{path}/buckets/batch={batch_id}")
+    if batch_id == "base":
         spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
             f"{path}/params"
         )
+    index.release_cache()
 
 
 def read_dedup_index(spark, path: str) -> DedupIndex:
     """Load a persisted index. The params read is a one-row kilobyte
-    collect; buckets/packs stay lazy parquet scans."""
+    collect; buckets/packs stay lazy parquet scans (the ``batch``
+    partition column from the per-ingest layout is dropped — batch
+    identity is a write-side bookkeeping concern)."""
     params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     return DedupIndex(
-        spark.read.parquet(f"{path}/buckets"),
-        spark.read.parquet(f"{path}/packs"),
+        spark.read.parquet(f"{path}/buckets").drop("batch"),
+        spark.read.parquet(f"{path}/packs").drop("batch"),
         params,
     )
 
 
-def append_dedup_index(delta: DedupIndex, path: str) -> None:
+def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
     """Append an accepted batch's index delta to the stored index —
     the per-ingest bookkeeping step. Asserts the delta was built with
     the stored recipe (comparing against mismatched signatures would
-    silently miss every duplicate)."""
+    silently miss every duplicate). ``batch_id`` must be unique per
+    accepted batch and STABLE across retries of the same batch: the
+    write is an overwrite of that batch's subdirectories, so retrying
+    a failed append converges instead of duplicating rows (see
+    :func:`write_dedup_index` for the ordering/crash story)."""
+    if batch_id == "base":
+        raise ValueError("batch_id 'base' is reserved for the initial corpus write")
     spark = delta.buckets.sparkSession
     stored = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     if stored != delta.params:
         raise ValueError(
             f"index recipe mismatch: stored {stored} vs delta {delta.params}"
         )
-    write_dedup_index(delta, path, mode="append")
+    write_dedup_index(delta, path, batch_id=batch_id)
 
 
 def indexed_near_dup_pairs(
@@ -622,7 +678,13 @@ def indexed_near_dup_pairs(
 
     Per-ingest cost: O(batch scan) + the candidate collisions + one
     |cand|-row join into the stored packs — flat in accumulated corpus
-    size except for the index-side posting probe (SCALE.md row)."""
+    size except for the index-side posting probe (SCALE.md row).
+
+    The batch's shingle scan is cached (it feeds signatures AND verify
+    packs); long-lived ingest loops should call
+    :func:`release_cached_inputs` on the returned frame after
+    materializing it, or cached batch shingle sets accumulate until
+    executor storage evicts them (r7 ADVICE)."""
     p = index.params
     id_col = p["id_col"]
     rows = p["n_hashes"] // p["bands"]
@@ -639,7 +701,22 @@ def indexed_near_dup_pairs(
         .distinct()
     )
     packs_b = sh_b.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-    return _verify_jaccard_from_packs(cand, packs_b, index.packs, id_col, threshold)
+    result = _verify_jaccard_from_packs(cand, packs_b, index.packs, id_col, threshold)
+    result._pandas_aws_cached = (sh_b,)
+    return result
+
+
+def release_cached_inputs(df: DataFrame) -> None:
+    """Unpersist the intermediate frames a dedup search cached while
+    building ``df``'s plan (currently: the batch shingle scan of
+    :func:`indexed_near_dup_pairs`). Call AFTER materializing the
+    result — per ingest in a long-lived loop — so cached shingle sets
+    do not accumulate across ingests. A no-op for frames that carry no
+    cached inputs, so generic pipelines may call it unconditionally."""
+    for frame in getattr(df, "_pandas_aws_cached", ()):
+        frame.unpersist()
+    if hasattr(df, "_pandas_aws_cached"):
+        df._pandas_aws_cached = ()
 
 
 # --------------------------------------------------------------------------
@@ -821,7 +898,10 @@ def simhash_banded_near_dup_pairs(
     ).withColumn("bits", F.expr(f"shiftright(sig, {band_bits} * band) & {mask}"))
     if max_band_bucket is not None:
         # window form for the same reason as minhash_near_dup_pairs:
-        # one (band, bits) shuffle, no O(buckets) broadcast build side.
+        # one (band, bits) shuffle, no O(buckets) broadcast build side
+        # (and the same single-task-per-bucket skew trade-off, measured
+        # linear in the planted-bucket experiment — see the comment
+        # there).
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "bits")

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.texthash import tokens
 from ..operators.dedup import incremental_near_dup_pairs
+from . import scratch_dir
 from ..registry import load_table, query
 
 # --------------------------------------------------------------------------
@@ -233,15 +234,15 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parquet — corpus text is scanned exactly once per doc, at its own
 # ingest. corpus = doc_id % 4 != 0; batch1 = % 8 = 0; batch2 = % 8 = 4.
 # --------------------------------------------------------------------------
-_INDEX_ORACLE = r"""
-WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
-       FROM tok, UNNEST(range(1, len(toks)-1)) AS u(i)
-       WHERE len(toks) >= 3),
-hh AS (SELECT DISTINCT doc_id,
-              CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
-       FROM sh),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+# Shingle/hash CTEs are SHARED with queries/dedup.py (r7 ADVICE: the
+# `len(toks) >= 3` recipe guard was duplicated here and could drift
+# from the operators' recipe on future edits).
+from .dedup import _SHINGLES_CTE as _SHARED_SHINGLES_CTE  # noqa: E402
+
+_INDEX_ORACLE = (
+    "WITH "
+    + _SHARED_SHINGLES_CTE.lstrip()
+    + r""",
 mh AS (SELECT doc_id,
               MIN((1299721*h + 12345)   % 1000000007) AS h0,
               MIN((15485863*h + 678910) % 1000000007) AS h1,
@@ -280,6 +281,7 @@ pairs AS (SELECT i.ingest, i.id_a, i.id_b,
           WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.8)
 SELECT ingest, id_a, id_b, jaccard FROM pairs ORDER BY ingest, id_a, id_b
 """
+)
 
 
 @query("q_dedup_index_ingest", oracle=_INDEX_ORACLE, tags=("dedup", "lsh", "incremental"))
@@ -296,13 +298,13 @@ def q_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory ``incremental_near_dup_pairs`` entry documents but (by
     design, for oracle replay) does not persist; SCALE.md carries the
     flat-per-batch measurement."""
-    import tempfile
 
     from ..operators.dedup import (
         append_dedup_index,
         build_dedup_index,
         indexed_near_dup_pairs,
         read_dedup_index,
+        release_cached_inputs,
         write_dedup_index,
     )
 
@@ -310,17 +312,17 @@ def q_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     b1 = docs.filter(F.col("doc_id") % 8 == 0)
     b2 = docs.filter(F.col("doc_id") % 8 == 4)
-    path = tempfile.mkdtemp(prefix="pandas_aws_spark_dedup_index_")
+    path = scratch_dir(prefix="pandas_aws_spark_dedup_index_")
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
     stored = read_dedup_index(spark, path)
     # localCheckpoint pins ingest-1's result BEFORE the append mutates
     # the index files (the stored frames are lazy parquet scans).
-    p1 = (
-        indexed_near_dup_pairs(b1, stored, "text", threshold=0.8)
-        .withColumn("ingest", F.lit(1))
-        .localCheckpoint()
-    )
-    append_dedup_index(build_dedup_index(b1, "doc_id", "text"), path)
+    raw1 = indexed_near_dup_pairs(b1, stored, "text", threshold=0.8)
+    p1 = raw1.withColumn("ingest", F.lit(1)).localCheckpoint()
+    # p1 is materialized: release ingest-1's cached batch shingles —
+    # the per-ingest ritual the operator documents for long loops.
+    release_cached_inputs(raw1)
+    append_dedup_index(build_dedup_index(b1, "doc_id", "text"), path, batch_id="b1")
     stored2 = read_dedup_index(spark, path)
     p2 = indexed_near_dup_pairs(b2, stored2, "text", threshold=0.8).withColumn(
         "ingest", F.lit(2)

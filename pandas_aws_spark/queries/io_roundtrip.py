@@ -8,13 +8,13 @@ anything, the hashes diverge.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.stable import dsum, sql_dsum
 from ..objectstore import read_df, write_df
+from . import scratch_dir
 from ..registry import load_table, query
 
 _LINEITEM_SCHEMA = (
@@ -42,7 +42,7 @@ def q_io_roundtrip_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with explicit schema -> aggregate. Covers K1/K5/K6 + S2 round-trip
     including timestamp and full-precision double serialization."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
-    tmp = tempfile.mkdtemp(prefix="roundtrip_csv_")
+    tmp = scratch_dir(prefix="roundtrip_csv_")
     path = f"file://{tmp}/lineitem_csv"
     write_df(li, path, format="csv", compression="gzip", parts=4, sort_keys=["l_orderkey"])
     back = read_df(spark, path, format="csv", schema=_LINEITEM_SCHEMA)
@@ -75,7 +75,7 @@ def q_io_roundtrip_parquet_partitioned(spark: SparkSession, sf_dir: str) -> Data
     directory key — the Spark analogue of the reference's prefix
     pushdown (s3.py:33-35) at the storage layout level."""
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="roundtrip_parquet_")
+    tmp = scratch_dir(prefix="roundtrip_parquet_")
     path = f"file://{tmp}/orders_parquet"
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
@@ -102,7 +102,7 @@ def q_io_multifile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..objectstore import read_df_from_prefix
 
     supp = load_table(spark, sf_dir, "supplier")
-    tmp = tempfile.mkdtemp(prefix="roundtrip_union_")
+    tmp = scratch_dir(prefix="roundtrip_union_")
     base = f"file://{tmp}/suppliers"
     for i in range(3):
         write_df(supp, f"{base}/copy_{i}.parquet", format="parquet")
@@ -130,7 +130,7 @@ def q_io_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar format in SUPPORTED_FORMATS end-to-end (same vectorized
     reader path as parquet; zstd codec exercised on the write)."""
     nat = load_table(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="roundtrip_orc_")
+    tmp = scratch_dir(prefix="roundtrip_orc_")
     path = f"file://{tmp}/nation_orc"
     write_df(nat, path, format="orc", compression="zstd", parts=2)
     back = read_df(spark, path, format="orc")
@@ -167,7 +167,7 @@ def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas concat (``s3.py:290-292``) but Spark does without
     materializing anything driver-side."""
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="schema_evolution_")
+    tmp = scratch_dir(prefix="schema_evolution_")
     base = f"file://{tmp}/orders_feed"
     orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.parquet(
         f"{base}/v1"
@@ -201,10 +201,9 @@ def q_io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     the incoming batch (the warehouse 'reload one day' operation; with
     static overwrite Spark would wipe the whole table). Oracle = the
     expected post-overwrite state computed from the original data."""
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="dpo_")
+    tmp = scratch_dir(prefix="dpo_")
     path = f"file://{tmp}/orders_part"
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
     urgent_fixed = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
@@ -247,7 +246,7 @@ def q_io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..objectstore import compact_prefix
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    tmp = scratch_dir(prefix="compact_")
     path = f"file://{tmp}/docs_fragmented"
     docs.repartition(64).write.mode("overwrite").parquet(path)
     stats = compact_prefix(spark, path, target_bytes_per_file=64 * 1024 * 1024)
@@ -362,7 +361,7 @@ def q_io_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference is a full extra pass over the data at scale, and
     silently widens absent fields to string."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="roundtrip_jsonl_")
+    tmp = scratch_dir(prefix="roundtrip_jsonl_")
     path = f"file://{tmp}/docs_jsonl"
     write_df(docs, path, format="json", compression="gzip", parts=4)
     back = read_df(
@@ -413,10 +412,9 @@ def q_io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     final accounting is one aggregate. The corrupt-record column is
     projected only here — production writes it to a dead-letter path
     and drops it from the main flow."""
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="malformed_csv_")
+    tmp = scratch_dir(prefix="malformed_csv_")
     path = f"file://{tmp}/orders_dirty"
     dirty = orders.select(
         F.col("o_orderkey").cast("string").alias("o_orderkey"),

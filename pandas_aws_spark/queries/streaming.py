@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.stable import dsum, sql_dsum
+from . import scratch_dir
 from ..registry import query
 from ..streaming.pipeline import (
     events_stream,
@@ -452,9 +453,8 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     reprocessing would double the counts and fail the oracle hash.
     Reading the sink back goes through the commit log too (only
     committed files count), closing the exactly-once loop."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="pas_stream_sink_")
+    base = scratch_dir(prefix="pas_stream_sink_")
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     for _restart in range(2):
         q = (
@@ -566,11 +566,10 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-local max-struct pre-reduce stays exactly as written."""
     import os
     import shutil
-    import tempfile
 
     from ..registry import load_table
 
-    base = tempfile.mkdtemp(prefix="pas_stream_upsert_")
+    base = scratch_dir(prefix="pas_stream_upsert_")
     landing, target, ckpt = f"{base}/landing", f"{base}/target", f"{base}/ckpt"
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value", "event_type"

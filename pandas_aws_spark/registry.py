@@ -209,6 +209,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
     "q_dedup_clusters": 8,      # corpus-derived max_band_bucket cap in-plan
     "q_dedup_cluster_best": 8,  # same cap wired into the shared pair stage
+    "q_dedup_index_ingest": 8,  # idempotent per-batch index layout
+                                # (packs/buckets under batch=<id> partition
+                                # dirs; crash-safe retryable appends)
 }
 
 _WINDOW_SIZE = 50

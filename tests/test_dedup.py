@@ -240,7 +240,7 @@ def test_dedup_index_roundtrip_append_search(spark, tmp_path):
         for r in indexed_near_dup_pairs(batch1, idx, "text", threshold=0.5).collect()
     }
     assert p1 == {(10, 1)}
-    append_dedup_index(build_dedup_index(batch1, "doc_id", "text"), path)
+    append_dedup_index(build_dedup_index(batch1, "doc_id", "text"), path, batch_id="b1")
     idx2 = read_dedup_index(spark, path)
     batch2 = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
     p2 = {
@@ -280,6 +280,68 @@ def test_indexed_search_plan_reads_only_the_index(spark, tmp_path):
     assert any("idx" in loc for loc in locations)
 
 
+def test_append_dedup_index_retry_after_partial_write_is_idempotent(spark, tmp_path):
+    """Crash-consistency contract (r7 ADVICE): a failure between the
+    two per-batch writes leaves an orphan pack subdirectory, which (a)
+    never surfaces candidates (postings drive the join) and (b) is
+    healed by retrying the SAME batch_id — the retry overwrites the
+    batch's subdirectories, so the final index is byte-equivalent to a
+    clean append: no duplicated pairs, no missed matches."""
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame([(1, BASE), (3, OTHER)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    batch1 = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+
+    # Simulated crash: packs landed (written FIRST by contract),
+    # postings did not.
+    partial = build_dedup_index(batch1, "doc_id", "text")
+    partial.packs.write.mode("overwrite").parquet(f"{path}/packs/batch=b1")
+
+    # The half-written batch is invisible to searches (orphan packs
+    # are inert): batch 2 sees only the corpus doc.
+    probe = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+    mid = read_dedup_index(spark, path)
+    seen = {
+        (r.id_a, r.id_b)
+        for r in indexed_near_dup_pairs(probe, mid, "text", threshold=0.5).collect()
+    }
+    assert seen == {(20, 1)}
+
+    # Retry of the same batch id converges to the clean-append state.
+    append_dedup_index(build_dedup_index(batch1, "doc_id", "text"), path, batch_id="b1")
+    idx = read_dedup_index(spark, path)
+    rows = indexed_near_dup_pairs(probe, idx, "text", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(20, 1), (20, 10)}
+    assert len(rows) == 2, f"duplicate verify rows after retry: {rows}"
+
+
+def test_append_dedup_index_rejects_reserved_base_id(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    delta = build_dedup_index(
+        spark.createDataFrame([(10, NEAR)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        append_dedup_index(delta, path, batch_id="base")
+
+
 def test_append_dedup_index_recipe_mismatch_raises(spark, tmp_path):
     from pandas_aws_spark.operators.dedup import (
         append_dedup_index,
@@ -297,7 +359,7 @@ def test_append_dedup_index_recipe_mismatch_raises(spark, tmp_path):
         shingle_k=4,
     )
     with pytest.raises(ValueError, match="recipe mismatch"):
-        append_dedup_index(delta, path)
+        append_dedup_index(delta, path, batch_id="b1")
 
 
 def test_cluster_best_keeps_highest_quality_member(spark):

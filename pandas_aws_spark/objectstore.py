@@ -44,6 +44,7 @@ __all__ = [
     "list_keys_boto",
     "read_df",
     "read_df_from_prefix",
+    "read_prefix_lineage",
     "write_df",
     "SUPPORTED_FORMATS",
 ]
@@ -240,6 +241,98 @@ def read_df_from_prefix(
 
     fmt = _detect_format(keys[0]) if format == "suffix" else format
     return read_df(spark, [f"{base}/{k}" for k in keys], format=fmt, schema=schema, **options)
+
+
+def read_prefix_lineage(
+    spark: SparkSession,
+    base_uri: str,
+    prefix: str = "",
+    suffix: str = "",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Per-object lineage audit of a mixed-format prefix read: which
+    top-level objects under the prefix CONTRIBUTED rows to the union
+    (and how many), and which were QUARANTINED (no supported format) —
+    the ``q_io_csv_malformed`` dead-letter accounting generalized to
+    format dispatch.
+
+    Reference parity + departure: ``get_df_from_keys`` ``'mixed'`` mode
+    drops files that parse under no format with only a log warning
+    (s3.py:283-285), so the user of a large ingest cannot reconstruct
+    from the returned frame which files fed it. This returns the
+    accounting AS DATA — one row per top-level object:
+    ``(file_name, fmt, status, n_rows)``, ``status`` in
+    ``('contributed', 'quarantined')``, quarantined rows carrying
+    ``n_rows = 0``. Documented departure (pinned in
+    tests/test_objectstore.py): the reference TRY-PARSES every file as
+    csv -> parquet -> xlsx, so arbitrary text usually sneaks in as a
+    one-column CSV; the engine dispatches on the key suffix
+    deterministically, so an unrecognized suffix is quarantined rather
+    than misparsed.
+
+    Scale shape: the key listing is control-plane kilobytes (same as
+    the reference's ListObjectsV2 loop); row counts come from ONE
+    distributed aggregation over ``input_file_name()`` on the unioned
+    scans — no per-file count jobs, no driver loop over data. Only the
+    lineage column survives projection, so columnar formats prune to
+    metadata while row formats pay the parse they'd pay anyway.
+    """
+    import re as _re
+    from functools import reduce
+
+    keys = [
+        k
+        for k in list_keys(spark, base_uri, prefix=prefix, suffix=suffix)
+        if k and k != prefix
+        # committer markers / checksums (_SUCCESS, .crc) are not data
+        and not k.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    out_schema = "file_name string, fmt string, status string, n_rows long"
+    if not keys:
+        return spark.createDataFrame([], out_schema)
+    base = base_uri.rstrip("/")
+    # top-level object = first path segment (a Spark-written "file" is
+    # a directory of part files; a flat object is its own segment)
+    seg_fmt: dict[str, str] = {}
+    groups: dict[str, list[str]] = {}
+    for k in keys:
+        fmt = _detect_format(k)
+        seg_fmt.setdefault(k.split("/", 1)[0], fmt)
+        if fmt in _MIXED_TRY_ORDER:
+            groups.setdefault(fmt, []).append(k)
+    meta = spark.createDataFrame(
+        [
+            (seg, fmt, "contributed" if fmt in _MIXED_TRY_ORDER else "quarantined")
+            for seg, fmt in sorted(seg_fmt.items())
+        ],
+        "file_name string, fmt string, status string",
+    )
+    seg_pattern = _re.escape(base.rsplit("/", 1)[-1]) + "/([^/]+)"
+    scans = [
+        read_df(
+            spark, [f"{base}/{k}" for k in gkeys], format=fmt, schema=schema, **options
+        ).select(
+            F.regexp_extract(F.input_file_name(), seg_pattern, 1).alias("file_name")
+        )
+        for fmt, gkeys in sorted(groups.items())
+    ]
+    if scans:
+        counts = (
+            reduce(lambda a, b: a.unionByName(b), scans)
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        # left join: a contributed-but-empty object keeps its row with 0
+        out = meta.join(counts, "file_name", "left")
+    else:
+        out = meta.withColumn("n_rows", F.lit(None).cast("long"))
+    return out.select(
+        "file_name",
+        "fmt",
+        "status",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+    )
 
 
 def write_df(

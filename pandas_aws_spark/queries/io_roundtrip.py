@@ -452,3 +452,61 @@ def q_io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("valid_price_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mixed-prefix lineage audit (r7 verdict ask #7): the reference's
+# 'mixed' mode silently skips unparseable files with a log warning
+# (s3.py:275-285); the engine returns the skip/contribution accounting
+# AS DATA — per-object row counts via input_file_name(), quarantined
+# objects pinned at 0 rows.
+# --------------------------------------------------------------------------
+_MIXED_LINEAGE_ORACLE = """
+WITH lineage AS (
+  SELECT 'notes.txt' AS file_name, 'txt' AS fmt, 'quarantined' AS status,
+         0 AS n_rows
+  UNION ALL
+  SELECT 'part_a.csv', 'csv', 'contributed',
+         (SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 0)
+  UNION ALL
+  SELECT 'part_b.parquet', 'parquet', 'contributed',
+         (SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 1)
+  UNION ALL
+  SELECT 'part_c.json', 'json', 'contributed',
+         (SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 2)
+)
+SELECT file_name, fmt, status, CAST(n_rows AS BIGINT) AS n_rows
+FROM lineage ORDER BY file_name
+"""
+
+
+@query("q_io_mixed_prefix_lineage", oracle=_MIXED_LINEAGE_ORACLE, tags=("io", "lineage", "robustness"))
+def q_io_mixed_prefix_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format prefix read with per-object lineage: three document
+    slices land under one prefix as csv / parquet / json plus a text
+    object no supported format matches; ``read_prefix_lineage`` must
+    account for every object — contributed ones with their exact row
+    counts (counted distributedly via ``input_file_name()``, one
+    aggregation over the unioned scans), the text object quarantined
+    at 0 rows rather than silently dropped (the reference's mixed mode
+    logs a warning and moves on, ``/root/reference/pandas_aws/
+    s3.py:283-285`` — unreconstructable after the fact at ingest
+    scale). The oracle recomputes each slice's cardinality from the
+    source table, proving no contributed file lost rows and no
+    quarantined file leaked any."""
+    from ..objectstore import read_prefix_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tmp = scratch_dir(prefix="mixed_lineage_")
+    base = f"file://{tmp}"
+    write_df(docs.filter(F.col("doc_id") % 4 == 0), f"{base}/part_a.csv", format="csv")
+    write_df(
+        docs.filter(F.col("doc_id") % 4 == 1), f"{base}/part_b.parquet", format="parquet"
+    )
+    write_df(docs.filter(F.col("doc_id") % 4 == 2), f"{base}/part_c.json", format="json")
+    docs.filter(F.col("doc_id") % 4 == 3).select(
+        F.col("doc_id").cast("string")
+    ).write.mode("overwrite").text(f"{tmp}/notes.txt")
+    return read_prefix_lineage(
+        spark, base, schema="doc_id long, source string, n_chars long"
+    ).orderBy("file_name")

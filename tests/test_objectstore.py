@@ -166,3 +166,49 @@ def test_compact_prefix_preserves_content(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == want_rows
     assert abs(back.groupBy().sum("o_totalprice").first()[0] - want_sum) < 1e-6
+
+
+def test_mixed_mode_skips_unsupported_formats_like_reference(spark, fdf, tmp_path):
+    """Reference semantics pin (s3.py:275-285): mixed mode must UNION
+    every file a supported format matches and SKIP the rest without
+    failing the read. Departure, deliberate and documented: the
+    reference try-parses csv -> parquet -> xlsx per file (so arbitrary
+    text usually sneaks in as a one-column csv); the engine dispatches
+    on suffix, so an unrecognized suffix is skipped rather than
+    misparsed."""
+    write_df(fdf, f"file://{tmp_path}/mx/a.csv", format="csv")
+    write_df(fdf, f"file://{tmp_path}/mx/b.parquet", format="parquet")
+    fdf.select(fdf.col_2.cast("string")).write.mode("overwrite").text(
+        str(tmp_path / "mx" / "junk.weird")
+    )
+    back = read_df_from_prefix(spark, f"file://{tmp_path}/mx", format="mixed")
+    assert back.count() == 8  # 4 + 4; junk.weird contributed nothing
+
+
+def test_read_prefix_lineage_accounts_for_every_object(spark, fdf, tmp_path):
+    from pandas_aws_spark.objectstore import read_prefix_lineage
+
+    write_df(fdf, f"file://{tmp_path}/lg/a.csv", format="csv")
+    write_df(fdf, f"file://{tmp_path}/lg/b.parquet", format="parquet")
+    fdf.select(fdf.col_2.cast("string")).write.mode("overwrite").text(
+        str(tmp_path / "lg" / "junk.weird")
+    )
+    out = {
+        r.file_name: (r.fmt, r.status, r.n_rows)
+        for r in read_prefix_lineage(
+            spark, f"file://{tmp_path}/lg", schema="col_1 long, col_2 string"
+        ).collect()
+    }
+    assert out == {
+        "a.csv": ("csv", "contributed", 4),
+        "b.parquet": ("parquet", "contributed", 4),
+        "junk.weird": ("txt", "quarantined", 0),  # part files carry .txt
+    }
+
+
+def test_read_prefix_lineage_empty_prefix(spark, tmp_path):
+    from pandas_aws_spark.objectstore import read_prefix_lineage
+
+    out = read_prefix_lineage(spark, f"file://{tmp_path}/void")
+    assert out.count() == 0
+    assert out.columns == ["file_name", "fmt", "status", "n_rows"]

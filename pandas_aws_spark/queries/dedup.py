@@ -387,35 +387,65 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus metadata count (recommended_n_planes, target 128/bucket —
     the q_sim_lsh_bucketed knob) to hold per-bucket population, and
     hence per-bucket pair work, roughly constant as the corpus grows.
-    Candidates = same-bucket pairs; verification = exact decimal
-    cosine >= 0.4, bit-identical to the oracle. Approximate by design
+    Candidates = same-bucket pairs; verification = exact cosine
+    >= 0.4, bit-identical to the oracle. Approximate by design
     (a near-dup pair split across a plane boundary is missed — the
     multi-probe technique raises recall when needed); the
-    approximation itself is deterministic and oracle-replayed."""
+    approximation itself is deterministic and oracle-replayed.
+
+    r8 plan rewrite, after the 100x measurement exposed a 257x wall
+    ratio (SCALE.md r8 — the r7 verdict's missing SCALE row):
+
+    * per-vector norms are PRECOMPUTED before the self-join (the old
+      plan re-folded both norms inside every pair — 3 array
+      aggregates per pair where 1 suffices; norm(v) on the same v is
+      the same double, so cos_sim stays bit-identical to the oracle);
+    * the self-join is SALTED 8 ways — semantic concentration makes
+      the largest bucket ~5x the mean (r7 skew note), and each
+      bucket's pair work previously serialized into one task (the
+      measured long-tail stages). The probe side keeps one salt per
+      row, the build side replicates to all 8, so every pair appears
+      exactly once but each hot bucket's pair enumeration + cosine
+      fans out across 8 tasks. Replication costs 8x of the VECTOR
+      rows (linear, tiny) to split pair work (quadratic in bucket
+      size) — the right trade at any scale;
+    * the verified-pairs result (small: true near-dups) is persisted
+      before the output sort, so the range-partitioner's sampling
+      pass re-reads cached pairs instead of re-running the join."""
+    from ..functions.vector import dot, norm
     from ..operators.similarity import lsh_bucket
     from .similarity import _adaptive_planes
 
     emb = load_table(spark, sf_dir, "embeddings")
     npl = _adaptive_planes(spark, sf_dir)
-    e = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), 64, npl)
+    n_salt = 8
+    e = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), 64, npl))
+        .withColumn("nv", norm(F.col("v")))
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
+    a = e.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(n_salt))).alias("a")
+    b = e.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= 0.4)
-        .orderBy("id_a", "id_b")
+        .persist()
     )
+    return pairs.orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -212,6 +212,9 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     "q_dedup_index_ingest": 8,  # idempotent per-batch index layout
                                 # (packs/buckets under batch=<id> partition
                                 # dirs; crash-safe retryable appends)
+    "q_dedup_embedding_lsh": 8,  # norm precompute + salted self-join +
+                                 # pre-sort persist after the 100x point
+                                 # measured a 257x skew cliff (SCALE.md r8)
 }
 
 _WINDOW_SIZE = 50

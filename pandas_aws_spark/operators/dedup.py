@@ -535,10 +535,15 @@ class DedupIndex:
     Scale shape: the index is O(docs x bands) 12-byte posting rows plus
     O(total shingles) packed longs — a fraction of corpus text size.
     The probe join shuffles on the 8-byte (band, sig) key; at warehouse
-    deployment write ``buckets`` bucketed on ``sig`` (saveAsTable +
-    bucketBy) to make successive ingests zero-exchange on the index
-    side; the path-based parquet layout here is the storage-agnostic
-    default.
+    deployment write ``buckets`` as a catalog table bucketed on BOTH
+    join keys — ``bucketBy(N, "band", "sig")`` — to make successive
+    ingests zero-exchange on the index side (measured r8, SCALE.md:
+    plan shows ``Bucketed: true`` with no index-side Exchange; note
+    bucketing on ``sig`` alone does NOT work — the planner disables a
+    subset-key bucketed scan because it cannot co-partition with the
+    two-key join under the default
+    ``requireAllClusterKeysForCopartition``). The path-based parquet
+    layout here is the storage-agnostic default.
     """
 
     def __init__(self, buckets: DataFrame, packs: DataFrame, params: dict):

@@ -185,3 +185,55 @@ def test_driver_window_covers_never_verified():
             f"queue of {len(never)} never-verified queries exceeds the window "
             f"but these slots are spent on re-checks: {sorted(recheck_slots)}"
         )
+
+
+def test_derive_driver_window_overflow_regimes(monkeypatch):
+    """r7 ADVICE (medium): when never-verified + rewritten entries
+    exceed the window, the old code sliced the verified pool with a
+    NEGATIVE index — appending ~the whole pool and never truncating.
+    Pin the fixed semantics on synthetic registries: the window is
+    always exactly _WINDOW_SIZE (or the registry size if smaller),
+    never-verified entries rank first in registration order, rewritten
+    entries wait behind them, and re-checks fill what remains
+    oldest-first."""
+    import pandas_aws_spark.registry as reg
+
+    def fake_registry(names):
+        return {n: None for n in names}
+
+    # regime A: 60 never-verified, 3 rewritten (verified) -> window is
+    # the first 50 never-verified, rewritten entries wait.
+    never = [f"new_{i:03d}" for i in range(60)]
+    rewritten = {f"rw_{i}": 8 for i in range(3)}
+    verified = {f"rw_{i}": 7 for i in range(3)}
+    monkeypatch.setattr(reg, "REGISTRY", fake_registry(never + list(rewritten)))
+    monkeypatch.setattr(reg, "_QUERY_MODULES", ())
+    monkeypatch.setattr(reg, "evidence_rounds", lambda: dict(verified))
+    monkeypatch.setattr(reg, "_REWRITTEN_THIS_ROUND", rewritten)
+    w = reg.derive_driver_window()
+    assert len(w) == 50
+    assert list(w) == never[:50]
+
+    # regime B: 48 never-verified + 3 rewritten -> 48 + 2 of 3
+    # rewritten fit; truncation keeps the window at exactly 50.
+    never_b = [f"new_{i:03d}" for i in range(48)]
+    monkeypatch.setattr(reg, "REGISTRY", fake_registry(never_b + list(rewritten)))
+    w = reg.derive_driver_window()
+    assert len(w) == 50
+    assert list(w)[:48] == never_b
+    assert set(w[48:]) <= set(rewritten)
+
+    # regime C: plenty of room -> never-verified, then rewritten, then
+    # oldest-evidence re-checks by (round, name).
+    olds = {f"old_{i:02d}": 3 + (i % 2) for i in range(10)}
+    monkeypatch.setattr(
+        reg, "REGISTRY", fake_registry(["new_000"] + list(rewritten) + list(olds))
+    )
+    monkeypatch.setattr(reg, "evidence_rounds", lambda: {**verified, **olds})
+    w = reg.derive_driver_window()
+    assert len(w) == 14  # whole registry fits
+    assert w[0] == "new_000"
+    assert set(w[1:4]) == set(rewritten)
+    recheck = list(w[4:])
+    ages = [olds[n] for n in recheck]
+    assert ages == sorted(ages), "re-checks must be oldest-evidence-first"

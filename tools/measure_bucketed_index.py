@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Measure the bucketBy(sig) dedup-index layout the DedupIndex
-docstring promises (`operators/dedup.py`): postings stored as a
-bucketed table so successive ingests probe the index with NO Exchange
-on the index side.
+"""Measure the bucketed dedup-index layout the DedupIndex docstring
+promises (`operators/dedup.py`): postings stored as a catalog table
+bucketed on BOTH join keys (band, sig), so successive ingests probe
+the index with NO Exchange on the index side. (Bucketing on sig alone
+— the docstring's original sketch — is rejected by the planner:
+"Bucketed: false (disabled by query planner)", because a subset-key
+bucketed side cannot co-partition with the (band, sig) join under the
+default requireAllClusterKeysForCopartition=true. Measured r8.)
 
 Regime: the zero-exchange claim matters when the batch is too big to
 broadcast (small batches already stream map-side under BHJ), so
@@ -80,10 +84,15 @@ def main() -> int:
     # B layout: same postings as a bucketed catalog table.
     t0 = time.perf_counter()
     spark.sql("DROP TABLE IF EXISTS dedup_postings_bucketed")
+    # the catalog is per-session in-memory: a previous run's table files
+    # survive in spark-warehouse without a catalog entry, so clear them
+    import shutil
+
+    shutil.rmtree("spark-warehouse/dedup_postings_bucketed", ignore_errors=True)
     (
         stored.buckets.write.mode("overwrite")
-        .bucketBy(32, "sig")
-        .sortBy("sig")
+        .bucketBy(32, "band", "sig")
+        .sortBy("band", "sig")
         .saveAsTable("dedup_postings_bucketed")
     )
     t_bucketed_write = time.perf_counter() - t0
@@ -96,7 +105,7 @@ def main() -> int:
     bb = lsh_band_buckets(sig_b, "doc_id", 4, 2).localCheckpoint()
 
     results = {}
-    for label, postings in (("path-parquet", stored.buckets), ("bucketBy(32,sig)", bucketed)):
+    for label, postings in (("path-parquet", stored.buckets), ("bucketBy(32,band,sig)", bucketed)):
         cand = candidates(bb, postings)
         plan = cand._jdf.queryExecution().executedPlan().toString()
         n_exchange = plan.count("Exchange")

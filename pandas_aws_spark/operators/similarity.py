@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, dot
+from ..functions.vector import as_double, cosine, dot, norm
 
 __all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe", "recommended_n_planes", "sql_lsh_bucket_masked", "sql_recommended_n_planes"]
 
@@ -96,17 +96,28 @@ def brute_force_topk(
     neighbor id so ranks are deterministic. The query side is broadcast
     — guarded by ``max_query_rows`` (pass ``None`` to opt out).
     """
-    q = _guarded_query_side(queries, max_query_rows, "brute_force_topk").select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    # Norms are per-vector, so both are computed ONCE per row before
+    # the pair join instead of re-folded inside every pair (r8 — the
+    # same 3-folds-per-pair term that dominated the embedding-LSH 100x
+    # cliff, SCALE.md r8). norm(v) on the same v is the same double,
+    # so cos_sim is bit-identical to cosine() and to the SQL oracles.
+    q = (
+        _guarded_query_side(queries, max_query_rows, "brute_force_topk")
+        .select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        .withColumn("_nq", norm(F.col("qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("_nc", norm(F.col("cv")))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

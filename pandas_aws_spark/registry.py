@@ -215,6 +215,12 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     "q_dedup_embedding_lsh": 8,  # norm precompute + salted self-join +
                                  # pre-sort persist after the 100x point
                                  # measured a 257x skew cliff (SCALE.md r8)
+    # brute_force_topk gained the same per-vector norm precompute
+    # (1 fold per pair instead of 3, bit-identical) — its four callers:
+    "q_sim_bruteforce_topk": 8,
+    "q_embed_matryoshka_recall": 8,
+    "q_sim_knn_classify": 8,
+    "q_sim_eval_rank_quality": 8,
 }
 
 _WINDOW_SIZE = 50

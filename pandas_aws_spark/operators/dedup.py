@@ -1273,17 +1273,22 @@ def semantic_dedup(
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col), F.col(vec_col), "cell"
     )
-    from ..functions.vector import as_double, cosine
+    from ..functions.vector import as_double, dot, norm
 
+    # per-vector norm precompute (r8, bit-identical — see
+    # similarity.brute_force_topk)
     a = assigned.select(
         F.col(id_col).alias("_ida"), as_double(vec_col).alias("_va"), F.col("cell").alias("_ca")
-    )
+    ).withColumn("_na", norm(F.col("_va")))
     b = assigned.select(
         F.col(id_col).alias("_idb"), as_double(vec_col).alias("_vb"), F.col("cell").alias("_cb")
-    )
+    ).withColumn("_nb", norm(F.col("_vb")))
     dup_ids = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
         .select(F.col("_idb").alias("_dup_id"))
         .distinct()
     )

@@ -410,9 +410,21 @@ def ivf_pq_topk(
             indexed.select(F.col(id_col), "cell"), id_col
         )
 
-    cc = cents.select("centroid_id", F.col(vec_col).alias("cvec_c"))
-    qc = qn.crossJoin(F.broadcast(cc)).withColumn(
-        "_sim", cosine(F.col("qv"), F.col("cvec_c"))
+    # both sides are L2-normalized above, but the probe ranking mirrors
+    # the un-normalized cosine form; norms precomputed per row (r8,
+    # bit-identical — see brute_force_topk).
+    from ..functions.vector import dot as _dot
+    from ..functions.vector import norm as _norm
+
+    cc = cents.select("centroid_id", F.col(vec_col).alias("cvec_c")).withColumn(
+        "_ncc", _norm(F.col("cvec_c"))
+    )
+    qc = (
+        qn.withColumn("_nq", _norm(F.col("qv")))
+        .crossJoin(F.broadcast(cc))
+        .withColumn(
+            "_sim", _dot(F.col("qv"), F.col("cvec_c")) / (F.col("_nq") * F.col("_ncc"))
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
     probes = (

@@ -140,17 +140,20 @@ def ivf_assign(
     no corpus shuffle. Returns corpus columns + ``cell``."""
     c = centroids.select(
         F.col(centroid_id).alias("_cid"), as_double(vec_col).alias("_cvec")
-    )
+    ).withColumn("_ncv", norm(F.col("_cvec")))
     scored = (
         corpus.withColumn("_v", as_double(vec_col))
+        .withColumn("_nv", norm(F.col("_v")))
         .crossJoin(F.broadcast(c))
-        .withColumn("_sim", cosine(F.col("_v"), F.col("_cvec")))
+        .withColumn(
+            "_sim", dot(F.col("_v"), F.col("_cvec")) / (F.col("_nv") * F.col("_ncv"))
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_v", "_cvec", "_sim", "_rn")
+        .drop("_v", "_nv", "_cvec", "_ncv", "_sim", "_rn")
         .withColumnRenamed("_cid", "cell")
     )
 
@@ -187,24 +190,40 @@ def ivf_topk(
         )
     indexed = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
-    # query -> its nprobe nearest cells
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    c = centroids.select(F.col("centroid_id"), as_double(vec_col).alias("cvec"))
-    qc = q.crossJoin(F.broadcast(c)).withColumn("_sim", cosine(F.col("qv"), F.col("cvec")))
+    # query -> its nprobe nearest cells. Per-vector norms precomputed
+    # once per row (r8, bit-identical — see brute_force_topk); the
+    # query norm rides the probes frame so the verify stage reuses it.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("_nq", norm(F.col("qv")))
+    c = centroids.select(
+        F.col("centroid_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("_ncv", norm(F.col("cvec")))
+    qc = q.crossJoin(F.broadcast(c)).withColumn(
+        "_sim", dot(F.col("qv"), F.col("cvec")) / (F.col("_nq") * F.col("_ncv"))
+    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
     probes = (
         qc.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+        .select("query_id", "qv", "_nq", F.col("centroid_id").alias("cell"))
     )
 
-    cand = indexed.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
-    ).join(F.broadcast(probes), "cell")
+    cand = (
+        indexed.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
+        )
+        .withColumn("_nc", norm(F.col("cv")))
+        .join(F.broadcast(probes), "cell")
+    )
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -420,17 +439,25 @@ def lsh_topk(
     so even the approximation is exactly oracle-replayable. Shuffle
     shape: corpus bucketed map-side, one equi-join on the bucket int,
     per-query top-k heaps."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        .withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
+        .withColumn("_nq", norm(F.col("qv")))
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        .withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+        .withColumn("_nc", norm(F.col("cv")))
+    )
     cand = c.join(F.broadcast(q), "bucket")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -537,11 +564,15 @@ def lsh_topk_multiprobe(
     choice (ties to the lowest plane index) keeps it oracle-replayable.
     """
     assert n_planes <= len(_LSH_A)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        .withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+        .withColumn("_nc", norm(F.col("cv")))
+    )
 
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("_nq", norm(F.col("qv")))
     dots = [dot(F.col("qv"), _hyperplane(j, dim)) for j in range(n_planes)]
     q = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
     # weakest plane = argmin |dot| (ties -> lowest j), via a sorted
@@ -557,6 +588,7 @@ def lsh_topk_multiprobe(
     probes = q.select(
         "query_id",
         "qv",
+        "_nq",
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -572,7 +604,11 @@ def lsh_topk_multiprobe(
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cos_sim"
+        ),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

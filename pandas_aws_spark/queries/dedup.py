@@ -337,8 +337,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the label plays the IVF-cell role — at scale the block comes from
     coarse quantization, see operators/similarity.ivf_assign). Decimal
     dot products keep the cosines bit-identical to the oracle."""
+    from ..functions.vector import dot, norm
+
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
-    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    e = emb.select("vec_id", "label", as_double("embedding").alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -346,7 +350,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("id_a", "id_b")

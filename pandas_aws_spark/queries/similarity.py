@@ -950,13 +950,23 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double("embedding").alias("qv"),
         lsh_bucket(as_double("embedding"), _DIM, npl).alias("bucket"),
     )
+    # per-vector norms precomputed (r8, bit-identical — see
+    # operators/similarity.brute_force_topk)
+    from ..functions.vector import dot, norm
+
+    e = e.withColumn("_nc", norm(F.col("cv")))
+    q = q.withColumn("_nq", norm(F.col("qv")))
     cand = e.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     return (
         cand.groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
             F.sum(
-                F.when(cosine(F.col("qv"), F.col("cv")) >= float(_RANGE_TAU), 1).otherwise(0)
+                F.when(
+                    dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))
+                    >= float(_RANGE_TAU),
+                    1,
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_matches"),

@@ -207,36 +207,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    "q_dedup_clusters": 8,      # corpus-derived max_band_bucket cap in-plan
-    "q_dedup_cluster_best": 8,  # same cap wired into the shared pair stage
-    "q_dedup_index_ingest": 8,  # idempotent per-batch index layout
-                                # (packs/buckets under batch=<id> partition
-                                # dirs; crash-safe retryable appends)
-    "q_dedup_embedding_lsh": 8,  # norm precompute + salted self-join +
-                                 # pre-sort persist after the 100x point
-                                 # measured a 257x skew cliff (SCALE.md r8)
-    # Per-vector norm precompute (1 fold per pair instead of 3,
-    # bit-identical) swept through every cosine-after-join site:
-    # brute_force_topk, ivf_assign, ivf_topk, lsh_topk(_multiprobe),
-    # ivf_pq_topk's probe selection, semantic_dedup, and the two
-    # query-level sites. The rewrite set below was enumerated
-    # MECHANICALLY: tools/dump_plans.py before/after the edit, plans
-    # diffed under nondeterminism normalization (expression ids,
-    # lambda counters, grouping-set gids, scratch paths).
-    "q_sim_bruteforce_topk": 8,
-    "q_embed_matryoshka_recall": 8,
-    "q_sim_knn_classify": 8,
-    "q_sim_eval_rank_quality": 8,
-    "q_dedup_embedding_cosine": 8,
-    "q_dedup_semantic": 8,
-    "q_sim_ivf_fullprobe": 8,
-    "q_sim_ivf_kmeans": 8,
-    "q_sim_ivf_pq": 8,
-    "q_sim_ivf_pq_trained": 8,
-    "q_sim_ivf_probe2": 8,
-    "q_sim_lsh_bucketed": 8,
-    "q_sim_lsh_multiprobe": 8,
-    "q_sim_range_search": 8,
+    # r9: all 18 r8 rewrites re-verified green in CORRECTNESS_r08.json
+    # (50/50) and cleared per the r8 verdict's ask #1. Entries added
+    # here when a round's git diff changes a query's physical plan.
 }
 
 _WINDOW_SIZE = 50

@@ -1,0 +1,262 @@
+"""Persisted IVF-PQ ANN index artifact — build / write / read / append
+lifecycle plus index-backed search.
+
+Why this exists (r8 measurement, SCALE.md): IVF-PQ build dominates
+search 21-54x, which is exactly the economics that justify a persisted,
+reusable index — build once over the corpus, search many times, ingest
+new vectors incrementally WITHOUT retraining. This gives the ANN family
+the same deployment story the dedup side has (``dedup.DedupIndex``):
+crash-consistent per-batch storage, retry-idempotent appends, recipe
+pinning, and a reader whose search path touches ONLY index files.
+
+Reference parity: none — the reference (``pandas_aws/s3.py``,
+``redshift.py``) persists no reusable computation artifacts; this is a
+north-star extension component (SURVEY.md §2.9).
+
+Storage layout (``path`` may be any Hadoop FS URI — file://, s3a://):
+
+```
+path/params                 one-row recipe (written LAST on base init —
+                            the commit record; a reader of a
+                            half-initialized index fails loudly)
+path/centroids              coarse quantizer  (base-only, never appended)
+path/codebook               PQ sub-centroids  (base-only, never appended)
+path/vectors/batch=<id>/    (id, vec L2-normalized, cell)  — re-rank side
+path/codes/batch=<id>/      (id, codes, cell)              — ADC side
+```
+
+Crash consistency — write ``vectors`` FIRST, ``codes`` LAST (the exact
+mirror of the dedup index's packs-first/postings-last rule): the search
+path probes ``codes`` to build the ADC shortlist, then inner-joins the
+shortlist against ``vectors`` for exact re-rank. A code row whose
+vector row is missing gets shortlisted and then silently DROPPED at the
+re-rank join — a recall loss invisible to the caller. An orphan
+``vectors`` batch dir (crash between the two writes) is inert: no code
+row ever shortlists it, correctness unaffected, and a plain retry of
+the same ``batch_id`` overwrites both subdirectories (idempotent —
+batch ids are caller-chosen and stable across retries). Single-writer
+per index path is assumed; concurrent appends of DIFFERENT batch ids
+are safe on a directory-atomic store (same caveats as
+``dedup.write_dedup_index``).
+
+Reader lifetime rule (standard Spark file-source semantics, worth
+stating because retries make it easy to hit): frames handed out by
+:func:`read_ann_index` are LAZY parquet scans whose file listing is
+pinned at read time. A mutation of the SAME batch id (a retried
+append, a base re-init) replaces part files, so any frame read BEFORE
+the mutation must be materialized first (``localCheckpoint``, as
+``q_dedup_index_ingest`` does) or re-read after — evaluating a stale
+handle fails loudly with ``FAILED_READ_FILE.FILE_NOT_EXIST``, it never
+silently serves replaced data. Appends of NEW batch ids never
+invalidate existing readers (their listing simply predates the batch).
+
+Scale shape: appends never retrain — new vectors are assigned to the
+EXISTING cells (broadcast of kilobyte centroids) and encoded with the
+EXISTING codebook (broadcast), one narrow write per batch, O(batch)
+regardless of accumulated index size. Search reads centroids/codebook
+(kilobytes, driver/broadcast) plus two lazy parquet scans; per-query
+cost tracks nprobe/n_centroids of the INDEX, never the source corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double
+from .dedup import _clear_index_subdirs, validate_batch_id
+from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode
+
+__all__ = [
+    "AnnIndex",
+    "build_ann_index",
+    "write_ann_index",
+    "read_ann_index",
+    "append_ann_index",
+    "ann_index_topk",
+]
+
+
+class AnnIndex:
+    """In-memory handle on the four index frames + the recipe params.
+
+    ``centroids``: (centroid_id, <vec_col>) — the coarse quantizer.
+    ``codebook``:  (sub, centroid_id, cvec) — PQ sub-centroids.
+    ``codes``:     (<id_col>, codes, cell)  — one row per indexed vector.
+    ``vectors``:   (<id_col>, <vec_col>, cell) — L2-normalized raw
+    vectors for the exact re-rank stage (normalized exactly once, at
+    build/append time — re-normalizing on read is not bit-stable).
+    """
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        codebook: DataFrame,
+        codes: DataFrame,
+        vectors: DataFrame,
+        params: dict,
+    ):
+        self.centroids = centroids
+        self.codebook = codebook
+        self.codes = codes
+        self.vectors = vectors
+        self.params = params
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    coarse: str = "first",
+    coarse_iters: int = 3,
+) -> AnnIndex:
+    """Train + encode the base corpus into an :class:`AnnIndex`.
+
+    One pass over the corpus feeds coarse training, PQ training, cell
+    assignment and encoding (see :func:`..operators.pq.ivf_pq_build_full`).
+    At 100 TB: train both quantizers on a sample, then the full-corpus
+    encode is a single broadcast-join pass (SCALE.md r9 measures the
+    sampled-training recall)."""
+    dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
+    cents, cb, codes, vectors = ivf_pq_build_full(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        m=m,
+        k_codes=k_codes,
+        iters=iters,
+        coarse=coarse,
+        coarse_iters=coarse_iters,
+    )
+    params = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "m": m,
+        "k_codes": k_codes,
+        "iters": iters,
+        "coarse": coarse,
+        "coarse_iters": coarse_iters,
+    }
+    return AnnIndex(cents, cb, codes, vectors, params)
+
+
+def write_ann_index(index: AnnIndex, path: str, *, batch_id: str = "base") -> None:
+    """Persist an index under ``path`` (layout + crash-ordering rules
+    in the module docstring). ``batch_id='base'`` initializes: it
+    first CLEARS any stale ``vectors/``/``codes/`` parents (so
+    re-initializing a previously-appended path cannot union old-corpus
+    rows — same r8-ADVICE fix as the dedup writer), then writes
+    vectors, codes, centroids, codebook, and params LAST as the commit
+    record. Non-base ids write only the two batch subdirectories."""
+    validate_batch_id(batch_id)
+    spark = index.codes.sparkSession
+    if batch_id == "base":
+        _clear_index_subdirs(spark, path, ("vectors", "codes"))
+    index.vectors.write.mode("overwrite").parquet(f"{path}/vectors/batch={batch_id}")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes/batch={batch_id}")
+    if batch_id == "base":
+        index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        index.codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+        spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
+            f"{path}/params"
+        )
+
+
+def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Load a persisted index. The params read is a one-row kilobyte
+    collect; centroids/codebook/codes/vectors stay LAZY parquet scans
+    (the ``batch`` partition column from the per-ingest layout is
+    dropped — batch identity is write-side bookkeeping)."""
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    return AnnIndex(
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{path}/codes").drop("batch"),
+        spark.read.parquet(f"{path}/vectors").drop("batch"),
+        params,
+    )
+
+
+def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> None:
+    """Ingest a batch of NEW raw vectors into a stored index — assign
+    to the EXISTING cells, encode with the EXISTING codebook, no
+    retraining (the whole point of the artifact: ingest cost is
+    O(batch) — two broadcast joins of kilobyte quantizers — however
+    large the accumulated index). Ids must be disjoint from the
+    index's (caller contract, as for the dedup index). ``batch_id``
+    must be unique per accepted batch and STABLE across retries: the
+    write overwrites that batch's subdirectories, so a retried append
+    converges instead of duplicating rows.
+
+    Recipe pinning: the stored params' dim is validated against the
+    incoming vectors — appending dim-128 vectors into a dim-64 index
+    would corrupt every downstream distance silently."""
+    if batch_id == "base":
+        raise ValueError("batch_id 'base' is reserved for the initial index write")
+    validate_batch_id(batch_id)
+    from .similarity import ivf_assign
+
+    spark = new_vectors.sparkSession
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    dim = new_vectors.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
+    if dim != params["dim"]:
+        raise ValueError(
+            f"index recipe mismatch: stored dim {params['dim']} vs batch dim {dim}"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    cn = l2_normalize(
+        new_vectors.select(F.col(id_col), as_double(vec_col).alias(vec_col)),
+        vec_col=vec_col,
+    )
+    assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
+        assigned.select(F.col(id_col), "cell"), id_col
+    )
+    vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell")
+    delta = AnnIndex(cents, cb, codes, vectors, params)
+    write_ann_index(delta, path, batch_id=batch_id)
+
+
+def ann_index_topk(
+    queries: DataFrame,
+    index: AnnIndex,
+    *,
+    nprobe: int = 2,
+    k: int = 10,
+    oversample: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ search against a (stored) index: probes, ADC, and exact
+    re-rank all read the index frames — the source corpus is never
+    touched and nothing retrains or re-normalizes. Returns
+    (query_id, neighbor_id, rank, l2sq_fp), identical to
+    :func:`..operators.pq.ivf_pq_topk` with the same recipe."""
+    p = index.params
+    return ivf_pq_topk(
+        queries,
+        None,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        n_centroids=p["n_centroids"],
+        nprobe=nprobe,
+        m=p["m"],
+        k_codes=p["k_codes"],
+        iters=p["iters"],
+        k=k,
+        oversample=oversample,
+        exclude_self=exclude_self,
+        centroids=index.centroids,
+        codebook=index.codebook,
+        codes=index.codes,
+        vectors=index.vectors,
+    )

@@ -52,6 +52,7 @@ __all__ = [
     "write_dedup_index",
     "read_dedup_index",
     "append_dedup_index",
+    "validate_batch_id",
     "indexed_near_dup_pairs",
     "simhash16",
     "simhash_near_dup_pairs",
@@ -566,6 +567,41 @@ class DedupIndex:
         self._cached = ()
 
 
+_BATCH_ID_PATTERN = __import__("re").compile(r"^[A-Za-z0-9._-]+$")
+
+
+def validate_batch_id(batch_id: str) -> str:
+    """Reject batch ids that would escape or corrupt the Hive-partition
+    storage layout (r8 ADVICE): an id containing ``/`` writes outside
+    the intended ``batch=<id>`` subdirectory, ``=`` or ``%`` break the
+    partition-value parsing that ``read_*_index``'s ``drop('batch')``
+    relies on. Allowed: ``[A-Za-z0-9._-]+``. Shared by the dedup and
+    ANN index writers. Returns the id so call sites can inline it."""
+    if not isinstance(batch_id, str) or not _BATCH_ID_PATTERN.match(batch_id):
+        raise ValueError(
+            f"batch_id {batch_id!r} invalid: must match [A-Za-z0-9._-]+ "
+            "(Hive partition-safe; '/', '=', '%' and empty are rejected)"
+        )
+    return batch_id
+
+
+def _clear_index_subdirs(spark, path: str, subdirs: tuple[str, ...]) -> None:
+    """Recursively delete ``{path}/{sub}`` for each listed subdir via
+    the Hadoop FileSystem API (portable across file://, s3a://, ...).
+    Used by base (re-)initialization writes: the per-batch layout's
+    ``mode('overwrite')`` only replaces ``batch=<id>`` SUBdirectories,
+    so without this sweep a base rebuild at a path that previously
+    received appends would leave stale ``batch=b*`` dirs in place and
+    the reader would silently union old-corpus rows into the new index
+    (r8 ADVICE, medium)."""
+    from ..objectstore import _hadoop_fs
+
+    for sub in subdirs:
+        fs, p, _ = _hadoop_fs(spark, f"{path}/{sub}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def build_dedup_index(
     df: DataFrame,
     id_col: str,
@@ -622,8 +658,18 @@ def write_dedup_index(
     appends of DIFFERENT batch ids are safe on a directory-atomic
     store, same-id races need a transactional table format
     (Delta/Iceberg — jars absent in this container, documented in
-    SURVEY §2 R12)."""
+    SURVEY §2 R12).
+
+    Re-initialization (r9, from r8 ADVICE): a ``batch_id='base'``
+    write first DELETES the ``packs/`` and ``buckets/`` parents, so
+    rebuilding a base index at a path that previously received
+    appended batches cannot silently union stale ``batch=b*`` rows
+    into the new index. Batch ids are validated Hive-partition-safe
+    (:func:`validate_batch_id`)."""
+    validate_batch_id(batch_id)
     spark = index.buckets.sparkSession
+    if batch_id == "base":
+        _clear_index_subdirs(spark, path, ("packs", "buckets"))
     index.packs.write.mode("overwrite").parquet(f"{path}/packs/batch={batch_id}")
     index.buckets.write.mode("overwrite").parquet(f"{path}/buckets/batch={batch_id}")
     if batch_id == "base":

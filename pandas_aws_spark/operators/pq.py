@@ -40,7 +40,16 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
 
-__all__ = ["l2_normalize", "pq_train", "pq_encode", "pq_topk", "pq_topk_refined", "ivf_pq_build", "ivf_pq_topk"]
+__all__ = [
+    "l2_normalize",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_refined",
+    "ivf_pq_build",
+    "ivf_pq_build_full",
+    "ivf_pq_topk",
+]
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -306,6 +315,39 @@ def ivf_pq_build(
     production choice: trained cells track the data distribution, so
     nprobe cells hold more of each query's true neighbors; measured
     recall delta in SCALE.md)."""
+    cents, cb, codes, _ = ivf_pq_build_full(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        m=m,
+        k_codes=k_codes,
+        iters=iters,
+        coarse=coarse,
+        coarse_iters=coarse_iters,
+    )
+    return cents, cb, codes
+
+
+def ivf_pq_build_full(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    coarse: str = "first",
+    coarse_iters: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """:func:`ivf_pq_build` plus the fourth frame a PERSISTED index
+    needs: ``vectors`` — the L2-normalized raw vectors with their
+    ``cell`` assignment ``(id_col, vec_col, cell)``. The exact re-rank
+    stage reads raw vectors for the shortlisted candidates; an on-disk
+    index must carry them (normalized ONCE, at build/append time) or
+    every search would re-scan and re-normalize the source corpus —
+    defeating the artifact. See :mod:`.annindex` for the lifecycle."""
     from .similarity import ivf_assign, kmeans_fit
 
     cn = l2_normalize(
@@ -331,12 +373,13 @@ def ivf_pq_build(
     codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
         indexed.select(F.col(id_col), "cell"), id_col
     )
-    return cents, cb, codes
+    vectors = indexed.select(F.col(id_col), F.col(vec_col), "cell")
+    return cents, cb, codes, vectors
 
 
 def ivf_pq_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -351,6 +394,7 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
     codes: DataFrame | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture — a coarse inverted
     file prunes WHICH vectors each query scores (``nprobe`` of
@@ -365,6 +409,13 @@ def ivf_pq_topk(
     centroid_id, cvec), and ``codes`` (id_col, codes, cell) from a
     prior build to skip training, encoding, and cell assignment
     entirely; all three must come from the same L2-normalized corpus.
+    Additionally passing ``vectors`` — the ALREADY-NORMALIZED corpus
+    ``(id_col, vec_col[, cell])`` a persisted index stores (see
+    :func:`ivf_pq_build_full` / :mod:`.annindex`) — supplies the exact
+    re-rank side directly, and ``corpus`` may then be ``None``: a
+    search against a stored index touches ONLY index files, never the
+    source corpus, and never re-normalizes (normalize-twice is not
+    bit-stable on the last ULP, which would break oracle replay).
     Per-call training here exists so the registry entry is a
     self-contained, oracle-replayable pipeline.
 
@@ -387,9 +438,17 @@ def ivf_pq_topk(
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")),
         vec_col="qv",
     )
-    cn = l2_normalize(
-        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
-    )
+    cn = None
+    if centroids is None or codes is None or vectors is None:
+        if corpus is None:
+            raise ValueError(
+                "corpus is required unless centroids, codes AND vectors "
+                "are all supplied from a prior build"
+            )
+        cn = l2_normalize(
+            corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)),
+            vec_col=vec_col,
+        )
     if centroids is not None:
         cents = centroids.select("centroid_id", F.col(vec_col))
     else:
@@ -466,7 +525,8 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    raw = cn.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    rerank_side = vectors if vectors is not None else cn
+    raw = rerank_side.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     exact = (
         short.join(raw, "neighbor_id")
         .join(F.broadcast(qn.select("query_id", F.col("qv").alias("_qv"))), "query_id")

@@ -1,0 +1,207 @@
+"""Persisted ANN (IVF-PQ) index lifecycle entry — the build-once /
+search-many / append-without-retrain deployment story, exercised end to
+end against real parquet and fully oracle-replayed.
+
+The r8 measurement (SCALE.md: IVF-PQ build dominates search 21-54x) is
+what justifies this artifact; this entry is its external correctness
+proof: the index that is searched was written to disk, read back, and
+incrementally appended — never held in memory across stages.
+
+Oracle design: DuckDB replays the WHOLE lifecycle declaratively. PQ and
+coarse quantizers train on the BASE subset only (``subs_tr``); ALL
+vectors (base + both appended batches) are encoded/assigned with those
+frozen quantizers — exactly ``append_ann_index``'s no-retrain contract.
+Search 1 restricts ADC + re-rank to base rows (the on-disk index before
+the appends); search 2 sees everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import sql_dot
+from ..registry import load_table, query
+from . import scratch_dir
+from .similarity import (
+    _IVFPQ_NPROBE,
+    _NCENT,
+    _PQ_ITERS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_D,
+    _PQ_OVERSAMPLE,
+    _PQ_SHORTLIST,
+    _PQ_TOPK,
+    _DIM,
+    _pq_iteration_ctes,
+    _sql_l2sq,
+    sql_cosine,
+)
+
+# base corpus / two ingest batches: the same disjoint split the dedup
+# index entry uses (base = 3/4 of vectors, each batch 1/8)
+_BASE_PRED = "vec_id % 4 <> 0"
+_B1_PRED = "vec_id % 8 = 0"
+_B2_PRED = "vec_id % 8 = 4"
+
+_ANN_INGEST_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+subs_tr AS (SELECT * FROM subs WHERE {_BASE_PRED}),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs_tr)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1, "subs_tr").strip()},
+{_pq_iteration_ctes(2, "subs_tr").strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e WHERE {_BASE_PRED} ORDER BY vec_id LIMIT {_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, cent ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT srch.search, l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM (SELECT 1 AS search UNION ALL SELECT 2) srch
+  JOIN codes c ON (srch.search = 2 OR (c.{_BASE_PRED}))
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY srch.search, l.query_id, c.vec_id
+),
+short AS (
+  SELECT search, query_id, neighbor_id FROM (
+    SELECT search, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY search, query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.search, s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT search, query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY search, query_id
+                                   ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY search, query_id, rank
+"""
+
+
+@query(
+    "q_sim_index_ingest",
+    oracle=_ANN_INGEST_ORACLE,
+    tags=("similarity", "pq", "ivf", "incremental"),
+)
+def q_sim_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-ANN-index lifecycle, end to end on real parquet:
+    ``build_ann_index`` over the base corpus (vec_id % 4 != 0, PQ +
+    coarse quantizers trained on base ONLY) -> ``write_ann_index`` ->
+    search 1 against the index READ BACK from disk ->
+    ``append_ann_index`` two batches (% 8 == 0 and % 8 == 4; assigned
+    to the frozen cells, encoded with the frozen codebook — NO
+    retraining, the O(batch) ingest contract) -> re-read -> search 2,
+    whose candidates span base and both appended batches. The search
+    plan touches ONLY index files — centroids/codebook broadcast from
+    kilobyte parquet, ADC over the stored codes, exact re-rank against
+    the stored normalized vectors; the source ``embeddings`` table
+    appears nowhere in either search (asserted on the physical plan in
+    tests/test_annindex.py). Search 1's result is pinned via
+    localCheckpoint BEFORE the appends (stored frames are lazy scans).
+
+    Reference analogue: none — the reference persists no reusable
+    artifacts; this is the ANN twin of ``q_dedup_index_ingest``,
+    motivated by the r8 build/search economics measurement."""
+    from ..operators.annindex import (
+        append_ann_index,
+        build_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    b1 = emb.filter(F.expr(_B1_PRED))
+    b2 = emb.filter(F.expr(_B2_PRED))
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_index_")
+    write_ann_index(
+        build_ann_index(
+            base, n_centroids=_NCENT, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        ),
+        path,
+    )
+    from ..operators.annindex import ann_index_topk
+
+    stored = read_ann_index(spark, path)
+    s1 = (
+        ann_index_topk(
+            qdf, stored, nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK, oversample=_PQ_OVERSAMPLE
+        )
+        .withColumn("search", F.lit(1))
+        .localCheckpoint()
+    )
+    append_ann_index(b1, path, batch_id="b1")
+    append_ann_index(b2, path, batch_id="b2")
+    stored2 = read_ann_index(spark, path)
+    s2 = ann_index_topk(
+        qdf, stored2, nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK, oversample=_PQ_OVERSAMPLE
+    ).withColumn("search", F.lit(2))
+    return (
+        s1.unionByName(s2)
+        .select("search", "query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("search", "query_id", "rank")
+    )

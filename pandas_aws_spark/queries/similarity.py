@@ -344,8 +344,12 @@ def _sql_l2sq(a: str, b: str, d: int) -> str:
     )
 
 
-def _pq_iteration_ctes(t: int) -> str:
-    """assign{t} (argmin vs cb{t-1}) + cb{t} (sorted-fold means)."""
+def _pq_iteration_ctes(t: int, src: str = "subs") -> str:
+    """assign{t} (argmin vs cb{t-1}) + cb{t} (sorted-fold means).
+    ``src`` names the subvector CTE training folds over — the default
+    trains on the full corpus; the persisted-index ingest oracle passes
+    its base-subset CTE so appended batches are ENCODED but never
+    TRAINED on (mirroring append_ann_index's no-retrain contract)."""
     dist = _sql_l2sq("s.subvec", "cb.cvec", _PQ_D)
     return f"""
 assign{t} AS (
@@ -353,7 +357,7 @@ assign{t} AS (
     SELECT s.vec_id, s.sub, s.subvec, cb.centroid_id AS code,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
                               ORDER BY {dist}, cb.centroid_id) AS rn
-    FROM subs s JOIN cb{t - 1} cb ON cb.sub = s.sub)
+    FROM {src} s JOIN cb{t - 1} cb ON cb.sub = s.sub)
   WHERE rn = 1
 ),
 cb{t} AS (

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "pandas_aws_spark.queries.warehouse_ops",
     "pandas_aws_spark.queries.dedup",
     "pandas_aws_spark.queries.similarity",
+    "pandas_aws_spark.queries.annindex",
     "pandas_aws_spark.queries.text",
     "pandas_aws_spark.queries.multimodal",
     "pandas_aws_spark.queries.streaming",

@@ -1,0 +1,238 @@
+"""Persisted ANN (IVF-PQ) index artifact: lifecycle, crash-consistency,
+idempotency, recipe pinning, and the index-files-only search plan.
+
+Mirrors the dedup-index test strategy (tests/test_dedup.py) — the two
+artifacts share layout and contracts by design."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_aws_spark.operators.annindex import (
+    ann_index_topk,
+    append_ann_index,
+    build_ann_index,
+    read_ann_index,
+    write_ann_index,
+)
+from pandas_aws_spark.operators.pq import ivf_pq_topk
+
+SF = "/root/testdata/sf0.001"
+_RECIPE = dict(n_centroids=8, m=8, k_codes=16, iters=2)
+_SEARCH = dict(nprobe=2, k=10, oversample=5)
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _splits(spark):
+    emb = _emb(spark)
+    return (
+        emb,
+        emb.filter(F.col("vec_id") % 4 != 0),  # base
+        emb.filter(F.col("vec_id") % 8 == 0),  # batch 1
+        emb.filter(F.col("vec_id") % 8 == 4),  # batch 2
+    )
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+
+def test_stored_search_equals_in_memory_search(spark, tmp_path):
+    """Parquet round-trip is exact for the index frames: searching the
+    read-back index is bit-identical to ivf_pq_topk over the same
+    corpus with per-call training."""
+    emb, base, _, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 3)
+    got = _rows(ann_index_topk(q, stored, **_SEARCH))
+    want = _rows(ivf_pq_topk(q, base, **_RECIPE, **_SEARCH))
+    assert got == want
+
+
+def test_append_ingests_without_retraining_and_finds_new_vectors(spark, tmp_path):
+    """An appended exact duplicate of a base vector is found at rank 1
+    with l2sq_fp == 0 — proof the appended batch entered the probed
+    cells and the re-rank side."""
+    emb, base, b1, b2 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    append_ann_index(b2, path, batch_id="b2")
+    stored = read_ann_index(spark, path)
+    assert stored.codes.count() == emb.count()
+    # quantizers frozen at base: appending never changes them
+    q5 = base.filter(F.col("vec_id") == 5)
+    dup = q5.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    append_ann_index(dup, path, batch_id="dup")
+    top = (
+        ann_index_topk(q5, read_ann_index(spark, path), nprobe=2, k=3, oversample=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert top[0].neighbor_id == 100005 and top[0].l2sq_fp == 0
+
+
+def test_append_retry_is_idempotent(spark, tmp_path):
+    """Retrying an append with the SAME batch_id overwrites that
+    batch's subdirectories: row counts and search results converge to
+    the single-append state (exactly-once ingest under retries)."""
+    emb, base, b1, b2 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    append_ann_index(b2, path, batch_id="b2")
+    q = emb.filter(F.col("vec_id") < 3)
+    first = read_ann_index(spark, path)
+    n = first.codes.count()
+    want = _rows(ann_index_topk(q, first, **_SEARCH))
+    append_ann_index(b2, path, batch_id="b2")  # retry
+    retried = read_ann_index(spark, path)
+    assert retried.codes.count() == n
+    assert _rows(ann_index_topk(q, retried, **_SEARCH)) == want
+
+
+def test_orphan_vectors_batch_is_inert(spark, tmp_path):
+    """Crash between the two per-batch writes leaves vectors WITHOUT
+    codes (vectors are written FIRST by contract). No code row ever
+    shortlists the orphans, so search results are unchanged — the
+    ordering that would lose matches (codes first) is the one the
+    writer forbids."""
+    from pandas_aws_spark.functions.vector import as_double
+    from pandas_aws_spark.operators.pq import l2_normalize
+    from pandas_aws_spark.operators.similarity import ivf_assign
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    q = emb.filter(F.col("vec_id") < 3)
+    want = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
+    # simulated crash: only the vectors half of batch b1 landed
+    cents = spark.read.parquet(f"{path}/centroids")
+    cn = l2_normalize(
+        b1.select("vec_id", as_double("embedding").alias("embedding")),
+        vec_col="embedding",
+    )
+    ivf_assign(cn, cents).select("vec_id", "embedding", "cell").write.parquet(
+        f"{path}/vectors/batch=b1"
+    )
+    got = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
+    assert got == want
+    # retry heals: the full append overwrites the orphan subdirectory
+    append_ann_index(b1, path, batch_id="b1")
+    healed = read_ann_index(spark, path)
+    assert healed.codes.count() == base.count() + b1.count()
+
+
+def test_base_rewrite_clears_stale_appended_batches(spark, tmp_path):
+    """Re-initializing an index path that previously received appends
+    must not union stale batch rows into the new index (r8 ADVICE,
+    medium — same fix as the dedup writer)."""
+    _, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    assert read_ann_index(spark, path).codes.count() == base.count() + b1.count()
+    write_ann_index(build_ann_index(base, **_RECIPE), path)  # rebuild
+    rebuilt = read_ann_index(spark, path)
+    assert rebuilt.codes.count() == base.count()
+    assert rebuilt.vectors.count() == base.count()
+
+
+def test_batch_id_validation_and_recipe_guard(spark, tmp_path):
+    """Hive-partition-unsafe batch ids are rejected (r8 ADVICE) in both
+    index writers; appending wrong-dim vectors trips the recipe pin."""
+    from pandas_aws_spark.operators.dedup import validate_batch_id
+
+    _, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    for bad in ("b/1", "b=1", "b%201", "", "a b"):
+        with pytest.raises(ValueError):
+            validate_batch_id(bad)
+        with pytest.raises(ValueError):
+            append_ann_index(b1, path, batch_id=bad)
+    with pytest.raises(ValueError):
+        append_ann_index(b1, path, batch_id="base")
+    wrong_dim = b1.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        append_ann_index(wrong_dim, path, batch_id="bad_dim")
+
+
+def test_dedup_base_rewrite_clears_stale_batches(spark, tmp_path):
+    """The same r8-ADVICE fix on the dedup writer: a base re-init at a
+    previously-appended path drops the old batch subdirectories instead
+    of silently unioning them."""
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(10, "an entirely different document about spark indexes here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    append_dedup_index(build_dedup_index(extra, "doc_id", "text"), path, batch_id="b1")
+    assert set(
+        r.doc_id for r in read_dedup_index(spark, path).packs.select("doc_id").collect()
+    ) == {1, 10}
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)  # re-init
+    assert set(
+        r.doc_id for r in read_dedup_index(spark, path).packs.select("doc_id").collect()
+    ) == {1}
+
+
+def test_dedup_writer_rejects_unsafe_batch_ids(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    delta = build_dedup_index(corpus.select((F.col("doc_id") + 1).alias("doc_id"), "text"), "doc_id", "text")
+    for bad in ("x/y", "x=y", ""):
+        with pytest.raises(ValueError):
+            append_dedup_index(delta, path, batch_id=bad)
+
+
+def test_index_search_plan_reads_only_index_files(spark, tmp_path):
+    """The deployment contract (twin of the dedup assertion): a search
+    against a stored index scans the INDEX parquet only — the source
+    embeddings parquet appears nowhere in the plan, and nothing
+    retrains or re-normalizes at search time."""
+    from pandas_aws_spark.plans.inspect import scans
+
+    emb, base, _, _ = _splits(spark)
+    src_path = str(tmp_path / "source_embeddings.parquet")
+    base.write.parquet(src_path)
+    corpus = spark.read.parquet(src_path)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(corpus, **_RECIPE), path)
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 3)
+    plan_scans = scans(ann_index_topk(q, stored, **_SEARCH))
+    locations = [s.location for s in plan_scans if s.location]
+    assert locations, "expected file scans for the index side"
+    assert all("source_embeddings" not in loc for loc in locations), (
+        f"source corpus scanned by the indexed search: {locations}"
+    )
+    assert any("idx" in loc for loc in locations)

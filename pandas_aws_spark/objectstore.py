@@ -264,7 +264,11 @@ def read_prefix_lineage(
     accounting AS DATA — one row per top-level object:
     ``(file_name, fmt, status, n_rows)``, ``status`` in
     ``('contributed', 'quarantined')``, quarantined rows carrying
-    ``n_rows = 0``. Documented departure (pinned in
+    ``n_rows = 0``. A directory object holding SEVERAL supported
+    formats reports ``fmt='mixed'`` (and contributes all of them); a
+    directory is quarantined only when NO key parses under a supported
+    format (r8 ADVICE — status is a property of the whole segment, not
+    of its first-listed key). Documented departure (pinned in
     tests/test_objectstore.py): the reference TRY-PARSES every file as
     csv -> parquet -> xlsx, so arbitrary text usually sneaks in as a
     one-column CSV; the engine dispatches on the key suffix
@@ -293,28 +297,54 @@ def read_prefix_lineage(
         return spark.createDataFrame([], out_schema)
     base = base_uri.rstrip("/")
     # top-level object = first path segment (a Spark-written "file" is
-    # a directory of part files; a flat object is its own segment)
-    seg_fmt: dict[str, str] = {}
+    # a directory of part files; a flat object is its own segment).
+    # A segment's status/fmt derive from ALL its keys (r8 ADVICE: the
+    # old first-key setdefault could label a dir holding both .csv and
+    # .weird keys 'quarantined' yet join it with n_rows > 0): any
+    # supported key -> 'contributed'; fmt is the single supported
+    # format, or 'mixed' when a segment holds several.
+    seg_fmts: dict[str, list[str]] = {}
     groups: dict[str, list[str]] = {}
     for k in keys:
         fmt = _detect_format(k)
-        seg_fmt.setdefault(k.split("/", 1)[0], fmt)
+        fmts = seg_fmts.setdefault(k.split("/", 1)[0], [])
+        if fmt not in fmts:
+            fmts.append(fmt)
         if fmt in _MIXED_TRY_ORDER:
             groups.setdefault(fmt, []).append(k)
+
+    def _seg_meta(fmts: list[str]) -> tuple[str, str]:
+        sup = [f for f in fmts if f in _MIXED_TRY_ORDER]
+        if not sup:
+            return fmts[0], "quarantined"
+        return (sup[0] if len(sup) == 1 else "mixed"), "contributed"
+
     meta = spark.createDataFrame(
-        [
-            (seg, fmt, "contributed" if fmt in _MIXED_TRY_ORDER else "quarantined")
-            for seg, fmt in sorted(seg_fmt.items())
-        ],
+        [(seg, *_seg_meta(fmts)) for seg, fmts in sorted(seg_fmts.items())],
         "file_name string, fmt string, status string",
     )
-    seg_pattern = _re.escape(base.rsplit("/", 1)[-1]) + "/([^/]+)"
+    # Segment recovery from input_file_name() (r8 ADVICE): anchor on
+    # the FULL percent-encoded base path, not its last segment — a
+    # base like /data/x/x or a deeper dir sharing the segment name
+    # would otherwise win the leftmost match and misattribute rows.
+    # input_file_name() yields a URI (space -> %20, '%' -> %25, '+'
+    # literal — probed empirically), so the captured segment is
+    # percent-decoded back to the raw object name before joining with
+    # the listing-derived meta; '+' is pre-escaped because url_decode
+    # is form-decoding ('+' -> ' ') while URI encoding leaves '+' as
+    # is.
+    _, _bp, _ = _hadoop_fs(spark, base)
+    raw_base_path = _bp.toUri().getRawPath().rstrip("/")
+    seg_pattern = _re.escape(raw_base_path) + "/([^/]+)"
+    seg_col = F.url_decode(
+        F.regexp_replace(
+            F.regexp_extract(F.input_file_name(), seg_pattern, 1), r"\+", "%2B"
+        )
+    )
     scans = [
         read_df(
             spark, [f"{base}/{k}" for k in gkeys], format=fmt, schema=schema, **options
-        ).select(
-            F.regexp_extract(F.input_file_name(), seg_pattern, 1).alias("file_name")
-        )
+        ).select(seg_col.alias("file_name"))
         for fmt, gkeys in sorted(groups.items())
     ]
     if scans:

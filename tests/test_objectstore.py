@@ -212,3 +212,71 @@ def test_read_prefix_lineage_empty_prefix(spark, tmp_path):
     out = read_prefix_lineage(spark, f"file://{tmp_path}/void")
     assert out.count() == 0
     assert out.columns == ["file_name", "fmt", "status", "n_rows"]
+
+
+def test_read_prefix_lineage_base_segment_recurring_deeper(spark, fdf, tmp_path):
+    """r8 verdict wrong-item #4 / ADVICE: the segment regex must anchor
+    on the FULL base path. With base .../x/x and an object literally
+    named x, a last-segment anchor ('x/([^/]+)') matches too early in
+    the URI and attributes every row to the wrong object."""
+    from pandas_aws_spark.objectstore import read_prefix_lineage, write_df
+
+    base = f"file://{tmp_path}/x/x"
+    write_df(fdf, f"{base}/x", format="csv")  # object ALSO named x
+    write_df(fdf, f"{base}/y.csv", format="csv")
+    out = {
+        r.file_name: (r.fmt, r.status, r.n_rows)
+        for r in read_prefix_lineage(
+            spark, base, suffix="", schema="col_1 long, col_2 string"
+        ).collect()
+    }
+    assert out == {
+        "x": ("csv", "contributed", 4),
+        "y.csv": ("csv", "contributed", 4),
+    }
+
+
+def test_read_prefix_lineage_url_encodable_object_names(spark, fdf, tmp_path):
+    """r8 verdict wrong-item #4: input_file_name() percent-encodes the
+    URI (space -> %20, '%' -> %25; '+' stays literal). The extracted
+    segment must decode back to the raw listed name or rows join to
+    nothing and every object reports n_rows=0."""
+    from pandas_aws_spark.objectstore import read_prefix_lineage, write_df
+
+    base = f"file://{tmp_path}/enc"
+    write_df(fdf, f"{base}/a b.csv", format="csv")
+    write_df(fdf, f"{base}/c+d.csv", format="csv")
+    write_df(fdf, f"{base}/p%20e.csv", format="csv")
+    out = {
+        r.file_name: r.n_rows
+        for r in read_prefix_lineage(
+            spark, base, schema="col_1 long, col_2 string"
+        ).collect()
+    }
+    assert out == {"a b.csv": 4, "c+d.csv": 4, "p%20e.csv": 4}
+
+
+def test_read_prefix_lineage_mixed_suffix_segment_is_contributed(spark, fdf, tmp_path):
+    """r8 ADVICE: a top-level directory whose keys span supported and
+    unsupported suffixes must be 'contributed' (any supported key
+    feeds the union); several supported formats report fmt='mixed'.
+    The old first-listed-key rule could label such a dir 'quarantined'
+    while still joining n_rows > 0 onto it."""
+    from pandas_aws_spark.objectstore import read_prefix_lineage, write_df
+
+    base = f"file://{tmp_path}/mixdir"
+    # one directory object holding a .weird key (sorts first) AND csv
+    # part files: the first-key rule saw 'weird' and quarantined it
+    write_df(fdf, f"{base}/obj", format="csv")
+    (tmp_path / "mixdir" / "obj" / "aaa.weird").write_text("junk")
+    # and a two-supported-format directory -> fmt='mixed'
+    write_df(fdf, f"{base}/both/c.csv", format="csv")
+    write_df(fdf, f"{base}/both/p.parquet", format="parquet")
+    out = {
+        r.file_name: (r.fmt, r.status, r.n_rows)
+        for r in read_prefix_lineage(
+            spark, base, schema="col_1 long, col_2 string"
+        ).collect()
+    }
+    assert out["obj"] == ("csv", "contributed", 4)
+    assert out["both"] == ("mixed", "contributed", 8)

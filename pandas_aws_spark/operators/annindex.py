@@ -114,14 +114,16 @@ def build_ann_index(
     iters: int = 2,
     coarse: str = "first",
     coarse_iters: int = 3,
+    coarse_sample: float | None = None,
 ) -> AnnIndex:
     """Train + encode the base corpus into an :class:`AnnIndex`.
 
     One pass over the corpus feeds coarse training, PQ training, cell
     assignment and encoding (see :func:`..operators.pq.ivf_pq_build_full`).
-    At 100 TB: train both quantizers on a sample, then the full-corpus
-    encode is a single broadcast-join pass (SCALE.md r9 measures the
-    sampled-training recall)."""
+    At 100 TB: pass ``coarse='kmeans', coarse_sample=0.01`` — coarse
+    training is the dominant build term and a 1% deterministic sample
+    holds recall (measured r9, SCALE.md); the full-corpus encode stays
+    a single broadcast-join pass."""
     dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
     cents, cb, codes, vectors = ivf_pq_build_full(
         corpus,
@@ -133,6 +135,7 @@ def build_ann_index(
         iters=iters,
         coarse=coarse,
         coarse_iters=coarse_iters,
+        coarse_sample=coarse_sample,
     )
     params = {
         "id_col": id_col,

@@ -340,6 +340,7 @@ def ivf_pq_build_full(
     iters: int = 2,
     coarse: str = "first",
     coarse_iters: int = 3,
+    coarse_sample: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`ivf_pq_build` plus the fourth frame a PERSISTED index
     needs: ``vectors`` — the L2-normalized raw vectors with their
@@ -347,15 +348,33 @@ def ivf_pq_build_full(
     stage reads raw vectors for the shortlisted candidates; an on-disk
     index must carry them (normalized ONCE, at build/append time) or
     every search would re-scan and re-normalize the source corpus —
-    defeating the artifact. See :mod:`.annindex` for the lifecycle."""
+    defeating the artifact. See :mod:`.annindex` for the lifecycle.
+
+    ``coarse_sample`` (with ``coarse='kmeans'``): train the coarse
+    quantizer on a deterministic hash-sample of the corpus instead of
+    all of it — the 100 TB build story, since coarse training is the
+    dominant build term (r8 isolation: 897.6s of a 64-cell 200k-row
+    build) while assignment/encoding are single broadcast-join passes.
+    Sampling only needs the sample to SEE the density structure, so
+    recall holds at small fractions (measured r9, SCALE.md: recall@10
+    at 1% training within noise of full-corpus training). Deterministic
+    (xxhash64 threshold on the id), so rebuilds converge."""
     from .similarity import ivf_assign, kmeans_fit
 
     cn = l2_normalize(
         corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
     )
     if coarse == "kmeans":
+        train = cn
+        if coarse_sample is not None:
+            if not (0.0 < coarse_sample <= 1.0):
+                raise ValueError(f"coarse_sample must be in (0, 1], got {coarse_sample}")
+            train = cn.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+                < int(coarse_sample * 1_000_000)
+            )
         cents = kmeans_fit(
-            cn, k=n_centroids, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+            train, k=n_centroids, iters=coarse_iters, id_col=id_col, vec_col=vec_col
         )
     elif coarse == "first":
         cents = (

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Diff two dump_plans.py outputs under nondeterminism normalization —
+the mechanical source for _REWRITTEN_THIS_ROUND (r8 discipline, now a
+committed tool instead of an ad-hoc snippet).
+
+Normalizes the rendering noise that is NOT a plan change:
+  * expression ids (``col#123`` -> ``col#N``)
+  * lambda variable counters (``x_42`` -> ``x_N``)
+  * scratch/temp paths (mkdtemp suffixes differ per run)
+  * checkpoint/RDD object ids
+  * grouping-set gid literals when only their numbering permutes
+
+Usage: python tools/diff_plans.py before.json after.json
+Prints one line per entry whose NORMALIZED plan differs (the rewrite
+list), then a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def normalize(plan: str) -> str:
+    p = plan
+    p = re.sub(r"#\d+L?", "#N", p)  # expression ids
+    p = re.sub(r"\b([a-zA-Z]+)_\d+\b", r"\1_N", p)  # lambda vars x_42
+    p = re.sub(r"/tmp/[A-Za-z0-9_./-]+", "/TMP", p)  # scratch paths
+    p = re.sub(r"/private/var/[A-Za-z0-9_./-]+", "/TMP", p)
+    p = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[NORM]", p)
+    p = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", p)
+    p = re.sub(r"spark_grouping_id#N", "gid#N", p)
+    return p
+
+
+def main() -> int:
+    with open(sys.argv[1]) as fh:
+        before = json.load(fh)
+    with open(sys.argv[2]) as fh:
+        after = json.load(fh)
+    changed, added, removed = [], [], []
+    for name in sorted(set(before) | set(after)):
+        if name not in before:
+            added.append(name)
+        elif name not in after:
+            removed.append(name)
+        elif normalize(before[name]) != normalize(after[name]):
+            changed.append(name)
+    for n in changed:
+        print(f"REWRITTEN {n}")
+    for n in added:
+        print(f"NEW       {n}")
+    for n in removed:
+        print(f"REMOVED   {n}")
+    print(
+        f"-- {len(changed)} rewritten, {len(added)} new, {len(removed)} removed, "
+        f"{len(set(before) & set(after)) - len(changed)} unchanged"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,6 +22,46 @@ import re
 import sys
 
 
+def _canon_lists(s: str) -> str:
+    """Canonicalize list ORDER inside a plan line: every bracketed
+    group's top-level comma items are sorted (recursively). Grouping-set
+    rewrites permute gid slot numbering, Expand projections, and
+    Aggregate key/output order BETWEEN PROCESSES at the same commit
+    (verified by double-dumping one commit) — list order in these
+    operators is semantically irrelevant, so it must not count as a
+    rewrite."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "[":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if s[j] == "[":
+                    depth += 1
+                elif s[j] == "]":
+                    depth -= 1
+                j += 1
+            inner = _canon_lists(s[i + 1 : j - 1])
+            parts, buf, d = [], [], 0
+            for c in inner:
+                if c in "[(":
+                    d += 1
+                elif c in "])":
+                    d -= 1
+                if c == "," and d == 0:
+                    parts.append("".join(buf).strip())
+                    buf = []
+                else:
+                    buf.append(c)
+            parts.append("".join(buf).strip())
+            out.append("[" + ", ".join(sorted(parts)) + "]")
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def normalize(plan: str) -> str:
     p = plan
     p = re.sub(r"#\d+L?", "#N", p)  # expression ids
@@ -31,7 +71,20 @@ def normalize(plan: str) -> str:
     p = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[NORM]", p)
     p = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", p)
     p = re.sub(r"spark_grouping_id#N", "gid#N", p)
-    return p
+    # grouping-set gid literals permute with the (nondeterministic)
+    # internal distinct-group numbering; the literal value is an
+    # internal tag, not a plan property
+    p = re.sub(r"gid#N = \d+", "gid#N = G", p)
+    lines = [
+        # bare integers on these lines are gid slot tags riding inside
+        # the Expand projections — blank them before sorting or a
+        # permuted numbering still renders two orders
+        _canon_lists(re.sub(r"\b\d+\b", "G", ln))
+        if ("Aggregate [" in ln or "Expand [" in ln)
+        else ln
+        for ln in p.splitlines()
+    ]
+    return "\n".join(lines)
 
 
 def main() -> int:

@@ -56,6 +56,21 @@ EXISTING codebook (broadcast), one narrow write per batch, O(batch)
 regardless of accumulated index size. Search reads centroids/codebook
 (kilobytes, driver/broadcast) plus two lazy parquet scans; per-query
 cost tracks nprobe/n_centroids of the INDEX, never the source corpus.
+
+Why there is NO bucketed-catalog variant here (unlike the dedup index,
+where ``bucketBy(band, sig)`` measurably removed the index-side
+exchange): the executed search plan (inspected r9) feeds the stored
+``codes`` scan through BROADCAST hash joins — LUT and probe selections
+are kilobyte build sides — so the index side carries zero exchanges to
+begin with. The only shuffles in a search are keyed on
+``(query_id, neighbor_id)`` pairs (ADC sum, per-query top-k), which
+are query-dependent and cannot be pre-bucketed. The dedup index's win
+came from a SHUFFLED two-key self-side join; that shape does not occur
+here, so a bucketed layout would add writer complexity for no plan
+change. The re-rank join is always broadcastable from the shortlist
+side (bounded at queries x k x oversample rows) — at small SF Catalyst
+may broadcast the vectors side instead, which AQE re-decides from real
+sizes at scale.
 """
 
 from __future__ import annotations

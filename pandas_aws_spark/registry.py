@@ -276,7 +276,17 @@ def derive_driver_window() -> tuple[str, ...]:
     # r7 ADVICE overflow bug (`pool[:negative]` appending the whole
     # verified pool) cannot recur because `take` is clamped at 0.
     window: list[str] = [n for n in REGISTRY if n not in latest]
-    window += [n for n in _REWRITTEN_THIS_ROUND if n not in window]
+    # A rewrite entry is LIVE only while its latest on-disk evidence
+    # predates the rewrite round (r8 ADVICE: evidence landing without
+    # the mapping cleanup must degrade to a no-op, not burn re-check
+    # slots on fresh-evidence entries; test_rewritten_entries_expire
+    # stays the hygiene tripwire that forces the cleanup commit, but
+    # the window itself is no longer order-sensitive to it).
+    window += [
+        n
+        for n, rewritten_in in _REWRITTEN_THIS_ROUND.items()
+        if n not in window and latest.get(n, -1) < rewritten_in
+    ]
     pool = sorted(
         (n for n in REGISTRY if n in latest and n not in window),
         key=lambda n: (latest[n], n),

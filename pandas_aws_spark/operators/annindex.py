@@ -130,6 +130,7 @@ def build_ann_index(
     coarse: str = "first",
     coarse_iters: int = 3,
     coarse_sample: float | None = None,
+    payload_cols: tuple[str, ...] = (),
 ) -> AnnIndex:
     """Train + encode the base corpus into an :class:`AnnIndex`.
 
@@ -138,7 +139,14 @@ def build_ann_index(
     At 100 TB: pass ``coarse='kmeans', coarse_sample=0.01`` — coarse
     training is the dominant build term and a 1% deterministic sample
     holds recall (measured r9, SCALE.md); the full-corpus encode stays
-    a single broadcast-join pass."""
+    a single broadcast-join pass.
+
+    ``payload_cols``: metadata columns (e.g. ``label``, language,
+    source) stored alongside BOTH the codes and the vectors, enabling
+    FILTERED search (:func:`ann_index_topk` ``where=``) whose predicate
+    reaches the codes parquet scan as a pushed filter — the Spark-first
+    filtered-ANN shape: prune candidate rows at the scan, not after the
+    shortlist (post-shortlist filtering silently costs recall)."""
     dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
     cents, cb, codes, vectors = ivf_pq_build_full(
         corpus,
@@ -152,6 +160,10 @@ def build_ann_index(
         coarse_iters=coarse_iters,
         coarse_sample=coarse_sample,
     )
+    if payload_cols:
+        payload = corpus.select(F.col(id_col), *[F.col(c) for c in payload_cols])
+        codes = codes.join(payload, id_col)
+        vectors = vectors.join(payload, id_col)
     params = {
         "id_col": id_col,
         "vec_col": vec_col,
@@ -162,6 +174,7 @@ def build_ann_index(
         "iters": iters,
         "coarse": coarse,
         "coarse_iters": coarse_iters,
+        "payload_cols": ",".join(payload_cols),
     }
     return AnnIndex(cents, cb, codes, vectors, params)
 
@@ -241,6 +254,17 @@ def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> Non
         assigned.select(F.col(id_col), "cell"), id_col
     )
     vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell")
+    payload_cols = tuple(c for c in params.get("payload_cols", "").split(",") if c)
+    if payload_cols:
+        missing = [c for c in payload_cols if c not in new_vectors.columns]
+        if missing:
+            raise ValueError(
+                f"index recipe mismatch: stored payload_cols {payload_cols} "
+                f"absent from batch: {missing}"
+            )
+        payload = new_vectors.select(F.col(id_col), *[F.col(c) for c in payload_cols])
+        codes = codes.join(payload, id_col)
+        vectors = vectors.join(payload, id_col)
     delta = AnnIndex(cents, cb, codes, vectors, params)
     write_ann_index(delta, path, batch_id=batch_id)
 
@@ -253,13 +277,27 @@ def ann_index_topk(
     k: int = 10,
     oversample: int = 5,
     exclude_self: bool = True,
+    where: str | None = None,
 ) -> DataFrame:
     """IVF-PQ search against a (stored) index: probes, ADC, and exact
     re-rank all read the index frames — the source corpus is never
     touched and nothing retrains or re-normalizes. Returns
     (query_id, neighbor_id, rank, l2sq_fp), identical to
-    :func:`..operators.pq.ivf_pq_topk` with the same recipe."""
+    :func:`..operators.pq.ivf_pq_topk` with the same recipe.
+
+    ``where``: SQL predicate over the index's ``payload_cols``
+    (filtered ANN — "top-k neighbors among label=3 docs"). Applied to
+    BOTH index frames BEFORE the search, so (a) the predicate reaches
+    the codes parquet scan as a PushedFilter (candidates prune at the
+    scan, tests assert the plan) and (b) top-k is exact over the
+    filtered set WITHIN the probed cells — filtering after the
+    shortlist instead would silently return fewer than k and lose
+    recall whenever the shortlist is dominated by non-matching rows."""
     p = index.params
+    codes, vectors = index.codes, index.vectors
+    if where is not None:
+        codes = codes.filter(where)
+        vectors = vectors.filter(where)
     return ivf_pq_topk(
         queries,
         None,
@@ -275,6 +313,6 @@ def ann_index_topk(
         exclude_self=exclude_self,
         centroids=index.centroids,
         codebook=index.codebook,
-        codes=index.codes,
-        vectors=index.vectors,
+        codes=codes,
+        vectors=vectors,
     )

@@ -205,3 +205,156 @@ def q_sim_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("search", "query_id", "neighbor_id", "rank", "l2sq_fp")
         .orderBy("search", "query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN search: top-k among ONLY the rows matching a metadata
+# predicate ("nearest label-3 neighbors") — the production shape for
+# per-language / per-source / per-license retrieval. The predicate is
+# applied to the stored codes BEFORE the ADC stage, so it reaches the
+# parquet scan as a PushedFilter (tests assert the plan) and top-k is
+# exact over the filtered set within the probed cells; filtering after
+# the shortlist would silently under-fill k and lose recall.
+# --------------------------------------------------------------------------
+_FILTER_LABEL = 3
+
+_ANN_FILTERED_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1).strip()},
+{_pq_iteration_ctes(2).strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, cent ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c
+  JOIN e0 lab ON lab.vec_id = c.vec_id AND lab.label = {_FILTER_LABEL}
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "q_sim_index_filtered",
+    oracle=_ANN_FILTERED_ORACLE,
+    tags=("similarity", "pq", "ivf", "filtered"),
+)
+def q_sim_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN against a stored index: top-10 neighbors among ONLY
+    label-3 vectors. The index stores ``label`` as a payload column in
+    both the codes and vectors frames (``build_ann_index(payload_cols=
+    ("label",))``), and ``ann_index_topk(where="label = 3")`` applies
+    the predicate BEFORE the ADC stage — it reaches the codes parquet
+    scan as a PushedFilter (plan-asserted in tests/test_annindex.py),
+    so candidate pruning happens at the scan, and top-k is exact over
+    the filtered set within the probed cells. Filtering after the
+    shortlist instead would under-fill k whenever the shortlist is
+    dominated by non-matching rows — the classic filtered-ANN recall
+    trap."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        build_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_filtered_")
+    write_ann_index(
+        build_ann_index(
+            emb,
+            n_centroids=_NCENT,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+            iters=_PQ_ITERS,
+            payload_cols=("label",),
+        ),
+        path,
+    )
+    stored = read_ann_index(spark, path)
+    return ann_index_topk(
+        qdf,
+        stored,
+        nprobe=_IVFPQ_NPROBE,
+        k=_PQ_TOPK,
+        oversample=_PQ_OVERSAMPLE,
+        where=f"label = {_FILTER_LABEL}",
+    ).orderBy("query_id", "rank")

@@ -214,6 +214,79 @@ def test_dedup_writer_rejects_unsafe_batch_ids(spark, tmp_path):
             append_dedup_index(delta, path, batch_id=bad)
 
 
+def test_filtered_search_pushes_predicate_and_is_exact_in_cells(spark, tmp_path):
+    """Filtered ANN: the payload predicate must reach the codes parquet
+    scan as a PushedFilter (candidate pruning AT THE SCAN), every
+    returned neighbor must satisfy it, and the result must equal the
+    same search over an index built from only the matching rows with
+    identical quantizers — proving the filter costs no in-cell recall
+    (the post-shortlist-filter trap would fail this equality)."""
+    emb, _, _, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path
+    )
+    stored = read_ann_index(spark, path)
+    assert "label" in stored.codes.columns and "label" in stored.vectors.columns
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ann_index_topk(q, stored, **_SEARCH, where="label = 3")
+    # predicate reached the codes scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans_with_filter = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln or "FileScan" in ln or "PushedFilters" in ln
+    ]
+    assert any(
+        "label" in ln and re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", ln)
+        for ln in scans_with_filter
+    ), f"label predicate not pushed to any scan:\n{plan[:4000]}"
+    rows = out.orderBy("query_id", "rank").collect()
+    assert rows and all(True for _ in rows)
+    labels = {
+        r.label
+        for r in stored.vectors.join(
+            out.select(F.col("neighbor_id").alias("vec_id")), "vec_id"
+        ).collect()
+    }
+    assert labels == {3}
+    # equality with an index over only the matching rows, same quantizers:
+    # cells/codebook trained on the FULL corpus both times, so the filtered
+    # search and the pre-filtered-corpus search see identical candidates
+    from pandas_aws_spark.operators.annindex import AnnIndex
+
+    pre = AnnIndex(
+        stored.centroids,
+        stored.codebook,
+        stored.codes.filter("label = 3"),
+        stored.vectors.filter("label = 3"),
+        stored.params,
+    )
+    want = [tuple(r) for r in ann_index_topk(q, pre, **_SEARCH).orderBy("query_id", "rank").collect()]
+    assert [tuple(r) for r in rows] == want
+
+
+def test_append_carries_payload_columns(spark, tmp_path):
+    """Appends must store the payload columns too, or filtered search
+    would silently drop every appended row (inner filter on a missing
+    column errors; a null-filled column would exclude them)."""
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
+    )
+    append_ann_index(b1, path, batch_id="b1")
+    stored = read_ann_index(spark, path)
+    n_l3 = emb.filter((F.col("label") == 3) & ((F.col("vec_id") % 4 != 0) | (F.col("vec_id") % 8 == 0))).count()
+    assert stored.codes.filter("label = 3").count() == n_l3
+    # a batch missing the payload column is a recipe mismatch
+    bad = b1.select((F.col("vec_id") + 500000).alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="payload"):
+        append_ann_index(bad, path, batch_id="b2")
+
+
 def test_index_search_plan_reads_only_index_files(spark, tmp_path):
     """The deployment contract (twin of the dedup assertion): a search
     against a stored index scans the INDEX parquet only — the source

@@ -155,6 +155,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_dedup_prefix_filter_join": 1,  # corpus-size guard broadcast
     "q_sim_eval_rank_quality": 16,  # capped query side + centroid fan-out (brute + IVF passes)
     "q_sim_index_ingest": 16,  # stored coarse centroids (8 kilobyte rows) fan-out
+    "q_sim_index_filtered": 16,  # same stored-centroid fan-out, filtered search
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

@@ -358,3 +358,183 @@ def q_sim_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         oversample=_PQ_OVERSAMPLE,
         where=f"label = {_FILTER_LABEL}",
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Streaming vector ingest: new embedding batches arrive as a file
+# stream and foreachBatch appends each micro-batch into the STORED
+# index (frozen quantizers, per-batch subdirs) — the crawl-to-index
+# pipeline shape. The final search is deterministic even though
+# micro-batch BOUNDARIES are not: appends assign/encode each row
+# independently against the frozen quantizers, so the union of batch
+# subdirs is the same index whatever the file-to-trigger split, and
+# batch ids derive from the checkpointed micro-batch id so a replayed
+# batch overwrites itself (at-least-once foreachBatch -> exactly-once
+# index effect, the same recipe as q_stream_upsert_foreachbatch).
+# --------------------------------------------------------------------------
+_STREAM_BASE_PRED = "vec_id % 2 = 0"
+
+_ANN_STREAM_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+subs_tr AS (SELECT * FROM subs WHERE {_STREAM_BASE_PRED}),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs_tr)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1, "subs_tr").strip()},
+{_pq_iteration_ctes(2, "subs_tr").strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e WHERE {_STREAM_BASE_PRED} ORDER BY vec_id LIMIT {_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, cent ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "q_stream_ann_ingest",
+    oracle=_ANN_STREAM_ORACLE,
+    tags=("streaming", "similarity", "pq", "ivf", "incremental"),
+)
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingest into the persisted ANN index — the
+    crawl-to-index pipeline: the base index is built over half the
+    corpus (vec_id % 2 = 0, quantizers trained there and FROZEN), the
+    other half lands as a parquet file stream (4 landing files, 2 per
+    trigger -> 2 micro-batches), and ``foreachBatch`` appends each
+    micro-batch via ``append_ann_index`` with ``batch_id=s<micro-batch
+    id>`` — at-least-once foreachBatch replays overwrite their own
+    batch subdirs, so the index effect is exactly-once. The final
+    search (over the re-read index) is deterministic although the
+    micro-batch BOUNDARIES are not: each row's cell/codes depend only
+    on the frozen quantizers, never on which batch carried it, so the
+    union of batch subdirs is one fixed index. Oracle replays
+    train-on-base + encode-everything + search in SQL."""
+    import shutil
+
+    from ..operators.annindex import (
+        ann_index_topk,
+        append_ann_index,
+        build_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from ..streaming.pipeline import record_drain
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.expr(_STREAM_BASE_PRED))
+    rest = emb.filter(~F.expr(_STREAM_BASE_PRED))
+    qdf = emb.filter(F.col("vec_id") < 3)
+    work = scratch_dir(prefix="pandas_aws_spark_ann_stream_")
+    path, landing, ckpt = f"{work}/idx", f"{work}/landing", f"{work}/ckpt"
+    write_ann_index(
+        build_ann_index(
+            base, n_centroids=_NCENT, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        ),
+        path,
+    )
+    rest.repartition(4).write.mode("overwrite").parquet(landing)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_index(batch_df, path, batch_id=f"s{batch_id}")
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    record_drain(q)
+
+    stored = read_ann_index(spark, path)
+    out = (
+        ann_index_topk(
+            qdf, stored, nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK, oversample=_PQ_OVERSAMPLE
+        )
+        .orderBy("query_id", "rank")
+        .localCheckpoint(eager=True)  # detach from the temp dir before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

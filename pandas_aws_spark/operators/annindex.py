@@ -88,6 +88,7 @@ __all__ = [
     "write_ann_index",
     "read_ann_index",
     "append_ann_index",
+    "compact_ann_index",
     "ann_index_topk",
 ]
 
@@ -267,6 +268,37 @@ def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> Non
         vectors = vectors.join(payload, id_col)
     delta = AnnIndex(cents, cb, codes, vectors, params)
     write_ann_index(delta, path, batch_id=batch_id)
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Fold the accumulated ``batch=<id>`` subdirectories into a single
+    ``batch=base`` — the maintenance op a long-running ingest pipeline
+    schedules once small-batch count (and with it per-search file-open
+    cost and listing time) grows. Quantizers are untouched; rows are
+    bit-identical, only file layout changes, so searches before and
+    after compare equal (tests assert this).
+
+    Crash story, honestly: the current frames are materialized
+    (``localCheckpoint``) BEFORE the base rewrite clears the old
+    subdirectories, so a crash during compaction can leave the on-disk
+    index incomplete — same non-atomic rewrite window as the
+    warehouse's temp+rename upsert (SURVEY §2 R12 partial): closing it
+    needs a transactional table format (Delta/Iceberg), whose jars this
+    container lacks. Appends that raced a compaction (same-id
+    discipline still applies) must be replayed after it. Single-writer
+    per index path is the standing assumption."""
+    idx = read_ann_index(spark, path)
+    # EVERY frame is pinned off the files about to be rewritten — the
+    # base write overwrites centroids/codebook/params too, and Spark
+    # (correctly) refuses to overwrite a path its own plan still reads.
+    compacted = AnnIndex(
+        idx.centroids.localCheckpoint(eager=True),
+        idx.codebook.localCheckpoint(eager=True),
+        idx.codes.localCheckpoint(eager=True),
+        idx.vectors.localCheckpoint(eager=True),
+        idx.params,
+    )
+    write_ann_index(compacted, path, batch_id="base")
 
 
 def ann_index_topk(

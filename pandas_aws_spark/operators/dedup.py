@@ -52,6 +52,7 @@ __all__ = [
     "write_dedup_index",
     "read_dedup_index",
     "append_dedup_index",
+    "compact_dedup_index",
     "validate_batch_id",
     "indexed_near_dup_pairs",
     "simhash16",
@@ -710,6 +711,25 @@ def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
             f"index recipe mismatch: stored {stored} vs delta {delta.params}"
         )
     write_dedup_index(delta, path, batch_id=batch_id)
+
+
+def compact_dedup_index(spark, path: str) -> None:
+    """Fold the accumulated ``batch=<id>`` subdirectories into a single
+    ``batch=base`` — the maintenance op for long ingest histories
+    (per-ingest probe cost doesn't grow with batch count, but file-open
+    and listing overhead do). Rows are bit-identical; only layout
+    changes, so a post-compaction ingest returns exactly the
+    pre-compaction matches (tests assert this). Same non-atomic rewrite
+    window as :func:`~pandas_aws_spark.operators.annindex
+    .compact_ann_index` — a transactional table format closes it;
+    single-writer assumed."""
+    idx = read_dedup_index(spark, path)
+    compacted = DedupIndex(
+        idx.buckets.localCheckpoint(eager=True),
+        idx.packs.localCheckpoint(eager=True),
+        idx.params,
+    )
+    write_dedup_index(compacted, path, batch_id="base")
 
 
 def indexed_near_dup_pairs(

@@ -309,3 +309,70 @@ def test_index_search_plan_reads_only_index_files(spark, tmp_path):
         f"source corpus scanned by the indexed search: {locations}"
     )
     assert any("idx" in loc for loc in locations)
+
+
+def test_compact_ann_index_preserves_search_results(spark, tmp_path):
+    """Compaction folds batch subdirs into one; rows are bit-identical
+    so search results are unchanged, and the layout really collapses
+    (exactly one batch directory remains)."""
+    import os
+
+    from pandas_aws_spark.operators.annindex import compact_ann_index
+
+    emb, base, b1, b2 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    append_ann_index(b2, path, batch_id="b2")
+    q = emb.filter(F.col("vec_id") < 3)
+    before = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
+    n = read_ann_index(spark, path).codes.count()
+    compact_ann_index(spark, path)
+    assert sorted(os.listdir(f"{path}/codes")) == ["batch=base"]
+    assert sorted(os.listdir(f"{path}/vectors")) == ["batch=base"]
+    after_idx = read_ann_index(spark, path)
+    assert after_idx.codes.count() == n
+    assert _rows(ann_index_topk(q, after_idx, **_SEARCH)) == before
+    # appends keep working after compaction
+    dup = base.filter(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    append_ann_index(dup, path, batch_id="post")
+    assert read_ann_index(spark, path).codes.count() == n + 1
+
+
+def test_compact_dedup_index_preserves_matches(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    BASE = "the quick brown fox jumps over the lazy dog every single day"
+    NEAR = "the quick brown fox jumps over the lazy dog every single night"
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    extra = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    append_dedup_index(build_dedup_index(extra, "doc_id", "text"), path, batch_id="b1")
+    probe = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+    before = {
+        (r.id_a, r.id_b)
+        for r in indexed_near_dup_pairs(
+            probe, read_dedup_index(spark, path), "text", threshold=0.5
+        ).collect()
+    }
+    compact_dedup_index(spark, path)
+    import os
+
+    assert sorted(os.listdir(f"{path}/packs")) == ["batch=base"]
+    after = {
+        (r.id_a, r.id_b)
+        for r in indexed_near_dup_pairs(
+            probe, read_dedup_index(spark, path), "text", threshold=0.5
+        ).collect()
+    }
+    assert after == before and before  # non-empty and identical

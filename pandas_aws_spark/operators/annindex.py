@@ -88,6 +88,7 @@ __all__ = [
     "write_ann_index",
     "read_ann_index",
     "append_ann_index",
+    "delete_from_ann_index",
     "compact_ann_index",
     "ann_index_topk",
 ]
@@ -191,7 +192,7 @@ def write_ann_index(index: AnnIndex, path: str, *, batch_id: str = "base") -> No
     validate_batch_id(batch_id)
     spark = index.codes.sparkSession
     if batch_id == "base":
-        _clear_index_subdirs(spark, path, ("vectors", "codes"))
+        _clear_index_subdirs(spark, path, ("vectors", "codes", "tombstones"))
     index.vectors.write.mode("overwrite").parquet(f"{path}/vectors/batch={batch_id}")
     index.codes.write.mode("overwrite").parquet(f"{path}/codes/batch={batch_id}")
     if batch_id == "base":
@@ -206,13 +207,29 @@ def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     """Load a persisted index. The params read is a one-row kilobyte
     collect; centroids/codebook/codes/vectors stay LAZY parquet scans
     (the ``batch`` partition column from the per-ingest layout is
-    dropped — batch identity is write-side bookkeeping)."""
+    dropped — batch identity is write-side bookkeeping).
+
+    Tombstones (:func:`delete_from_ann_index`) are applied HERE — the
+    returned codes/vectors hold live rows only, via one anti-join
+    against the (small) tombstone id set, so every consumer (search,
+    compaction, counts) sees the same post-delete view without
+    re-implementing the rule."""
     params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    id_col = params["id_col"]
+    codes = spark.read.parquet(f"{path}/codes").drop("batch")
+    vectors = spark.read.parquet(f"{path}/vectors").drop("batch")
+    from ..objectstore import _hadoop_fs
+
+    fs, tomb_path, _ = _hadoop_fs(spark, f"{path}/tombstones")
+    if fs.exists(tomb_path):
+        tombs = spark.read.parquet(f"{path}/tombstones").drop("batch").distinct()
+        codes = codes.join(F.broadcast(tombs), id_col, "left_anti")
+        vectors = vectors.join(F.broadcast(tombs), id_col, "left_anti")
     return AnnIndex(
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/codebook"),
-        spark.read.parquet(f"{path}/codes").drop("batch"),
-        spark.read.parquet(f"{path}/vectors").drop("batch"),
+        codes,
+        vectors,
         params,
     )
 
@@ -270,6 +287,35 @@ def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> Non
     write_ann_index(delta, path, batch_id=batch_id)
 
 
+def delete_from_ann_index(
+    ids: DataFrame, path: str, *, batch_id: str
+) -> None:
+    """Logical deletion (takedown/GDPR/dedup-drop story): write the ids
+    as a tombstone batch under ``{path}/tombstones/batch=<id>``. Reads
+    anti-join live rows against the tombstone set, so deletions take
+    effect on the next :func:`read_ann_index` — no data files are
+    rewritten (O(ids), not O(index)), the same deletion-vector shape
+    Delta/Iceberg/Lucene use. Idempotent under retries like appends
+    (same ``batch_id`` overwrites itself).
+
+    Semantics to know: a tombstoned id stays dead even if a later
+    append re-adds it — the anti-join has no version axis. Physical
+    removal happens at :func:`compact_ann_index`, which rewrites only
+    live rows and CLEARS the tombstones; re-appending after compaction
+    resurrects the id. At 100 TB the tombstone set stays a broadcast-
+    sized id list between compactions (schedule compaction before it
+    isn't)."""
+    validate_batch_id(batch_id)
+    spark = ids.sparkSession
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    id_col = params["id_col"]
+    if id_col not in ids.columns:
+        raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
+    ids.select(id_col).distinct().write.mode("overwrite").parquet(
+        f"{path}/tombstones/batch={batch_id}"
+    )
+
+
 def compact_ann_index(spark: SparkSession, path: str) -> None:
     """Fold the accumulated ``batch=<id>`` subdirectories into a single
     ``batch=base`` — the maintenance op a long-running ingest pipeline
@@ -291,6 +337,8 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     # EVERY frame is pinned off the files about to be rewritten — the
     # base write overwrites centroids/codebook/params too, and Spark
     # (correctly) refuses to overwrite a path its own plan still reads.
+    # read_ann_index already anti-joined tombstones away, so the
+    # rewrite materializes LIVE rows only = physical deletion.
     compacted = AnnIndex(
         idx.centroids.localCheckpoint(eager=True),
         idx.codebook.localCheckpoint(eager=True),
@@ -298,6 +346,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         idx.vectors.localCheckpoint(eager=True),
         idx.params,
     )
+    # the base write clears tombstones along with the old batch dirs:
+    # tombstoned rows are gone from the rewritten files, and later
+    # appends may legitimately re-introduce those ids
     write_ann_index(compacted, path, batch_id="base")
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "write_dedup_index",
     "read_dedup_index",
     "append_dedup_index",
+    "delete_from_dedup_index",
     "compact_dedup_index",
     "validate_batch_id",
     "indexed_near_dup_pairs",
@@ -670,7 +671,7 @@ def write_dedup_index(
     validate_batch_id(batch_id)
     spark = index.buckets.sparkSession
     if batch_id == "base":
-        _clear_index_subdirs(spark, path, ("packs", "buckets"))
+        _clear_index_subdirs(spark, path, ("packs", "buckets", "tombstones"))
     index.packs.write.mode("overwrite").parquet(f"{path}/packs/batch={batch_id}")
     index.buckets.write.mode("overwrite").parquet(f"{path}/buckets/batch={batch_id}")
     if batch_id == "base":
@@ -684,12 +685,39 @@ def read_dedup_index(spark, path: str) -> DedupIndex:
     """Load a persisted index. The params read is a one-row kilobyte
     collect; buckets/packs stay lazy parquet scans (the ``batch``
     partition column from the per-ingest layout is dropped — batch
-    identity is a write-side bookkeeping concern)."""
+    identity is a write-side bookkeeping concern). Tombstones
+    (:func:`delete_from_dedup_index`) are anti-joined away HERE, so
+    searches, appends and compaction all see live docs only."""
     params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
-    return DedupIndex(
-        spark.read.parquet(f"{path}/buckets").drop("batch"),
-        spark.read.parquet(f"{path}/packs").drop("batch"),
-        params,
+    id_col = params["id_col"]
+    buckets = spark.read.parquet(f"{path}/buckets").drop("batch")
+    packs = spark.read.parquet(f"{path}/packs").drop("batch")
+    from ..objectstore import _hadoop_fs
+
+    fs, tomb_path, _ = _hadoop_fs(spark, f"{path}/tombstones")
+    if fs.exists(tomb_path):
+        tombs = spark.read.parquet(f"{path}/tombstones").drop("batch").distinct()
+        buckets = buckets.join(F.broadcast(tombs), id_col, "left_anti")
+        packs = packs.join(F.broadcast(tombs), id_col, "left_anti")
+    return DedupIndex(buckets, packs, params)
+
+
+def delete_from_dedup_index(ids: DataFrame, path: str, *, batch_id: str) -> None:
+    """Logical deletion of docs from the stored dedup index (takedown /
+    post-dedup drop list): ids land as a tombstone batch; reads
+    anti-join them away (O(ids), no data-file rewrite), and
+    :func:`compact_dedup_index` makes the removal physical and retires
+    the tombstones — the same deletion-vector lifecycle as the ANN
+    index (:func:`~pandas_aws_spark.operators.annindex
+    .delete_from_ann_index`, semantics documented there)."""
+    validate_batch_id(batch_id)
+    spark = ids.sparkSession
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    id_col = params["id_col"]
+    if id_col not in ids.columns:
+        raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
+    ids.select(id_col).distinct().write.mode("overwrite").parquet(
+        f"{path}/tombstones/batch={batch_id}"
     )
 
 

@@ -538,3 +538,171 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Deletion lifecycle: tombstone batches make removals O(ids) and take
+# effect at the next read (anti-join of a broadcast id set); compaction
+# rewrites live rows only and retires the tombstones (physical delete).
+# Phases: 1 = pre-delete, 2 = logically deleted, 3 = after compaction
+# (2 and 3 must be identical — the oracle says so by construction, the
+# entry proves the engine agrees).
+# --------------------------------------------------------------------------
+_DELETE_PRED = "vec_id % 10 = 7"
+
+_ANN_DELETE_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+subs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1).strip()},
+{_pq_iteration_ctes(2).strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, cent ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT ph.phase, l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM (SELECT 1 AS phase UNION ALL SELECT 2 UNION ALL SELECT 3) ph
+  JOIN codes c ON (ph.phase = 1 OR NOT (c.{_DELETE_PRED}))
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY ph.phase, l.query_id, c.vec_id
+),
+short AS (
+  SELECT phase, query_id, neighbor_id FROM (
+    SELECT phase, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY phase, query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.phase, s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT phase, query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY phase, query_id
+                                   ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY phase, query_id, rank
+"""
+
+
+@query(
+    "q_sim_index_delete",
+    oracle=_ANN_DELETE_ORACLE,
+    tags=("similarity", "pq", "ivf", "delete"),
+)
+def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion lifecycle of the persisted ANN index — the takedown /
+    GDPR / post-dedup-drop story: search the stored index (phase 1),
+    ``delete_from_ann_index`` the vec_id % 10 = 7 cohort as a
+    TOMBSTONE batch (O(ids) — no data-file rewrite, the
+    deletion-vector shape Delta/Iceberg/Lucene use), search again
+    (phase 2 — reads anti-join the broadcast tombstone set, deleted
+    ids gone), then ``compact_ann_index`` (rewrites live rows only,
+    retires the tombstones) and search once more (phase 3 — must equal
+    phase 2, now physically). Phase-1 results are pinned via
+    localCheckpoint before the mutations; the oracle states the
+    2 == 3 equality by construction and the driver's hash check proves
+    the engine agrees."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_delete_")
+    write_ann_index(
+        build_ann_index(
+            emb, n_centroids=_NCENT, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        ),
+        path,
+    )
+
+    def search(phase: int) -> DataFrame:
+        return (
+            ann_index_topk(
+                qdf,
+                read_ann_index(spark, path),
+                nprobe=_IVFPQ_NPROBE,
+                k=_PQ_TOPK,
+                oversample=_PQ_OVERSAMPLE,
+            )
+            .withColumn("phase", F.lit(phase))
+            .localCheckpoint()
+        )
+
+    p1 = search(1)
+    delete_from_ann_index(emb.filter(F.expr(_DELETE_PRED)), path, batch_id="takedown1")
+    p2 = search(2)
+    compact_ann_index(spark, path)
+    p3 = search(3)
+    return (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .select("phase", "query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("phase", "query_id", "rank")
+    )

@@ -376,3 +376,82 @@ def test_compact_dedup_index_preserves_matches(spark, tmp_path):
         ).collect()
     }
     assert after == before and before  # non-empty and identical
+
+
+def test_tombstone_delete_lifecycle(spark, tmp_path):
+    """Deletions are logical until compaction: a tombstoned id
+    disappears from reads, stays dead even if re-appended (no version
+    axis), is physically gone after compaction, and may be
+    legitimately re-introduced afterwards."""
+    import os
+
+    from pandas_aws_spark.operators.annindex import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    n = base.count()
+    victims = base.filter(F.col("vec_id") % 10 == 7)
+    n_victims = victims.count()
+    assert n_victims > 0
+    delete_from_ann_index(victims, path, batch_id="t1")
+    live = read_ann_index(spark, path)
+    assert live.codes.count() == n - n_victims
+    assert live.vectors.count() == n - n_victims
+    assert live.codes.filter("vec_id % 10 = 7").count() == 0
+    # idempotent retry of the same tombstone batch
+    delete_from_ann_index(victims, path, batch_id="t1")
+    assert read_ann_index(spark, path).codes.count() == n - n_victims
+    # re-appending a tombstoned id does NOT resurrect it pre-compaction
+    one = victims.limit(1)
+    vid = one.first().vec_id
+    append_ann_index(one, path, batch_id="readd")
+    assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 0
+    # compaction: physical removal, tombstones retired
+    compact_ann_index(spark, path)
+    assert not os.path.isdir(f"{path}/tombstones")
+    after = read_ann_index(spark, path)
+    assert after.codes.count() == n - n_victims
+    # post-compaction re-append resurrects
+    append_ann_index(one, path, batch_id="resurrect")
+    assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 1
+
+
+def test_dedup_tombstone_delete(spark, tmp_path):
+    """Dedup-index twin: tombstoned docs stop matching immediately and
+    compaction makes the removal physical."""
+    import os
+
+    from pandas_aws_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    BASE = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    probe = spark.createDataFrame([(20, BASE)], "doc_id long, text string")
+    hit = indexed_near_dup_pairs(
+        probe, read_dedup_index(spark, path), "text", threshold=0.5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in hit} == {(20, 1)}
+    delete_from_dedup_index(
+        spark.createDataFrame([(1,)], "doc_id long"), path, batch_id="t1"
+    )
+    assert (
+        indexed_near_dup_pairs(
+            probe, read_dedup_index(spark, path), "text", threshold=0.5
+        ).count()
+        == 0
+    )
+    compact_dedup_index(spark, path)
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert read_dedup_index(spark, path).packs.count() == 0

@@ -156,6 +156,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_sim_eval_rank_quality": 16,  # capped query side + centroid fan-out (brute + IVF passes)
     "q_sim_index_ingest": 16,  # stored coarse centroids (8 kilobyte rows) fan-out
     "q_sim_index_filtered": 16,  # same stored-centroid fan-out, filtered search
+    "q_sim_index_delete": 16,  # same stored-centroid fan-out, three searches
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

@@ -455,3 +455,38 @@ def test_dedup_tombstone_delete(spark, tmp_path):
     compact_dedup_index(spark, path)
     assert not os.path.isdir(f"{path}/tombstones")
     assert read_dedup_index(spark, path).packs.count() == 0
+
+
+def test_tombstones_compose_with_payload_filtered_search(spark, tmp_path):
+    """Deletion and payload filtering interact correctly: a filtered
+    search never returns tombstoned ids, and compacting a
+    payload-carrying index preserves both the payload columns and the
+    filtered results."""
+    from pandas_aws_spark.operators.annindex import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb, _, _, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path)
+    q = emb.filter(F.col("vec_id") < 3)
+    pre = ann_index_topk(q, read_ann_index(spark, path), **_SEARCH, where="label = 3")
+    pre_ids = {r.neighbor_id for r in pre.collect()}
+    assert pre_ids
+    victims = emb.filter(F.col("vec_id").isin(list(pre_ids)[:2]))
+    dead = {r.vec_id for r in victims.select("vec_id").collect()}
+    delete_from_ann_index(victims, path, batch_id="t1")
+    post = ann_index_topk(q, read_ann_index(spark, path), **_SEARCH, where="label = 3")
+    post_rows = [tuple(r) for r in post.orderBy("query_id", "rank").collect()]
+    assert not ({r[1] for r in post_rows} & dead)
+    compact_ann_index(spark, path)
+    stored = read_ann_index(spark, path)
+    assert "label" in stored.codes.columns and "label" in stored.vectors.columns
+    compacted_rows = [
+        tuple(r)
+        for r in ann_index_topk(q, stored, **_SEARCH, where="label = 3")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert compacted_rows == post_rows

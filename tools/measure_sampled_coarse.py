@@ -11,8 +11,13 @@ PQ codebook training and the full-corpus encode are held IDENTICAL
 across rows — only the coarse quantizer's training set varies, so the
 recall delta isolates the knob.
 
-Usage: python tools/measure_sampled_coarse.py [corpus_dir]
-Defaults to /tmp/scale_sf10 (100x).
+Usage: python tools/measure_sampled_coarse.py [corpus_dir] [nprobe]
+Defaults to /tmp/scale_sf10 (100x), nprobe=8. Pass a small nprobe
+(e.g. 2) to measure at a NON-saturated operating point: at nprobe=8/64
+this corpus's recall ceiling is already 1.0 for every training rate,
+which shows sampling does not degrade recall but cannot show a delta;
+a tight probe budget makes recall sensitive to cell quality, which is
+exactly what coarse training controls.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ def main() -> int:
     from pandas_aws_spark.operators.similarity import brute_force_topk
 
     corpus_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
+    nprobe = int(sys.argv[2]) if len(sys.argv) > 2 else NPROBE
     spark = get_spark(app_name="sampled-coarse")
     corpus = spark.read.parquet(f"{corpus_dir}/embeddings.parquet")
     n = corpus.count()
@@ -49,7 +55,7 @@ def main() -> int:
     truth = {}
     for r in brute_force_topk(queries, corpus, k=K, max_query_rows=N_QUERIES + 8).collect():
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
-    print(f"ground truth: {len(truth)} queries x top-{K}", flush=True)
+    print(f"ground truth: {len(truth)} queries x top-{K}, nprobe={nprobe}", flush=True)
 
     for rate in (1.0, 0.1, 0.01):
         t0 = time.perf_counter()
@@ -70,7 +76,7 @@ def main() -> int:
             queries,
             None,
             n_centroids=CELLS,
-            nprobe=NPROBE,
+            nprobe=nprobe,
             k=K,
             centroids=cents,
             codebook=cb,

@@ -208,21 +208,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r9 start: all 18 r8 rewrites re-verified green in
-    # CORRECTNESS_r08.json 50/50 and cleared per the r8 verdict's
-    # ask #1.)
-    #
-    # r9 rewrite set, enumerated MECHANICALLY with tools/dump_plans.py
-    # at the pre-round commit (2e4ff2b, via a throwaway worktree) vs
-    # HEAD, diffed by tools/diff_plans.py (normalization now includes
-    # grouping-set gid/list-order canonicalization — a same-commit
-    # double dump renders q_distinct_counts/q_profile_orders in
-    # permuted gid order between processes, which the old ad-hoc
-    # normalization classified by hand; now 0 false positives).
-    "q_dedup_embedding_lsh": 9,  # persist -> eager localCheckpoint
-                                 # (leak fix, r8 verdict wrong-item #2)
-    "q_io_mixed_prefix_lineage": 9,  # full-base-path segment anchor +
-                                     # percent-decode + mixed-dir status
+    # (r10 start: both r9 rewrites — q_dedup_embedding_lsh and
+    # q_io_mixed_prefix_lineage — re-verified green in
+    # CORRECTNESS_r09.json 50/50 and cleared per the r9 verdict's
+    # ask #1. Rewrites this round are appended below as they happen,
+    # enumerated mechanically with tools/dump_plans.py at the
+    # pre-round commit vs HEAD, diffed by tools/diff_plans.py.)
 }
 
 _WINDOW_SIZE = 50

@@ -156,17 +156,27 @@ def test_driver_window_covers_never_verified():
         # Plan-rewritten entries are verify-first obligations like new
         # queries (their old hash evidence attests plans that no longer
         # exist): they must hold a slot and are exempt from the
-        # stalest-first comparison below.
+        # stalest-first comparison below. LIVE rewrites only — an entry
+        # whose evidence already postdates its rewrite round has been
+        # auto-expired by derive_driver_window() (c3c9f88) and no longer
+        # claims a slot; test_rewritten_entries_expire is the SOLE
+        # tripwire for the stale-mapping cleanup (r9 verdict ask #1:
+        # evidence landing must red exactly one designed test, not two).
         from pandas_aws_spark.registry import _REWRITTEN_THIS_ROUND
 
-        missing_rw = set(_REWRITTEN_THIS_ROUND) - window
+        live_rw = {
+            n
+            for n, rewritten_in in _REWRITTEN_THIS_ROUND.items()
+            if latest.get(n, -1) < rewritten_in
+        }
+        missing_rw = live_rw - window
         assert not missing_rw, (
             f"plan-rewritten entries left out of the window: {sorted(missing_rw)}"
         )
         # regime 2: re-check slots must carry the STALEST evidence —
         # the freshest evidence inside the window may not postdate the
         # stalest evidence left outside it.
-        recheck = window & verified - set(_REWRITTEN_THIS_ROUND)
+        recheck = window & verified - live_rw
         outside = verified & set(reg) - window
         if recheck and outside:
             newest_in = max(latest[n] for n in recheck)
@@ -237,3 +247,51 @@ def test_derive_driver_window_overflow_regimes(monkeypatch):
     recheck = list(w[4:])
     ages = [olds[n] for n in recheck]
     assert ages == sorted(ages), "re-checks must be oldest-evidence-first"
+
+
+def test_stale_rewrite_reds_only_expiry_tripwire(monkeypatch):
+    """r9 verdict ask #1: when a rewrite's own round's evidence lands
+    green before the mapping is cleared, exactly ONE test may go red —
+    test_rewritten_entries_expire. Pin on a synthetic registry that the
+    window derivation auto-expires the stale entry (it takes no slot)
+    and that the window-coverage assertions, given the same liveness
+    rule, stay green: the stale rewrite is treated as an ordinary
+    re-check, subject to oldest-evidence-first like everything else."""
+    import pandas_aws_spark.registry as reg
+
+    names = [f"q_{i:02d}" for i in range(6)]
+    evidence = {n: 5 + i for i, n in enumerate(names)}  # q_00 stalest
+    # q_05 was rewritten in r9 but its r10 evidence already landed:
+    # the mapping entry is STALE and must be inert in the window.
+    stale_rw = {"q_05": 9}
+    evidence["q_05"] = 10
+    monkeypatch.setattr(reg, "REGISTRY", {n: None for n in names})
+    monkeypatch.setattr(reg, "_QUERY_MODULES", ())
+    monkeypatch.setattr(reg, "evidence_rounds", lambda: dict(evidence))
+    monkeypatch.setattr(reg, "_REWRITTEN_THIS_ROUND", stale_rw)
+    monkeypatch.setattr(reg, "_WINDOW_SIZE", 3)
+    w = reg.derive_driver_window()
+    # 0 never-verified, 0 LIVE rewrites -> pure oldest-first re-checks;
+    # q_05 (freshest evidence) must NOT be pulled in by the stale entry.
+    assert list(w) == ["q_00", "q_01", "q_02"]
+
+    # The coverage test's liveness filter: a stale rewrite outside the
+    # window is NOT a violation (live_rw is empty), and the stalest-first
+    # comparison holds because q_05's slot was never granted.
+    latest = evidence
+    live_rw = {
+        n for n, r in stale_rw.items() if latest.get(n, -1) < r
+    }
+    assert not live_rw - set(w)
+    recheck = set(w) - live_rw
+    outside = set(names) - set(w)
+    assert max(latest[n] for n in recheck) <= min(latest[n] for n in outside)
+
+    # The expiry tripwire DOES fire for exactly this entry — the one
+    # designed red that forces the round-start cleanup commit.
+    stale = {
+        n: (latest[n], r)
+        for n, r in stale_rw.items()
+        if latest.get(n, -1) >= r
+    }
+    assert stale == {"q_05": (10, 9)}

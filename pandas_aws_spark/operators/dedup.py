@@ -569,7 +569,7 @@ class DedupIndex:
         self._cached = ()
 
 
-_BATCH_ID_PATTERN = __import__("re").compile(r"^[A-Za-z0-9._-]+$")
+_BATCH_ID_PATTERN = __import__("re").compile(r"[A-Za-z0-9._-]+")
 
 
 def validate_batch_id(batch_id: str) -> str:
@@ -577,31 +577,16 @@ def validate_batch_id(batch_id: str) -> str:
     storage layout (r8 ADVICE): an id containing ``/`` writes outside
     the intended ``batch=<id>`` subdirectory, ``=`` or ``%`` break the
     partition-value parsing that ``read_*_index``'s ``drop('batch')``
-    relies on. Allowed: ``[A-Za-z0-9._-]+``. Shared by the dedup and
+    relies on. Allowed: ``[A-Za-z0-9._-]+``, matched with fullmatch —
+    ``$`` would accept a trailing newline (``'b1\\n'``) and produce a
+    corrupt partition path (r9 ADVICE). Shared by the dedup and
     ANN index writers. Returns the id so call sites can inline it."""
-    if not isinstance(batch_id, str) or not _BATCH_ID_PATTERN.match(batch_id):
+    if not isinstance(batch_id, str) or not _BATCH_ID_PATTERN.fullmatch(batch_id):
         raise ValueError(
             f"batch_id {batch_id!r} invalid: must match [A-Za-z0-9._-]+ "
             "(Hive partition-safe; '/', '=', '%' and empty are rejected)"
         )
     return batch_id
-
-
-def _clear_index_subdirs(spark, path: str, subdirs: tuple[str, ...]) -> None:
-    """Recursively delete ``{path}/{sub}`` for each listed subdir via
-    the Hadoop FileSystem API (portable across file://, s3a://, ...).
-    Used by base (re-)initialization writes: the per-batch layout's
-    ``mode('overwrite')`` only replaces ``batch=<id>`` SUBdirectories,
-    so without this sweep a base rebuild at a path that previously
-    received appends would leave stale ``batch=b*`` dirs in place and
-    the reader would silently union old-corpus rows into the new index
-    (r8 ADVICE, medium)."""
-    from ..objectstore import _hadoop_fs
-
-    for sub in subdirs:
-        fs, p, _ = _hadoop_fs(spark, f"{path}/{sub}")
-        if fs.exists(p):
-            fs.delete(p, True)
 
 
 def build_dedup_index(
@@ -662,21 +647,38 @@ def write_dedup_index(
     (Delta/Iceberg — jars absent in this container, documented in
     SURVEY §2 R12).
 
-    Re-initialization (r9, from r8 ADVICE): a ``batch_id='base'``
-    write first DELETES the ``packs/`` and ``buckets/`` parents, so
-    rebuilding a base index at a path that previously received
-    appended batches cannot silently union stale ``batch=b*`` rows
-    into the new index. Batch ids are validated Hive-partition-safe
+    Generations (r10, from the r9 verdict's ask #2): a
+    ``batch_id='base'`` write lands in a brand-new generation
+    directory and is published by an atomic ``_committed`` marker
+    create (protocol, crash matrix and legacy flat-layout fallback in
+    :mod:`.genstore`); retired generations and legacy flat artifacts
+    are GC'd after the commit. This subsumes the r8-ADVICE re-init
+    sweep (stale ``batch=b*`` dirs live in generations readers no
+    longer resolve) and makes compaction crash-safe — the old
+    generation serves until the new marker exists. Non-base ids write
+    only their two batch subdirectories of the CURRENT generation.
+    Batch ids are validated Hive-partition-safe
     (:func:`validate_batch_id`)."""
     validate_batch_id(batch_id)
     spark = index.buckets.sparkSession
+    from . import genstore
+
     if batch_id == "base":
-        _clear_index_subdirs(spark, path, ("packs", "buckets", "tombstones"))
-    index.packs.write.mode("overwrite").parquet(f"{path}/packs/batch={batch_id}")
-    index.buckets.write.mode("overwrite").parquet(f"{path}/buckets/batch={batch_id}")
+        gen, root = genstore.begin_generation(spark, path)
+    else:
+        root = genstore.current_root(spark, path)
+    index.packs.write.mode("overwrite").parquet(f"{root}/packs/batch={batch_id}")
+    index.buckets.write.mode("overwrite").parquet(f"{root}/buckets/batch={batch_id}")
     if batch_id == "base":
         spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
-            f"{path}/params"
+            f"{root}/params"
+        )
+        genstore.commit_generation(spark, path, gen)
+        genstore.gc_generations(
+            spark,
+            path,
+            keep=gen,
+            flat_subdirs=("packs", "buckets", "params", "tombstones"),
         )
     index.release_cache()
 
@@ -685,40 +687,63 @@ def read_dedup_index(spark, path: str) -> DedupIndex:
     """Load a persisted index. The params read is a one-row kilobyte
     collect; buckets/packs stay lazy parquet scans (the ``batch``
     partition column from the per-ingest layout is dropped — batch
-    identity is a write-side bookkeeping concern). Tombstones
+    identity is a write-side bookkeeping concern). Resolves the current
+    committed generation (legacy flat layouts resolve to ``path``
+    itself — see :mod:`.genstore`). Tombstones
     (:func:`delete_from_dedup_index`) are anti-joined away HERE, so
     searches, appends and compaction all see live docs only."""
-    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    from . import genstore
+
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
-    buckets = spark.read.parquet(f"{path}/buckets").drop("batch")
-    packs = spark.read.parquet(f"{path}/packs").drop("batch")
+    buckets = spark.read.parquet(f"{root}/buckets").drop("batch")
+    packs = spark.read.parquet(f"{root}/packs").drop("batch")
     from ..objectstore import _hadoop_fs
 
-    fs, tomb_path, _ = _hadoop_fs(spark, f"{path}/tombstones")
+    genstore.warn_if_tombstones_oversized(spark, root, "dedup-index")
+    fs, tomb_path, _ = _hadoop_fs(spark, f"{root}/tombstones")
     if fs.exists(tomb_path):
-        tombs = spark.read.parquet(f"{path}/tombstones").drop("batch").distinct()
+        tombs = spark.read.parquet(f"{root}/tombstones").drop("batch").distinct()
         buckets = buckets.join(F.broadcast(tombs), id_col, "left_anti")
         packs = packs.join(F.broadcast(tombs), id_col, "left_anti")
     return DedupIndex(buckets, packs, params)
 
 
-def delete_from_dedup_index(ids: DataFrame, path: str, *, batch_id: str) -> None:
+def delete_from_dedup_index(
+    ids: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+    max_tombstone_rows: int | None = None,
+) -> None:
     """Logical deletion of docs from the stored dedup index (takedown /
     post-dedup drop list): ids land as a tombstone batch; reads
     anti-join them away (O(ids), no data-file rewrite), and
     :func:`compact_dedup_index` makes the removal physical and retires
     the tombstones — the same deletion-vector lifecycle as the ANN
     index (:func:`~pandas_aws_spark.operators.annindex
-    .delete_from_ann_index`, semantics documented there)."""
+    .delete_from_ann_index`, semantics documented there). The
+    broadcast-sized-tombstone-set scale assumption is enforced:
+    exceeding ``max_tombstone_rows`` (default
+    ``genstore.DEFAULT_MAX_TOMBSTONE_ROWS``) raises before the write —
+    compact first."""
+    from . import genstore
+
+    if max_tombstone_rows is None:
+        max_tombstone_rows = genstore.DEFAULT_MAX_TOMBSTONE_ROWS
     validate_batch_id(batch_id)
     spark = ids.sparkSession
-    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
     if id_col not in ids.columns:
         raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
-    ids.select(id_col).distinct().write.mode("overwrite").parquet(
-        f"{path}/tombstones/batch={batch_id}"
+    incoming = ids.select(id_col).distinct()
+    genstore.check_tombstone_budget(
+        spark, root, incoming.count(), max_tombstone_rows, "dedup-index"
     )
+    incoming.write.mode("overwrite").parquet(f"{root}/tombstones/batch={batch_id}")
 
 
 def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
@@ -732,8 +757,11 @@ def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
     :func:`write_dedup_index` for the ordering/crash story)."""
     if batch_id == "base":
         raise ValueError("batch_id 'base' is reserved for the initial corpus write")
+    from . import genstore
+
     spark = delta.buckets.sparkSession
-    stored = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    root = genstore.current_root(spark, path)
+    stored = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     if stored != delta.params:
         raise ValueError(
             f"index recipe mismatch: stored {stored} vs delta {delta.params}"
@@ -747,17 +775,15 @@ def compact_dedup_index(spark, path: str) -> None:
     (per-ingest probe cost doesn't grow with batch count, but file-open
     and listing overhead do). Rows are bit-identical; only layout
     changes, so a post-compaction ingest returns exactly the
-    pre-compaction matches (tests assert this). Same non-atomic rewrite
-    window as :func:`~pandas_aws_spark.operators.annindex
-    .compact_ann_index` — a transactional table format closes it;
-    single-writer assumed."""
+    pre-compaction matches (tests assert this). Crash-SAFE since r10:
+    the rewrite lands in a fresh generation and is published atomically
+    (:mod:`.genstore` — same protocol and rationale as
+    :func:`~pandas_aws_spark.operators.annindex.compact_ann_index`,
+    including the removal of the old ``localCheckpoint``
+    materialization: the plan now streams old-generation files straight
+    into the new generation). Single-writer assumed."""
     idx = read_dedup_index(spark, path)
-    compacted = DedupIndex(
-        idx.buckets.localCheckpoint(eager=True),
-        idx.packs.localCheckpoint(eager=True),
-        idx.params,
-    )
-    write_dedup_index(compacted, path, batch_id="base")
+    write_dedup_index(idx, path, batch_id="base")
 
 
 def indexed_near_dup_pairs(

@@ -113,13 +113,17 @@ def test_orphan_vectors_batch_is_inert(spark, tmp_path):
     q = emb.filter(F.col("vec_id") < 3)
     want = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
     # simulated crash: only the vectors half of batch b1 landed
-    cents = spark.read.parquet(f"{path}/centroids")
+    # (inside the CURRENT generation — the layout is gen-versioned now)
+    from pandas_aws_spark.operators.genstore import current_root
+
+    root = current_root(spark, path)
+    cents = spark.read.parquet(f"{root}/centroids")
     cn = l2_normalize(
         b1.select("vec_id", as_double("embedding").alias("embedding")),
         vec_col="embedding",
     )
     ivf_assign(cn, cents).select("vec_id", "embedding", "cell").write.parquet(
-        f"{path}/vectors/batch=b1"
+        f"{root}/vectors/batch=b1"
     )
     got = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
     assert got == want
@@ -328,8 +332,12 @@ def test_compact_ann_index_preserves_search_results(spark, tmp_path):
     before = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
     n = read_ann_index(spark, path).codes.count()
     compact_ann_index(spark, path)
-    assert sorted(os.listdir(f"{path}/codes")) == ["batch=base"]
-    assert sorted(os.listdir(f"{path}/vectors")) == ["batch=base"]
+    from pandas_aws_spark.operators.genstore import current_root
+
+    root = current_root(spark, path)
+    assert root != path, "compaction must publish a committed generation"
+    assert sorted(os.listdir(f"{root}/codes")) == ["batch=base"]
+    assert sorted(os.listdir(f"{root}/vectors")) == ["batch=base"]
     after_idx = read_ann_index(spark, path)
     assert after_idx.codes.count() == n
     assert _rows(ann_index_topk(q, after_idx, **_SEARCH)) == before
@@ -368,7 +376,10 @@ def test_compact_dedup_index_preserves_matches(spark, tmp_path):
     compact_dedup_index(spark, path)
     import os
 
-    assert sorted(os.listdir(f"{path}/packs")) == ["batch=base"]
+    from pandas_aws_spark.operators.genstore import current_root
+
+    root = current_root(spark, path)
+    assert sorted(os.listdir(f"{root}/packs")) == ["batch=base"]
     after = {
         (r.id_a, r.id_b)
         for r in indexed_near_dup_pairs(
@@ -412,7 +423,9 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
     assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 0
     # compaction: physical removal, tombstones retired
     compact_ann_index(spark, path)
-    assert not os.path.isdir(f"{path}/tombstones")
+    from pandas_aws_spark.operators.genstore import current_root
+
+    assert not os.path.isdir(f"{current_root(spark, path)}/tombstones")
     after = read_ann_index(spark, path)
     assert after.codes.count() == n - n_victims
     # post-compaction re-append resurrects
@@ -453,7 +466,9 @@ def test_dedup_tombstone_delete(spark, tmp_path):
         == 0
     )
     compact_dedup_index(spark, path)
-    assert not os.path.isdir(f"{path}/tombstones")
+    from pandas_aws_spark.operators.genstore import current_root
+
+    assert not os.path.isdir(f"{current_root(spark, path)}/tombstones")
     assert read_dedup_index(spark, path).packs.count() == 0
 
 

@@ -303,7 +303,10 @@ def test_append_dedup_index_retry_after_partial_write_is_idempotent(spark, tmp_p
     # Simulated crash: packs landed (written FIRST by contract),
     # postings did not.
     partial = build_dedup_index(batch1, "doc_id", "text")
-    partial.packs.write.mode("overwrite").parquet(f"{path}/packs/batch=b1")
+    from pandas_aws_spark.operators.genstore import current_root
+
+    root = current_root(spark, path)
+    partial.packs.write.mode("overwrite").parquet(f"{root}/packs/batch=b1")
 
     # The half-written batch is invisible to searches (orphan packs
     # are inert): batch 2 sees only the corpus doc.

@@ -1,0 +1,289 @@
+"""Generation-versioned commit protocol (operators/genstore.py):
+crash-injection for both index compactions, legacy flat-layout
+migration, and the tombstone-set scale guards (r9 verdict asks #2/#3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_aws_spark.operators import genstore
+from pandas_aws_spark.operators.annindex import (
+    ann_index_topk,
+    append_ann_index,
+    build_ann_index,
+    compact_ann_index,
+    delete_from_ann_index,
+    read_ann_index,
+    write_ann_index,
+)
+from pandas_aws_spark.operators.dedup import (
+    append_dedup_index,
+    build_dedup_index,
+    compact_dedup_index,
+    delete_from_dedup_index,
+    indexed_near_dup_pairs,
+    read_dedup_index,
+    write_dedup_index,
+)
+
+SF = "/root/testdata/sf0.001"
+_RECIPE = dict(n_centroids=8, m=8, k_codes=16, iters=2)
+_SEARCH = dict(nprobe=2, k=10, oversample=5)
+
+BASE = "the quick brown fox jumps over the lazy dog every single day"
+NEAR = "the quick brown fox jumps over the lazy dog every single night"
+
+
+def _splits(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return (
+        emb,
+        emb.filter(F.col("vec_id") % 4 != 0),
+        emb.filter(F.col("vec_id") % 8 == 0),
+    )
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+
+def _boom(*_a, **_k):
+    raise RuntimeError("injected crash before generation commit")
+
+
+def test_ann_compaction_crash_before_commit_serves_old_generation(
+    spark, tmp_path, monkeypatch
+):
+    """THE crash window the r9 design documented as open: kill the
+    writer between the full-index rewrite and the commit record. The
+    reader must keep serving the previous generation (identical counts
+    and search results), and a retried compaction must converge to a
+    single committed generation with unchanged results."""
+    emb, base, b1 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    q = emb.filter(F.col("vec_id") < 3)
+    n = read_ann_index(spark, path).codes.count()
+    before = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
+
+    monkeypatch.setattr(genstore, "commit_generation", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_ann_index(spark, path)
+    monkeypatch.undo()
+
+    # old generation still committed and serving; the half-written one
+    # is uncommitted garbage awaiting GC
+    gens = genstore.list_generations(spark, path)
+    assert [g for g, ok in gens if ok] == [1]
+    assert [g for g, ok in gens if not ok] == [2]
+    mid = read_ann_index(spark, path)
+    assert mid.codes.count() == n
+    assert _rows(ann_index_topk(q, mid, **_SEARCH)) == before
+
+    # retried compaction converges: a FRESH generation number (3, never
+    # the crashed dir), exactly one generation remains, results equal
+    compact_ann_index(spark, path)
+    assert genstore.list_generations(spark, path) == [(3, True)]
+    root = genstore.current_root(spark, path)
+    assert sorted(os.listdir(f"{root}/codes")) == ["batch=base"]
+    after = read_ann_index(spark, path)
+    assert after.codes.count() == n
+    assert _rows(ann_index_topk(q, after, **_SEARCH)) == before
+
+
+def test_dedup_compaction_crash_before_commit_serves_old_generation(
+    spark, tmp_path, monkeypatch
+):
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    extra = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    append_dedup_index(build_dedup_index(extra, "doc_id", "text"), path, batch_id="b1")
+    probe = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+
+    def matches():
+        return {
+            (r.id_a, r.id_b)
+            for r in indexed_near_dup_pairs(
+                probe, read_dedup_index(spark, path), "text", threshold=0.5
+            ).collect()
+        }
+
+    before = matches()
+    assert before  # non-trivial
+
+    monkeypatch.setattr(genstore, "commit_generation", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_dedup_index(spark, path)
+    monkeypatch.undo()
+
+    assert [g for g, ok in genstore.list_generations(spark, path) if ok] == [1]
+    assert matches() == before
+
+    compact_dedup_index(spark, path)
+    assert genstore.list_generations(spark, path) == [(3, True)]
+    root = genstore.current_root(spark, path)
+    assert sorted(os.listdir(f"{root}/packs")) == ["batch=base"]
+    assert matches() == before
+
+
+def test_crash_after_commit_before_gc_highest_generation_wins(spark, tmp_path, monkeypatch):
+    """Second crash point: marker written, GC not run. Two committed
+    generations coexist; readers deterministically resolve the highest,
+    and the next successful base write sweeps the retired one."""
+    emb, base, b1 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    n = read_ann_index(spark, path).codes.count()
+
+    monkeypatch.setattr(genstore, "gc_generations", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_ann_index(spark, path)
+    monkeypatch.undo()
+
+    gens = genstore.list_generations(spark, path)
+    assert gens == [(1, True), (2, True)]
+    assert genstore.current_root(spark, path) == genstore.gen_dir(path, 2)
+    idx = read_ann_index(spark, path)
+    assert idx.codes.count() == n  # compacted rows, folded batches
+    # next compaction GCs the retired generation
+    compact_ann_index(spark, path)
+    assert genstore.list_generations(spark, path) == [(3, True)]
+
+
+def test_legacy_flat_layout_reads_appends_and_migrates(spark, tmp_path):
+    """A pre-r10 index (artifacts directly under path, no generations)
+    stays readable and appendable in place; its first compaction
+    migrates it into a committed generation and GCs the flat files."""
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    path = str(tmp_path / "flat")
+    idx = build_dedup_index(corpus, "doc_id", "text")
+    # hand-write the legacy layout (what the pre-r10 writer produced)
+    idx.packs.write.parquet(f"{path}/packs/batch=base")
+    idx.buckets.write.parquet(f"{path}/buckets/batch=base")
+    spark.createDataFrame([idx.params]).write.parquet(f"{path}/params")
+
+    assert genstore.current_root(spark, path) == path
+    probe = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+    got = indexed_near_dup_pairs(
+        probe, read_dedup_index(spark, path), "text", threshold=0.5
+    )
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {(20, 1)}
+
+    # append lands in the flat layout (no generation exists yet)
+    extra = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    append_dedup_index(build_dedup_index(extra, "doc_id", "text"), path, batch_id="b1")
+    assert os.path.isdir(f"{path}/packs/batch=b1")
+
+    compact_dedup_index(spark, path)
+    assert genstore.list_generations(spark, path) == [(1, True)]
+    assert not os.path.isdir(f"{path}/packs")  # flat artifacts GC'd
+    assert not os.path.isdir(f"{path}/params")
+    after = indexed_near_dup_pairs(
+        probe, read_dedup_index(spark, path), "text", threshold=0.5
+    )
+    assert {(r.id_a, r.id_b) for r in after.collect()} == {(20, 1), (20, 10)}
+
+
+def test_tombstone_budget_guard_errors_at_delete_time(spark, tmp_path):
+    """r9 verdict ask #3: the broadcast-sized-tombstone-set assumption
+    is enforced, not just documented. Exceeding max_tombstone_rows
+    raises BEFORE the write (the index keeps serving), naming
+    compaction as the way out; compaction then frees the budget."""
+    emb, base, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    v1 = base.filter(F.col("vec_id") % 10 == 7)
+    delete_from_ann_index(v1, path, batch_id="t1", max_tombstone_rows=1000)
+    n_live = read_ann_index(spark, path).codes.count()
+    v2 = base.filter(F.col("vec_id") % 10 == 3)
+    with pytest.raises(ValueError, match="tombstone budget.*compaction"):
+        delete_from_ann_index(v2, path, batch_id="t2", max_tombstone_rows=2)
+    # rejected delete wrote nothing: live view unchanged
+    assert read_ann_index(spark, path).codes.count() == n_live
+    # compaction retires the tombstones; the budget is free again
+    compact_ann_index(spark, path)
+    delete_from_ann_index(
+        v2.limit(2), path, batch_id="t2", max_tombstone_rows=2
+    )
+    assert read_ann_index(spark, path).codes.count() == n_live - 2
+
+
+def test_dedup_tombstone_budget_guard(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(i, f"{BASE} variant {i}") for i in range(6)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="tombstone budget"):
+        delete_from_dedup_index(ids, path, batch_id="t1", max_tombstone_rows=2)
+    delete_from_dedup_index(ids, path, batch_id="t1", max_tombstone_rows=3)
+    assert read_dedup_index(spark, path).packs.count() == 3
+
+
+def test_oversized_tombstone_files_warn_at_read(spark, tmp_path, monkeypatch):
+    """Read-time metadata guard: legacy/out-of-band tombstones past the
+    byte threshold warn (never error — reads must keep serving)."""
+    emb, base, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    delete_from_ann_index(
+        base.filter(F.col("vec_id") % 10 == 7), path, batch_id="t1"
+    )
+    monkeypatch.setattr(genstore, "TOMBSTONE_WARN_BYTES", 1)
+    with pytest.warns(RuntimeWarning, match="tombstone set is .* bytes"):
+        idx = read_ann_index(spark, path)
+    assert idx.codes.count() > 0  # still serving
+
+
+def test_validate_batch_id_rejects_trailing_newline():
+    """r9 ADVICE (low): '$' matches before a trailing newline, so
+    'b1\\n' used to pass and produce a corrupt partition path."""
+    from pandas_aws_spark.operators.dedup import validate_batch_id
+
+    with pytest.raises(ValueError, match="invalid"):
+        validate_batch_id("b1\n")
+    assert validate_batch_id("b1") == "b1"
+
+
+def test_empty_input_guards(spark, tmp_path):
+    """r9 ADVICE (low): empty corpus -> clear ValueError at build;
+    empty batch -> documented no-op at append (nothing written, the
+    batch id is not consumed)."""
+    emb, base, _ = _splits(spark)
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        build_ann_index(empty, **_RECIPE)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    n = read_ann_index(spark, path).codes.count()
+    append_ann_index(empty, path, batch_id="noop")
+    assert read_ann_index(spark, path).codes.count() == n
+    root = genstore.current_root(spark, path)
+    assert not os.path.isdir(f"{root}/codes/batch=noop")
+
+
+def test_filtered_search_rejects_internal_column_predicates(spark, tmp_path):
+    """r9 ADVICE (low): where= may reference only payload columns; a
+    predicate touching index internals (cell, codes, the id) changes
+    search semantics instead of filtering and must be rejected."""
+    emb, base, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    payload = base.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    write_ann_index(
+        build_ann_index(payload, payload_cols=("label",), **_RECIPE), path
+    )
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 3)
+    ok = ann_index_topk(q, stored, where="label = 1", **_SEARCH)
+    assert ok.count() > 0
+    for bad in ("cell = 0", "vec_id > 5", "label = 1 AND cell = 0", "no_such > 1"):
+        with pytest.raises(ValueError, match="payload"):
+            ann_index_topk(q, stored, where=bad, **_SEARCH)

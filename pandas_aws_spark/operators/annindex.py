@@ -101,6 +101,8 @@ __all__ = [
     "delete_from_ann_index",
     "compact_ann_index",
     "ann_index_topk",
+    "coarse_coherence",
+    "quantizer_staleness",
 ]
 
 
@@ -183,6 +185,24 @@ def build_ann_index(
         payload = corpus.select(F.col(id_col), *[F.col(c) for c in payload_cols])
         codes = codes.join(payload, id_col)
         vectors = vectors.join(payload, id_col)
+    # Pin the TRAIN-TIME distribution's coarse coherence (mean cosine of
+    # vectors to their assigned centroid) into the recipe: it is the
+    # baseline the frozen-quantizer drift signal compares appended
+    # batches against (:func:`quantizer_staleness` — appends never
+    # retrain, so after many batches from a SHIFTED distribution the
+    # base-trained cells degrade recall silently; this is the cheap
+    # observable that doesn't). Computed on the same deterministic
+    # hash-sample coarse training used, so at 100 TB it costs a pass
+    # over the 1% sample, not the corpus.
+    coh_frame = vectors
+    if coarse_sample is not None:
+        sampled = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(coarse_sample * 1_000_000)
+        )
+        if sampled.limit(1).count():
+            coh_frame = sampled
+    base_cells, base_fracs = _cell_occupancy(coh_frame)
     params = {
         "id_col": id_col,
         "vec_col": vec_col,
@@ -194,6 +214,9 @@ def build_ann_index(
         "coarse": coarse,
         "coarse_iters": coarse_iters,
         "payload_cols": ",".join(payload_cols),
+        "base_coherence": coarse_coherence(cents, coh_frame, vec_col=vec_col),
+        "base_cells": base_cells,
+        "base_cell_fracs": base_fracs,
     }
     return AnnIndex(cents, cb, codes, vectors, params)
 
@@ -404,6 +427,105 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     # generation starts with no tombstones dir, and later appends may
     # legitimately re-introduce tombstoned ids.
     write_ann_index(idx, path, batch_id="base")
+
+
+def _cell_occupancy(assigned_vectors: DataFrame) -> tuple[list[int], list[float]]:
+    """Cell-occupancy distribution of an assigned vector frame —
+    ``(cell ids, fraction per cell)``, sorted by cell id. One groupBy
+    whose result is at most n_centroids rows (kilobytes collected)."""
+    occ = assigned_vectors.groupBy("cell").count().collect()
+    total = sum(r["count"] for r in occ) or 1
+    cells = sorted(int(r["cell"]) for r in occ)
+    frac = {int(r["cell"]): r["count"] / total for r in occ}
+    return cells, [frac[c] for c in cells]
+
+
+def coarse_coherence(
+    centroids: DataFrame,
+    assigned_vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> float:
+    """Mean cosine of vectors to their ASSIGNED coarse centroid — the
+    scalar that summarizes how well the quantizer's cells fit a vector
+    population. One broadcast join (centroids are kilobytes) + one
+    aggregate; the returned value is a single driver-side float."""
+    from ..functions.vector import cosine
+
+    c = centroids.select(
+        F.col("centroid_id").alias(cell_col), as_double(vec_col).alias("_cvec")
+    )
+    row = (
+        assigned_vectors.join(F.broadcast(c), cell_col)
+        .select(F.avg(cosine(as_double(vec_col), F.col("_cvec"))).alias("coh"))
+        .first()
+    )
+    return float(row["coh"])
+
+
+def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
+    """Drift signal for the frozen-quantizer append contract (r9
+    verdict ask #4). Appends never retrain — correctly, that is the
+    artifact's point — but N batches from a SHIFTED distribution
+    degrade recall silently: drifted vectors crowd into cells whose
+    centroids no longer describe them, so a fixed nprobe probes the
+    wrong neighborhoods. The recall loss is invisible without ground
+    truth; this signal is the cheap observable that moves with it
+    (measured: tools/measure_quantizer_drift.py, table in SCALE.md).
+
+    Two complementary observables, both O(batch) — one broadcast
+    assign + one aggregate + one <=n_centroids-row groupBy:
+
+    * ``ratio`` — batch coarse coherence (mean cosine to the assigned
+      centroid) over the train-time baseline pinned in params. Drift
+      is a DEVIATION from 1.0 in EITHER direction, and the statistic
+      is non-monotonic under LARGE drift (vectors first land between
+      cells — ratio drops — then collapse toward one direction and
+      cohere with whatever cell aligns — ratio recovers while recall
+      keeps falling). Sensitive onset detector; not a magnitude.
+    * ``occupancy_tv`` — total-variation distance between the batch's
+      cell-occupancy histogram and the train-time histogram. Stays
+      monotone through the collapse regime (crowding IS occupancy
+      skew), so it is the re-train trigger; the measured
+      recall-vs-signal table and the documented threshold live in
+      SCALE.md (tools/measure_quantizer_drift.py).
+
+    Returns ``{"base_coherence", "batch_coherence", "ratio",
+    "occupancy_tv"}``; the baseline-dependent fields are ``None`` for
+    pre-r10 indexes whose params predate them."""
+    from .similarity import ivf_assign
+
+    spark = new_vectors.sparkSession
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    cents = spark.read.parquet(f"{root}/centroids")
+    cn = l2_normalize(
+        new_vectors.select(F.col(id_col), as_double(vec_col).alias(vec_col)),
+        vec_col=vec_col,
+    )
+    if cn.first() is None:
+        raise ValueError("quantizer_staleness: batch is empty")
+    assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
+    batch = coarse_coherence(cents, assigned, vec_col=vec_col)
+    base = params.get("base_coherence")
+    base = float(base) if base is not None else None
+    tv = None
+    if params.get("base_cells") is not None:
+        base_fr = dict(zip(params["base_cells"], params["base_cell_fracs"]))
+        cells, fracs = _cell_occupancy(assigned)
+        batch_fr = dict(zip(cells, fracs))
+        tv = 0.5 * sum(
+            abs(base_fr.get(c, 0.0) - batch_fr.get(c, 0.0))
+            for c in set(base_fr) | set(batch_fr)
+        )
+    return {
+        "base_coherence": base,
+        "batch_coherence": batch,
+        "ratio": (batch / base) if base else None,
+        "occupancy_tv": tv,
+    }
 
 
 def ann_index_topk(

@@ -373,6 +373,14 @@ def ivf_pq_build_full(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
                 < int(coarse_sample * 1_000_000)
             )
+            # The hash-sample can come up short on a SMALL corpus
+            # (r9 ADVICE: k-means with fewer rows than centroids gets
+            # degenerate input with an opaque failure). One cheap count
+            # — on the sample, not the corpus — and fall back to
+            # full-corpus training, which is affordable exactly when
+            # the corpus is small enough for the sample to miss.
+            if train.limit(n_centroids).count() < n_centroids:
+                train = cn
         cents = kmeans_fit(
             train, k=n_centroids, iters=coarse_iters, id_col=id_col, vec_col=vec_col
         )

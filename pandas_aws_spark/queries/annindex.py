@@ -144,6 +144,11 @@ ORDER BY search, query_id, rank
 @query(
     "q_sim_index_ingest",
     oracle=_ANN_INGEST_ORACLE,
+    # headline since r10 (r9 verdict ask #5): the persisted-index
+    # lifecycle is the most load-bearing r7-r9 surface and the bench's
+    # round-over-round drift tracking must cover it. NOTE: this breaks
+    # the headline_total series at r10 — protocol note in SCALE.md.
+    headline=True,
     tags=("similarity", "pq", "ivf", "incremental"),
 )
 def q_sim_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

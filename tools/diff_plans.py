@@ -62,10 +62,29 @@ def _canon_lists(s: str) -> str:
     return "".join(out)
 
 
-def normalize(plan: str) -> str:
+def _blank_gid_slots(line: str) -> str:
+    """Blank ONLY the gid slot of each Expand projection — the trailing
+    bare-integer element of an inner bracketed list (grouping-set tag
+    values are assigned by nondeterministic internal numbering). Every
+    other integer on the line is a real literal and must keep counting
+    as a plan change (r9 ADVICE: blanking ALL integers let a rewrite
+    that only changed a numeric literal diff as 'unchanged')."""
+    return re.sub(r",\s*\d+\]", ", G]", line)
+
+
+def normalize(plan: str, audit: list[str] | None = None) -> str:
+    """``audit``, when given, collects a one-line record of every
+    canonicalization applied to Aggregate/Expand lines so false
+    negatives are inspectable (r9 ADVICE)."""
     p = plan
     p = re.sub(r"#\d+L?", "#N", p)  # expression ids
-    p = re.sub(r"\b([a-zA-Z]+)_\d+\b", r"\1_N", p)  # lambda vars x_42
+    # Lambda-variable counters ONLY (r9 ADVICE: the old blanket
+    # `name_\d+` collapsed distinct real columns like col_1/col_2).
+    # Spark renders higher-order-function variables as `<arg>_<n>#id`;
+    # this repo's lambda args are all <=3 lowercase chars (x, y, s, i,
+    # acc, tok, ...), and no real column matches that shape — audited
+    # by the canonicalization log below if one ever does.
+    p = re.sub(r"\b([a-z]{1,3})_\d+(?=#N)", r"\1_N", p)
     p = re.sub(r"/tmp/[A-Za-z0-9_./-]+", "/TMP", p)  # scratch paths
     p = re.sub(r"/private/var/[A-Za-z0-9_./-]+", "/TMP", p)
     p = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[NORM]", p)
@@ -75,15 +94,21 @@ def normalize(plan: str) -> str:
     # internal distinct-group numbering; the literal value is an
     # internal tag, not a plan property
     p = re.sub(r"gid#N = \d+", "gid#N = G", p)
-    lines = [
-        # bare integers on these lines are gid slot tags riding inside
-        # the Expand projections — blank them before sorting or a
-        # permuted numbering still renders two orders
-        _canon_lists(re.sub(r"\b\d+\b", "G", ln))
-        if ("Aggregate [" in ln or "Expand [" in ln)
-        else ln
-        for ln in p.splitlines()
-    ]
+    lines = []
+    for ln in p.splitlines():
+        if "Aggregate [" in ln or "Expand [" in ln:
+            # list ORDER in these operators permutes between processes
+            # (same-commit double-dump control); Expand additionally
+            # carries permuting gid slot VALUES. Sort lists; blank the
+            # gid slots only (never other integers).
+            canon = _canon_lists(
+                _blank_gid_slots(ln) if "Expand [" in ln else ln
+            )
+            if canon != ln and audit is not None:
+                audit.append(ln.strip()[:160])
+            lines.append(canon)
+        else:
+            lines.append(ln)
     return "\n".join(lines)
 
 
@@ -93,13 +118,22 @@ def main() -> int:
     with open(sys.argv[2]) as fh:
         after = json.load(fh)
     changed, added, removed = [], [], []
+    audit: list[str] = []
     for name in sorted(set(before) | set(after)):
         if name not in before:
             added.append(name)
         elif name not in after:
             removed.append(name)
-        elif normalize(before[name]) != normalize(after[name]):
+        elif normalize(before[name], audit) != normalize(after[name], audit):
             changed.append(name)
+    if audit:
+        print(
+            f"[canonicalized {len(audit)} Aggregate/Expand lines — "
+            "false-negative audit trail]",
+            file=sys.stderr,
+        )
+        for ln in audit:
+            print(f"  canon: {ln}", file=sys.stderr)
     for n in changed:
         print(f"REWRITTEN {n}")
     for n in added:

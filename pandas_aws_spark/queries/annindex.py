@@ -711,3 +711,186 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phase", "query_id", "neighbor_id", "rank", "l2sq_fp")
         .orderBy("phase", "query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-signal components (r10): the quantizer_staleness math, externally
+# verified. The signal's floats (coherence averages, occupancy TV) are
+# driver-side divisions of these EXACT integer components, so hashing the
+# components verifies the math without cross-engine float-aggregation risk:
+#  * per-row cosine is fixed-pointed BEFORE summation (integer sums are
+#    order-independent — the same reason the ANN entries ship l2sq_fp);
+#  * occupancy TV is reported as the exact integer cross term
+#    sum_c |cnt_base[c] * n_batch - cnt_batch[c] * n_base|, i.e.
+#    TV = tv_cross / (2 * n_base * n_batch) without any division.
+_DRIFT_SHIFT = 0.5  # alternating-sign per-dim shift of the probe batch
+
+_DRIFT_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+base AS (SELECT * FROM e WHERE {_BASE_PRED}),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM base ORDER BY vec_id LIMIT {_NCENT}
+),
+-- drifted probe batch: shift the RAW embedding (before normalization),
+-- exactly as the Spark side does; DuckDB lambda index i is 1-based where
+-- Spark's transform index is 0-based, hence (i-1)
+q0 AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        (x, i) -> x + CASE WHEN (i-1) % 2 = 0
+                                           THEN {_DRIFT_SHIFT}
+                                           ELSE -{_DRIFT_SHIFT} END) AS v
+  FROM embeddings WHERE {_B1_PRED}
+),
+q AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM q0)
+),
+bassign AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT b.vec_id, ct.centroid_id AS cell,
+           {sql_cosine('b.v', 'ct.cv')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {sql_cosine('b.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM base b, cent ct)
+  WHERE rn = 1
+),
+qassign AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT qq.vec_id, ct.centroid_id AS cell,
+           {sql_cosine('qq.v', 'ct.cv')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+                              ORDER BY {sql_cosine('qq.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM q qq, cent ct)
+  WHERE rn = 1
+),
+occ AS (
+  SELECT COALESCE(b.cell, qc.cell) AS cell,
+         COALESCE(b.cnt, 0) AS cb, COALESCE(qc.cnt, 0) AS cq
+  FROM (SELECT cell, COUNT(*) AS cnt FROM bassign GROUP BY cell) b
+  FULL OUTER JOIN
+       (SELECT cell, COUNT(*) AS cnt FROM qassign GROUP BY cell) qc
+  ON b.cell = qc.cell
+),
+tot AS (SELECT (SELECT COUNT(*) FROM bassign) AS nb,
+               (SELECT COUNT(*) FROM qassign) AS nq)
+SELECT 'base_coh_fp_sum' AS metric,
+       CAST(SUM(CAST(FLOOR(cos * 1000000) AS BIGINT)) AS BIGINT) AS value
+FROM bassign
+UNION ALL
+SELECT 'base_rows', CAST(COUNT(*) AS BIGINT) FROM bassign
+UNION ALL
+SELECT 'batch_coh_fp_sum',
+       CAST(SUM(CAST(FLOOR(cos * 1000000) AS BIGINT)) AS BIGINT) FROM qassign
+UNION ALL
+SELECT 'batch_rows', CAST(COUNT(*) AS BIGINT) FROM qassign
+UNION ALL
+SELECT 'tv_cross', CAST(SUM(ABS(cb * tot.nq - cq * tot.nb)) AS BIGINT)
+FROM occ, tot
+ORDER BY metric
+"""
+
+
+@query(
+    "q_sim_index_drift_signal",
+    oracle=_DRIFT_ORACLE,
+    tags=("similarity", "ivf", "drift"),
+)
+def q_sim_index_drift_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-quantizer drift signal (r10), externally verified at the
+    component level: build+write the index on the base corpus, read it
+    back, then — against the STORED quantizer, the exact code path
+    ``quantizer_staleness`` runs — assign (a) the index's own vectors
+    and (b) a deliberately drifted probe batch (alternating-sign 0.5
+    per-dim shift of the % 8 == 0 slice, re-id'd), and emit the
+    signal's exact integer components: per-row fixed-point coherence
+    sums, row counts, and the occupancy cross term
+    ``sum_c |cnt_base[c]*n_batch - cnt_batch[c]*n_base|`` (TV without
+    the division). DuckDB replays normalization, first-k coarse
+    centroids, cosine argmax assignment and the same fixed-pointing
+    independently. Why integers: cross-row float aggregation is not
+    bit-portable across engines; the shipped signal's floats are
+    driver-side divisions of exactly these components (see
+    tools/measure_quantizer_drift.py + SCALE.md r10 for the measured
+    recall calibration and the occ-TV >= +0.25-over-control trigger).
+
+    Reference analogue: none — north-star extension (SURVEY §2.9)."""
+    from ..functions.vector import as_double, cosine
+    from ..operators.annindex import build_ann_index, read_ann_index, write_ann_index
+    from ..operators.pq import l2_normalize
+    from ..operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    path = scratch_dir(prefix="pandas_aws_spark_ann_drift_")
+    write_ann_index(
+        build_ann_index(
+            base, n_centroids=_NCENT, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        ),
+        path,
+    )
+    idx = read_ann_index(spark, path)
+    cents = idx.centroids.select(
+        F.col("centroid_id").alias("cell"), as_double("embedding").alias("cvec")
+    )
+
+    def cos_rows(assigned: DataFrame) -> DataFrame:
+        return assigned.join(F.broadcast(cents), "cell").select(
+            "cell",
+            F.floor(cosine(as_double("embedding"), F.col("cvec")) * F.lit(1e6))
+            .cast("long")
+            .alias("cos_fp"),
+        )
+
+    shift = F.lit(_DRIFT_SHIFT)
+    drifted = emb.filter(F.expr(_B1_PRED)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            as_double("embedding"),
+            lambda x, i: x + F.when(i % 2 == 0, shift).otherwise(-shift),
+        ).alias("embedding"),
+    )
+    qassigned = ivf_assign(l2_normalize(drifted), idx.centroids)
+    bcos = cos_rows(idx.vectors)
+    qcos = cos_rows(qassigned.select("vec_id", "embedding", "cell"))
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"), F.col("value"))
+
+    occ_b = bcos.groupBy("cell").agg(F.count("*").alias("cb"))
+    occ_q = qcos.groupBy("cell").agg(F.count("*").alias("cq"))
+    totals = (
+        bcos.agg(F.count("*").alias("nb"))
+        .crossJoin(qcos.agg(F.count("*").alias("nq")))
+    )
+    tv = (
+        occ_b.join(occ_q, "cell", "full_outer")
+        .na.fill(0, ["cb", "cq"])
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(F.abs(F.col("cb") * F.col("nq") - F.col("cq") * F.col("nb"))).alias(
+                "value"
+            )
+        )
+    )
+    out = (
+        metric("base_coh_fp_sum", bcos.agg(F.sum("cos_fp").alias("value")))
+        .unionByName(metric("base_rows", bcos.agg(F.count("*").alias("value"))))
+        .unionByName(metric("batch_coh_fp_sum", qcos.agg(F.sum("cos_fp").alias("value"))))
+        .unionByName(metric("batch_rows", qcos.agg(F.count("*").alias("value"))))
+        .unionByName(metric("tv_cross", tv))
+    )
+    return out.select("metric", F.col("value").cast("long").alias("value")).orderBy(
+        "metric"
+    )

@@ -33,9 +33,15 @@ reference                      here
 
 Transactionality (reference R12): Redshift gave the reference
 BEGIN/END atomicity (redshift.py:353-379). Plain-parquet Spark has
-per-write atomicity only (file-commit protocol); the upsert here uses
-write-temp-then-rename, which leaves a small non-atomic window between
-DROP and RENAME. Full multi-statement atomicity needs Delta/Iceberg
+per-write atomicity only (file-commit protocol); the upsert here
+stages the merged result at a fresh location and commits it with a
+single ``ALTER TABLE .. SET LOCATION`` metadata operation (r10 — the
+pre-r10 DROP-then-RENAME pair could crash between statements and leave
+no table under the target name; now every crash point leaves the
+target serving either the old or the new data in full). The residual
+gap is that the ALTER's atomicity is the catalog's single-op
+guarantee, not a multi-statement transaction. Full transactional
+semantics need Delta/Iceberg
 (jars not in this image — the client degrades gracefully, SURVEY §7).
 """
 
@@ -260,9 +266,22 @@ class WarehouseClient:
     def upsert(self, updates: DataFrame, target_table: str, keys: list[str]) -> None:
         """Keyed last-write-wins merge into a catalog table.
 
-        Write-temp-then-rename replaces the reference's BEGIN/END
-        transaction (redshift.py:353-379); see module docstring for the
-        atomicity caveat.
+        Commit protocol (r10, the pointer-swap idea genstore applies to
+        the index artifacts, translated to the catalog world where
+        ``spark.table(name)`` IS the pointer): the merged result is
+        fully written to a fresh uuid'd stage location first, and the
+        commit point is a SINGLE metadata operation — ``ALTER TABLE
+        target SET LOCATION <stage>`` — after which cleanup (dropping
+        the stage name, deleting the superseded directory) is garbage
+        collection of inert objects. A crash before the ALTER leaves
+        the target serving its old data plus an orphaned uuid'd stage
+        (a retry stages fresh and converges); a crash after it leaves
+        the target serving the new data. This replaces the pre-r10
+        DROP-then-RENAME pair, whose between-statements crash left NO
+        table under the target name. Residual caveat (module
+        docstring): the ALTER's atomicity is the catalog's, not a
+        multi-statement transaction — Delta/Iceberg would subsume it,
+        their jars are absent here.
         """
         updates = normalize_column_names(updates)
         target = self.spark.table(target_table)
@@ -272,16 +291,16 @@ class WarehouseClient:
             # fresh timestamp for every staged row.
             updates = updates.withColumn("date_insert", F.current_timestamp())
         merged = self.merge_frames(target, updates, keys)
-        # Unique stage location per merge: renaming the stage table into
-        # place moves the target's data directory, so a FIXED stage path
-        # would collide with live data on the second upsert (and CTAS
-        # refuses non-empty locations). Write fresh, swap, then delete
-        # the superseded directory.
         old_loc = self._table_location(target_table)
         stage = f"{target_table}__stage_{uuid.uuid4().hex[:8]}"
-        merged.write.option("path", self._loc(stage)).saveAsTable(stage)
-        self.spark.sql(f"DROP TABLE IF EXISTS {target_table}")
-        self.spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        stage_loc = self._loc(stage)
+        # saveAsTable with an explicit path creates an EXTERNAL table:
+        # dropping the stage NAME later leaves the data files the
+        # target now points at.
+        merged.write.option("path", stage_loc).saveAsTable(stage)
+        self.spark.sql(f"ALTER TABLE {target_table} SET LOCATION '{stage_loc}'")
+        self.spark.catalog.refreshTable(target_table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         if old_loc:
             self._delete_dir(old_loc)
 

@@ -169,3 +169,67 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         wh.drop_table("li_bkt")
         wh.drop_table("ord_bkt")
+
+
+def test_upsert_crash_before_commit_keeps_target_serving(spark, wc, monkeypatch):
+    """r10 upsert commit protocol: the commit point is the single
+    ALTER TABLE .. SET LOCATION. Kill the writer right before it — the
+    target must keep serving its OLD rows in full (the pre-r10
+    DROP-then-RENAME pair left NO table at this crash point), and a
+    retried upsert must converge despite the orphaned stage table."""
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], schema="pk long, payload string"
+    )
+    wc.upload(target, "t_crash", mode="overwrite", include_date_insert=False)
+    updates = spark.createDataFrame([(2, "NEW2")], schema="pk long, payload string")
+
+    real_sql = spark.sql
+
+    def failing_sql(stmt, *a, **k):
+        if stmt.strip().upper().startswith("ALTER TABLE T_CRASH SET LOCATION"):
+            raise RuntimeError("injected crash before commit")
+        return real_sql(stmt, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", failing_sql)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        wc.upsert(updates, "t_crash", keys=["pk"])
+    monkeypatch.undo()
+
+    rows = sorted((r.pk, r.payload) for r in spark.table("t_crash").collect())
+    assert rows == [(1, "old1"), (2, "old2")], "old generation must keep serving"
+
+    # retry converges (fresh uuid stage; the orphan is inert)
+    wc.upsert(updates, "t_crash", keys=["pk"])
+    rows = sorted((r.pk, r.payload) for r in spark.table("t_crash").collect())
+    assert rows == [(1, "old1"), (2, "NEW2")]
+    wc.drop_table("t_crash")
+
+
+def test_upsert_crash_after_commit_serves_new_rows(spark, wc, monkeypatch):
+    """Crash AFTER the ALTER (during GC): the target serves the merged
+    rows; the superseded directory and stage name are inert garbage."""
+    from pandas_aws_spark.warehouse import WarehouseClient
+
+    target = spark.createDataFrame([(1, "old")], schema="pk long, payload string")
+    wc.upload(target, "t_gc", mode="overwrite", include_date_insert=False)
+    updates = spark.createDataFrame([(1, "NEW")], schema="pk long, payload string")
+
+    def boom(self, uri):
+        raise RuntimeError("injected crash during gc")
+
+    monkeypatch.setattr(WarehouseClient, "_delete_dir", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        wc.upsert(updates, "t_gc", keys=["pk"])
+    monkeypatch.undo()
+
+    rows = [(r.pk, r.payload) for r in spark.table("t_gc").collect()]
+    assert rows == [(1, "NEW")]
+    # next upsert still works and GCs normally
+    wc.upsert(
+        spark.createDataFrame([(2, "TWO")], schema="pk long, payload string"),
+        "t_gc",
+        keys=["pk"],
+    )
+    rows = sorted((r.pk, r.payload) for r in spark.table("t_gc").collect())
+    assert rows == [(1, "NEW"), (2, "TWO")]
+    wc.drop_table("t_gc")

@@ -157,6 +157,10 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_sim_index_ingest": 16,  # stored coarse centroids (8 kilobyte rows) fan-out
     "q_sim_index_filtered": 16,  # same stored-centroid fan-out, filtered search
     "q_sim_index_delete": 16,  # same stored-centroid fan-out, three searches
+    # drift-signal components: stored-centroid fan-out for the two
+    # assignment passes + deliberate 1-row/2-row scalar cross joins
+    # (row-count totals attached to the <=2*NCENT-row occupancy frame)
+    "q_sim_index_drift_signal": 16,
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

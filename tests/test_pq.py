@@ -243,3 +243,22 @@ def test_ivf_pq_prebuilt_index_matches_self_contained(emb):
     ).collect()
     key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.l2sq_fp) for r in rows)
     assert key(self_contained) == key(reused)
+
+
+def test_coarse_sample_too_small_falls_back_to_full_training(spark):
+    """r9 ADVICE (low): a hash-sample smaller than n_centroids used to
+    hand k-means degenerate input. The build must fall back to
+    full-corpus coarse training and succeed."""
+    from pandas_aws_spark.operators.pq import ivf_pq_build_full
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, cb, codes, vectors = ivf_pq_build_full(
+        emb,
+        n_centroids=8,
+        m=8,
+        k_codes=16,
+        coarse="kmeans",
+        coarse_sample=1e-6,  # empty/near-empty sample on this corpus
+    )
+    assert cents.count() == 8
+    assert codes.count() == emb.count()

@@ -202,7 +202,9 @@ def build_ann_index(
         )
         if sampled.limit(1).count():
             coh_frame = sampled
-    base_cells, base_fracs = _cell_occupancy(coh_frame)
+    base_coh, base_cells, base_fracs = _coherence_and_occupancy(
+        cents, coh_frame, vec_col=vec_col
+    )
     params = {
         "id_col": id_col,
         "vec_col": vec_col,
@@ -214,7 +216,7 @@ def build_ann_index(
         "coarse": coarse,
         "coarse_iters": coarse_iters,
         "payload_cols": ",".join(payload_cols),
-        "base_coherence": coarse_coherence(cents, coh_frame, vec_col=vec_col),
+        "base_coherence": base_coh,
         "base_cells": base_cells,
         "base_cell_fracs": base_fracs,
     }
@@ -429,15 +431,38 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     write_ann_index(idx, path, batch_id="base")
 
 
-def _cell_occupancy(assigned_vectors: DataFrame) -> tuple[list[int], list[float]]:
-    """Cell-occupancy distribution of an assigned vector frame —
-    ``(cell ids, fraction per cell)``, sorted by cell id. One groupBy
-    whose result is at most n_centroids rows (kilobytes collected)."""
-    occ = assigned_vectors.groupBy("cell").count().collect()
-    total = sum(r["count"] for r in occ) or 1
-    cells = sorted(int(r["cell"]) for r in occ)
-    frac = {int(r["cell"]): r["count"] / total for r in occ}
-    return cells, [frac[c] for c in cells]
+def _coherence_and_occupancy(
+    centroids: DataFrame,
+    assigned_vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> tuple[float, list[int], list[float]]:
+    """Both quantizer-fit statistics in ONE job: mean cosine of vectors
+    to their assigned centroid, plus the cell-occupancy distribution
+    ``(cell ids, fraction per cell)`` sorted by cell id. One broadcast
+    join (centroids are kilobytes) + one per-cell aggregate whose
+    result is at most n_centroids rows (kilobytes collected); the
+    global mean is the count-weighted fold of the per-cell sums,
+    summed in sorted-cell order so it is deterministic."""
+    from ..functions.vector import cosine
+
+    c = centroids.select(
+        F.col("centroid_id").alias(cell_col), as_double(vec_col).alias("_cvec")
+    )
+    per_cell = (
+        assigned_vectors.join(F.broadcast(c), cell_col)
+        .groupBy(cell_col)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(cosine(as_double(vec_col), F.col("_cvec"))).alias("cos_sum"),
+        )
+        .collect()
+    )
+    rows = sorted((int(r[cell_col]), r["cnt"], r["cos_sum"]) for r in per_cell)
+    total = sum(cnt for _, cnt, _ in rows) or 1
+    coherence = sum(s for _, _, s in rows) / total
+    return coherence, [c for c, _, _ in rows], [cnt / total for _, cnt, _ in rows]
 
 
 def coarse_coherence(
@@ -449,19 +474,11 @@ def coarse_coherence(
 ) -> float:
     """Mean cosine of vectors to their ASSIGNED coarse centroid — the
     scalar that summarizes how well the quantizer's cells fit a vector
-    population. One broadcast join (centroids are kilobytes) + one
-    aggregate; the returned value is a single driver-side float."""
-    from ..functions.vector import cosine
-
-    c = centroids.select(
-        F.col("centroid_id").alias(cell_col), as_double(vec_col).alias("_cvec")
+    population. See :func:`_coherence_and_occupancy` for the plan."""
+    coh, _, _ = _coherence_and_occupancy(
+        centroids, assigned_vectors, vec_col=vec_col, cell_col=cell_col
     )
-    row = (
-        assigned_vectors.join(F.broadcast(c), cell_col)
-        .select(F.avg(cosine(as_double(vec_col), F.col("_cvec"))).alias("coh"))
-        .first()
-    )
-    return float(row["coh"])
+    return coh
 
 
 def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
@@ -508,13 +525,12 @@ def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
     if cn.first() is None:
         raise ValueError("quantizer_staleness: batch is empty")
     assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
-    batch = coarse_coherence(cents, assigned, vec_col=vec_col)
+    batch, cells, fracs = _coherence_and_occupancy(cents, assigned, vec_col=vec_col)
     base = params.get("base_coherence")
     base = float(base) if base is not None else None
     tv = None
     if params.get("base_cells") is not None:
         base_fr = dict(zip(params["base_cells"], params["base_cell_fracs"]))
-        cells, fracs = _cell_occupancy(assigned)
         batch_fr = dict(zip(cells, fracs))
         tv = 0.5 * sum(
             abs(base_fr.get(c, 0.0) - batch_fr.get(c, 0.0))

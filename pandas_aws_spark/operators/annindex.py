@@ -100,6 +100,7 @@ __all__ = [
     "append_ann_index",
     "delete_from_ann_index",
     "compact_ann_index",
+    "rebuild_ann_index",
     "ann_index_topk",
     "coarse_coherence",
     "quantizer_staleness",
@@ -542,6 +543,50 @@ def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
         "ratio": (batch / base) if base else None,
         "occupancy_tv": tv,
     }
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    coarse_sample: float | None = None,
+    coarse: str | None = None,
+) -> None:
+    """The action the drift trigger points at: RETRAIN both quantizers
+    on the index's current LIVE vectors and rewrite the whole artifact
+    — the full-price counterpart of the O(batch) append, run when
+    ``quantizer_staleness`` crosses the documented trigger (SCALE.md
+    r10: occupancy-TV excess >= 0.25 over a same-size clean control).
+    Inherits the stored recipe (dim/m/k/cells/payload_cols); ``coarse``
+    / ``coarse_sample`` may override the coarse-training knobs — at
+    100 TB pass ``coarse='kmeans', coarse_sample=0.01`` like a fresh
+    build. Crash-safe for free: the rewrite is a base write, i.e. a
+    new generation committed by the atomic marker (genstore), with the
+    old index serving until then; a retry converges. Like compaction it
+    folds batch dirs and physically drops tombstoned rows (the read
+    applies them) — a rebuild subsumes a compaction. Stored vectors are
+    already unit-norm; the rebuild re-normalizes them, a ulp-level
+    no-op."""
+    idx = read_ann_index(spark, path)
+    p = idx.params
+    payload_cols = tuple(c for c in p.get("payload_cols", "").split(",") if c)
+    corpus = idx.vectors.select(
+        F.col(p["id_col"]), F.col(p["vec_col"]), *[F.col(c) for c in payload_cols]
+    )
+    rebuilt = build_ann_index(
+        corpus,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        n_centroids=int(p["n_centroids"]),
+        m=int(p["m"]),
+        k_codes=int(p["k_codes"]),
+        iters=int(p["iters"]),
+        coarse=coarse if coarse is not None else p.get("coarse", "first"),
+        coarse_iters=int(p.get("coarse_iters", 3)),
+        coarse_sample=coarse_sample,
+        payload_cols=payload_cols,
+    )
+    write_ann_index(rebuilt, path)
 
 
 def ann_index_topk(

@@ -323,3 +323,40 @@ def test_quantizer_staleness_signal_detects_drift(spark, tmp_path):
     # single-direction shift crowds cells, so TV rises sharply)
     assert clean["occupancy_tv"] is not None
     assert drifted["occupancy_tv"] > clean["occupancy_tv"] + 0.1, (clean, drifted)
+
+
+def test_rebuild_retrains_on_live_vectors(spark, tmp_path):
+    """rebuild_ann_index = the drift trigger's action: retrain the
+    quantizers on the current live vectors under the stored recipe,
+    committed as a new generation. Search after rebuild is bit-equal to
+    an in-memory search whose quantizers were trained on that same live
+    corpus; appended and tombstoned state is folded in/out exactly as
+    compaction folds it."""
+    from pandas_aws_spark.operators.annindex import rebuild_ann_index
+    from pandas_aws_spark.operators.pq import ivf_pq_topk
+
+    emb, base, b1 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    victims = base.filter(F.col("vec_id") % 10 == 7)
+    delete_from_ann_index(victims, path, batch_id="t1")
+    live_n = read_ann_index(spark, path).codes.count()
+
+    rebuild_ann_index(spark, path)
+    idx = read_ann_index(spark, path)
+    # single committed generation, batch dirs folded, tombstones gone
+    gens = genstore.list_generations(spark, path)
+    assert len(gens) == 1 and gens[0][1]
+    assert idx.codes.count() == live_n
+    assert os.listdir(f"{genstore.current_root(spark, path)}/codes") == ["batch=base"]
+    # tombstoned ids physically absent even though the tombstone dir is gone
+    assert idx.codes.filter("vec_id % 10 = 7 AND vec_id < 1000000").count() == 0
+
+    # quantizers really retrained on the live corpus: stored search ==
+    # in-memory search trained on exactly the live vectors
+    q = emb.filter(F.col("vec_id") < 3)
+    got = _rows(ann_index_topk(q, idx, **_SEARCH))
+    live = idx.vectors.select("vec_id", "embedding")
+    want = _rows(ivf_pq_topk(q, live, **_RECIPE, **_SEARCH))
+    assert got == want

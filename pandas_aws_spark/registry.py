@@ -211,9 +211,18 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     # (r10 start: both r9 rewrites — q_dedup_embedding_lsh and
     # q_io_mixed_prefix_lineage — re-verified green in
     # CORRECTNESS_r09.json 50/50 and cleared per the r9 verdict's
-    # ask #1. Rewrites this round are appended below as they happen,
-    # enumerated mechanically with tools/dump_plans.py at the
-    # pre-round commit vs HEAD, diffed by tools/diff_plans.py.)
+    # ask #1.)
+    #
+    # r10 end enumeration (tools/dump_plans.py at pre-round commit
+    # 4dc91d7 via a throwaway worktree vs HEAD, diffed by
+    # tools/diff_plans.py after its r9-ADVICE precision fix; the
+    # same-HEAD double-dump control reads 0/227 false positives):
+    # ZERO rewrites — the round's storage-protocol work (generation
+    # commits, upsert commit point, tombstone guards) and build-side
+    # additions (coherence/occupancy baselines) change no registered
+    # query's returned plan; the only delta is the NEW entry
+    # q_sim_index_drift_signal, which enters the window as a
+    # never-verified obligation automatically.
 }
 
 _WINDOW_SIZE = 50

@@ -73,3 +73,12 @@ def test_audit_trail_records_canonicalized_lines():
     audit2: list[str] = []
     normalize("Project [a#1]", audit2)
     assert audit2 == []
+
+
+def test_expand_leading_tag_permutation_cancels():
+    """Pivot/multi-agg Expand shapes LEAD with the tag integer (the
+    same-HEAD double-dump control caught q_profile_orders pairing tags
+    to different columns across processes)."""
+    a = "Expand [[0, null, a#1], [1, null, b#2], [2, null, c#3]], [t#4, x#5]"
+    b = "Expand [[0, null, a#1], [1, null, c#3], [2, null, b#2]], [t#4, x#5]"
+    assert normalize(a) == normalize(b)

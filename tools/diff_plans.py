@@ -63,13 +63,15 @@ def _canon_lists(s: str) -> str:
 
 
 def _blank_gid_slots(line: str) -> str:
-    """Blank ONLY the gid slot of each Expand projection — the trailing
-    bare-integer element of an inner bracketed list (grouping-set tag
-    values are assigned by nondeterministic internal numbering). Every
-    other integer on the line is a real literal and must keep counting
-    as a plan change (r9 ADVICE: blanking ALL integers let a rewrite
-    that only changed a numeric literal diff as 'unchanged')."""
-    return re.sub(r",\s*\d+\]", ", G]", line)
+    """Blank ONLY the gid/tag slots of each Expand projection — the
+    elements that are ENTIRELY a bare integer (delimiter-bounded).
+    Grouping-set gid tags trail the projection; pivot/multi-agg Expand
+    shapes LEAD with the tag (same-HEAD double-dump control caught the
+    leading case). An integer inside an expression (``(a#N + 5)``) has
+    non-delimiter neighbors and is untouched, so a rewrite that only
+    changes a real literal still counts (r9 ADVICE: the old blanket
+    blanking masked exactly that)."""
+    return re.sub(r"(?<=[\[,])\s*\d+\s*(?=[\],])", " G", line)
 
 
 def normalize(plan: str, audit: list[str] | None = None) -> str:

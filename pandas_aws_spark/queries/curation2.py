@@ -450,3 +450,119 @@ def q_events_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-index tombstone lifecycle (r10): the deletion-vector story the ANN
+# index got oracle-verified in r9 (q_sim_index_delete), mirrored for the
+# dedup artifact — previously covered by pytest only (r9 verdict table).
+_DDEL_PROBE_PRED = "doc_id % 37 = 5"  # sparse identical-text probe set
+_DDEL_VICTIM_PRED = "doc_id % 10 = 7"  # takedown cohort
+
+_DEDUP_DELETE_ORACLE = (
+    "WITH "
+    + _SHARED_SHINGLES_CTE.lstrip()
+    + r""",
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+-- probe docs are identical-text re-id'd copies (+1000000), so their
+-- shingles/signatures equal the originals'; candidates join originals
+cand AS (SELECT DISTINCT a.doc_id AS orig_a, e.doc_id AS id_b
+         FROM bands a JOIN bands e ON a.band = e.band AND a.sig = e.sig
+         WHERE a.doc_id % 37 = 5),
+inter AS (SELECT c.orig_a, c.id_b, len(list_intersect(pa.hs, pb.hs)) AS nc
+          FROM cand c
+          JOIN (SELECT doc_id, list(h) AS hs FROM hh GROUP BY doc_id) pa
+            ON pa.doc_id = c.orig_a
+          JOIN (SELECT doc_id, list(h) AS hs FROM hh GROUP BY doc_id) pb
+            ON pb.doc_id = c.id_b),
+pairs AS (SELECT i.orig_a, i.id_b,
+                 CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.orig_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.8),
+phases AS (
+  SELECT 1 AS phase, orig_a, id_b, jaccard FROM pairs
+  UNION ALL
+  SELECT 2, orig_a, id_b, jaccard FROM pairs WHERE id_b % 10 <> 7
+  UNION ALL
+  SELECT 3, orig_a, id_b, jaccard FROM pairs WHERE id_b % 10 <> 7)
+SELECT phase, orig_a + 1000000 AS id_a, id_b, jaccard
+FROM phases ORDER BY phase, id_a, id_b
+"""
+)
+
+
+@query(
+    "q_dedup_index_delete",
+    oracle=_DEDUP_DELETE_ORACLE,
+    tags=("dedup", "lsh", "delete"),
+)
+def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index tombstone lifecycle, 3-phase, against real parquet —
+    the deletion-vector story (takedown / post-dedup drop list) the ANN
+    index got in r9, now oracle-verified for the dedup artifact too:
+    search an identical-text probe set against the stored index
+    (phase 1) -> ``delete_from_dedup_index`` the % 10 = 7 cohort as a
+    tombstone batch -> search again (phase 2: tombstoned docs stop
+    matching IMMEDIATELY — the read anti-joins both postings and
+    packs, no data files rewritten) -> ``compact_dedup_index`` (r10
+    generation-commit rewrite: live rows only, tombstones retired,
+    crash-safe) -> search 3, which must equal phase 2 bit for bit.
+    The probe set is re-id'd (+1000000) so ids stay disjoint from the
+    index's; the oracle exploits text identity to replay probe
+    signatures from the originals' shingles.
+
+    Reference analogue: none — north-star extension (SURVEY §2.9)."""
+    from ..operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        release_cached_inputs,
+        write_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir(prefix="pandas_aws_spark_dedup_delete_")
+    write_dedup_index(build_dedup_index(docs, "doc_id", "text"), path)
+    probe = docs.filter(F.expr(_DDEL_PROBE_PRED)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    def search(phase: int) -> DataFrame:
+        raw = indexed_near_dup_pairs(
+            probe, read_dedup_index(spark, path), "text", threshold=0.8
+        )
+        out = raw.withColumn("phase", F.lit(phase)).localCheckpoint()
+        release_cached_inputs(raw)
+        return out
+
+    p1 = search(1)
+    delete_from_dedup_index(
+        docs.filter(F.expr(_DDEL_VICTIM_PRED)), path, batch_id="takedown1"
+    )
+    p2 = search(2)
+    compact_dedup_index(spark, path)
+    p3 = search(3)
+    return (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .select("phase", "id_a", "id_b", "jaccard")
+        .orderBy("phase", "id_a", "id_b")
+    )

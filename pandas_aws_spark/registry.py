@@ -220,9 +220,9 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     # ZERO rewrites — the round's storage-protocol work (generation
     # commits, upsert commit point, tombstone guards) and build-side
     # additions (coherence/occupancy baselines) change no registered
-    # query's returned plan; the only delta is the NEW entry
-    # q_sim_index_drift_signal, which enters the window as a
-    # never-verified obligation automatically.
+    # query's returned plan; the only deltas are the NEW entries
+    # q_sim_index_drift_signal and q_dedup_index_delete, which enter
+    # the window as never-verified obligations automatically.
 }
 
 _WINDOW_SIZE = 50

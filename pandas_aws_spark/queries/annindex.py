@@ -894,3 +894,176 @@ def q_sim_index_drift_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("metric", F.col("value").cast("long").alias("value")).orderBy(
         "metric"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rebuild (retrain) lifecycle (r10): what the drift trigger fires. The
+# oracle's key subtlety: rebuild trains/stores over the index's STORED
+# vectors, which are already unit-norm — build_ann_index normalizes them
+# AGAIN, and normalize(normalize(v)) is NOT bit-identical to
+# normalize(v) (the unit vector's recomputed norm is 1 +- ulps and the
+# division moves last bits). The replay therefore applies the
+# normalization CTE twice for everything the rebuilt index stores,
+# while the query side normalizes raw vectors ONCE (ivf_pq_topk's
+# query path) — re-rank distances cross the two.
+_ANN_REBUILD_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+e2 AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e)
+),
+subs AS (
+  SELECT e2.vec_id, s.sub,
+         list_slice(e2.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e2, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+cb0 AS (
+  SELECT sub, CAST(rn AS INT) AS centroid_id, subvec AS cvec
+  FROM (SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM subs)
+  WHERE rn <= {_PQ_K}
+),
+{_pq_iteration_ctes(1, "subs").strip()},
+{_pq_iteration_ctes(2, "subs").strip()},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)},
+                                       cb.centroid_id) AS rn
+    FROM subs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e2 ORDER BY vec_id LIMIT {_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e2.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                              ORDER BY {sql_cosine('e2.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e2, cent ct)
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE q.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+-- query-side LUT subvectors come from the ONCE-normalized query path
+qsubs AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.v, s.sub * {_PQ_D} + 1, s.sub * {_PQ_D} + {_PQ_D}) AS subvec
+  FROM e, (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+  WHERE e.vec_id < 3
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.centroid_id AS code,
+         {_sql_l2sq("s.subvec", "cb.cvec", _PQ_D)} AS dist
+  FROM qsubs s JOIN cb{_PQ_ITERS} cb ON cb.sub = s.sub
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  JOIN qprobes p ON p.query_id = l.query_id AND p.cell = ce.cell
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_sql_l2sq("qe.v", "ne.v", _DIM)} AS l2
+  FROM short s
+  JOIN e2 ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       CAST(FLOOR(l2 * 1000000) AS BIGINT) AS l2sq_fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY l2, neighbor_id) AS rn
+      FROM rerank)
+WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "q_sim_index_rebuild",
+    oracle=_ANN_REBUILD_ORACLE,
+    tags=("similarity", "pq", "ivf", "rebuild"),
+)
+def q_sim_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild (retrain) lifecycle against real parquet — the action
+    the r10 drift trigger fires: build+write on the base corpus ->
+    ``append_ann_index`` both batches (frozen quantizers) ->
+    ``rebuild_ann_index`` (retrain coarse + PQ on ALL live vectors
+    under the stored recipe, committed as a new generation — the
+    crash-safe full-price counterpart of the O(batch) append) ->
+    search the rebuilt index read back from disk. The oracle replays
+    quantizer training over the FULL corpus (vs the ingest entry's
+    base-only training — the two entries differ exactly where
+    append's no-retrain contract and rebuild's retrain differ) and
+    reproduces the stored side's double normalization bit for bit
+    (docstring above).
+
+    Reference analogue: none — north-star extension (SURVEY §2.9)."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        append_ann_index,
+        build_ann_index,
+        read_ann_index,
+        rebuild_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    b1 = emb.filter(F.expr(_B1_PRED))
+    b2 = emb.filter(F.expr(_B2_PRED))
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_rebuild_")
+    write_ann_index(
+        build_ann_index(
+            base, n_centroids=_NCENT, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        ),
+        path,
+    )
+    append_ann_index(b1, path, batch_id="b1")
+    append_ann_index(b2, path, batch_id="b2")
+    rebuild_ann_index(spark, path)
+    return (
+        ann_index_topk(
+            qdf,
+            read_ann_index(spark, path),
+            nprobe=_IVFPQ_NPROBE,
+            k=_PQ_TOPK,
+            oversample=_PQ_OVERSAMPLE,
+        )
+        .select("query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("query_id", "rank")
+    )

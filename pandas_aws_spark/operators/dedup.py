@@ -54,6 +54,7 @@ __all__ = [
     "append_dedup_index",
     "delete_from_dedup_index",
     "compact_dedup_index",
+    "rebuild_dedup_index",
     "validate_batch_id",
     "indexed_near_dup_pairs",
     "simhash16",
@@ -784,6 +785,48 @@ def compact_dedup_index(spark, path: str) -> None:
     into the new generation). Single-writer assumed."""
     idx = read_dedup_index(spark, path)
     write_dedup_index(idx, path, batch_id="base")
+
+
+def rebuild_dedup_index(
+    spark,
+    path: str,
+    *,
+    n_hashes: int | None = None,
+    bands: int | None = None,
+    hash_fn: str | None = None,
+) -> None:
+    """Re-TUNE the stored index's banding recipe WITHOUT rescanning
+    corpus text — the dedup twin of
+    :func:`~pandas_aws_spark.operators.annindex.rebuild_ann_index`
+    (there the quantizers retrain because they are data-trained; here
+    the signatures are recipe-hashed, so "rebuild" means re-deriving
+    band postings under a NEW (n_hashes, bands, hash_fn) from the
+    stored shingle-hash packs — the packs ARE the sufficient
+    statistic). Use case: moving the recall/cost operating point (e.g.
+    bands=4,rows=2 -> bands=8,rows=1 to catch lower-jaccard pairs)
+    on a corpus whose text may no longer be retained. ``shingle_k``
+    CANNOT change — the stored hashes pin the shingling; a k change
+    needs the original text. The rewrite is a base write: a new
+    committed generation (crash-safe, genstore), batch dirs folded,
+    tombstoned docs physically dropped. Signatures derived from packs
+    are bit-identical to a fresh text build with the same recipe
+    (tests assert equality of search results)."""
+    idx = read_dedup_index(spark, path)
+    p = dict(idx.params)
+    n_hashes = int(n_hashes if n_hashes is not None else p["n_hashes"])
+    bands = int(bands if bands is not None else p["bands"])
+    hash_fn = hash_fn if hash_fn is not None else p["hash_fn"]
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    rows = n_hashes // bands
+    id_col = p["id_col"]
+    # stored packs hold each doc's sorted DISTINCT shingle hashes —
+    # exploding them reproduces doc_shingle_hashes' (id, h) set exactly
+    sh = idx.packs.select(F.col(id_col), F.explode("hs").alias("h"))
+    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    p.update({"n_hashes": n_hashes, "bands": bands, "hash_fn": hash_fn})
+    write_dedup_index(DedupIndex(buckets, idx.packs, p), path, batch_id="base")
 
 
 def indexed_near_dup_pairs(

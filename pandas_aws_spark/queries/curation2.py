@@ -566,3 +566,104 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phase", "id_a", "id_b", "jaccard")
         .orderBy("phase", "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-index banding retune (r10): rebuild_dedup_index re-derives the
+# band postings under a NEW recipe from the stored packs alone. The
+# oracle replays the RETUNED recipe (8 single-hash bands instead of the
+# build-time 4x2) from the raw text — if the packs were not a sufficient
+# statistic, or the retune touched them, the hashes would diverge.
+_REBUILD_BANDS = 8  # retune 4x2 -> 8x1: single-hash bands, higher recall
+_REBUILD_THRESHOLD = 0.5  # the lower operating point the retune serves
+
+_DEDUP_REBUILD_ORACLE = (
+    "WITH "
+    + _SHARED_SHINGLES_CTE.lstrip()
+    + r""",
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h1 FROM mh UNION ALL
+  SELECT doc_id, 2, h2 FROM mh UNION ALL
+  SELECT doc_id, 3, h3 FROM mh UNION ALL
+  SELECT doc_id, 4, h4 FROM mh UNION ALL
+  SELECT doc_id, 5, h5 FROM mh UNION ALL
+  SELECT doc_id, 6, h6 FROM mh UNION ALL
+  SELECT doc_id, 7, h7 FROM mh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+         FROM bands a JOIN bands e ON a.band = e.band AND a.sig = e.sig
+         WHERE a.doc_id % 8 = 4 AND (e.doc_id % 4 <> 0 OR e.doc_id % 8 = 0)),
+inter AS (SELECT c.id_a, c.id_b, len(list_intersect(pa.hs, pb.hs)) AS nc
+          FROM cand c
+          JOIN (SELECT doc_id, list(h) AS hs FROM hh GROUP BY doc_id) pa
+            ON pa.doc_id = c.id_a
+          JOIN (SELECT doc_id, list(h) AS hs FROM hh GROUP BY doc_id) pb
+            ON pb.doc_id = c.id_b),
+pairs AS (SELECT i.id_a, i.id_b,
+                 CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.5)
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+)
+
+
+@query(
+    "q_dedup_index_rebuild",
+    oracle=_DEDUP_REBUILD_ORACLE,
+    tags=("dedup", "lsh", "rebuild"),
+)
+def q_dedup_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-retune lifecycle against real parquet: build+write the
+    index at the 4x2 operating point -> ``append_dedup_index`` batch 1
+    -> ``rebuild_dedup_index(bands=8)`` — band postings re-derived
+    from the STORED packs alone (no corpus text rescan; the packs are
+    the sufficient statistic), committed as a new generation -> search
+    batch 2 against the retuned index at the lower threshold the 8x1
+    point serves. The oracle replays the RETUNED recipe from raw text,
+    so any divergence between pack-derived and text-derived signatures
+    would hash-mismatch. The ANN twin is ``q_sim_index_rebuild``
+    (there rebuild RETRAINS, because its quantizers are data-trained;
+    here it re-hashes, because the recipe is data-independent — the
+    reason the dedup index needs no drift signal).
+
+    Reference analogue: none — north-star extension (SURVEY §2.9)."""
+    from ..operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        read_dedup_index,
+        rebuild_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    b1 = docs.filter(F.col("doc_id") % 8 == 0)
+    b2 = docs.filter(F.col("doc_id") % 8 == 4)
+    path = scratch_dir(prefix="pandas_aws_spark_dedup_rebuild_")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    append_dedup_index(build_dedup_index(b1, "doc_id", "text"), path, batch_id="b1")
+    rebuild_dedup_index(spark, path, bands=_REBUILD_BANDS)
+    return (
+        indexed_near_dup_pairs(
+            b2,
+            read_dedup_index(spark, path),
+            "text",
+            threshold=_REBUILD_THRESHOLD,
+        )
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -221,9 +221,9 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     # commits, upsert commit point, tombstone guards) and build-side
     # additions (coherence/occupancy baselines) change no registered
     # query's returned plan; the only deltas are the NEW entries
-    # q_sim_index_drift_signal, q_dedup_index_delete and
-    # q_sim_index_rebuild, which enter the window as never-verified
-    # obligations automatically.
+    # q_sim_index_drift_signal, q_dedup_index_delete,
+    # q_sim_index_rebuild and q_dedup_index_rebuild, which enter the
+    # window as never-verified obligations automatically.
 }
 
 _WINDOW_SIZE = 50

@@ -360,3 +360,66 @@ def test_rebuild_retrains_on_live_vectors(spark, tmp_path):
     live = idx.vectors.select("vec_id", "embedding")
     want = _rows(ivf_pq_topk(q, live, **_RECIPE, **_SEARCH))
     assert got == want
+
+
+def test_rebuild_dedup_index_retunes_banding_from_packs(spark, tmp_path):
+    """rebuild_dedup_index re-derives band postings under a NEW
+    banding recipe from the stored packs alone — no corpus text scan.
+    The retuned stored index must return exactly the matches of an
+    index built FRESH from the live text with the same recipe (the
+    packs are a sufficient statistic), folded into one committed
+    generation with tombstones physically dropped."""
+    from pandas_aws_spark.operators.dedup import rebuild_dedup_index
+
+    docs = spark.createDataFrame(
+        [(i, f"{BASE} tail {i % 3} marker {i % 2}") for i in range(12)]
+        + [(100, BASE), (101, BASE + " x")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    write_dedup_index(
+        build_dedup_index(docs.filter("doc_id < 8"), "doc_id", "text"), path
+    )
+    append_dedup_index(
+        build_dedup_index(docs.filter("doc_id >= 8"), "doc_id", "text"),
+        path,
+        batch_id="b1",
+    )
+    delete_from_dedup_index(
+        spark.createDataFrame([(101,)], "doc_id long"), path, batch_id="t1"
+    )
+
+    # retune 4x2 -> 8x1 (single-row bands: more candidates, lower
+    # effective threshold — the recall-raising operating point)
+    rebuild_dedup_index(spark, path, bands=8)
+    idx = read_dedup_index(spark, path)
+    assert idx.params["bands"] == 8 and idx.params["n_hashes"] == 8
+    root = genstore.current_root(spark, path)
+    assert os.listdir(f"{root}/buckets") == ["batch=base"]
+    assert not os.path.isdir(f"{root}/tombstones")
+
+    probe = spark.createDataFrame([(500, BASE + " y")], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in indexed_near_dup_pairs(probe, idx, "text", threshold=0.3).collect()
+    }
+    # fresh build from the LIVE text (doc 101 deleted) with the SAME recipe
+    live = docs.filter("doc_id <> 101")
+    fresh = build_dedup_index(live, "doc_id", "text", n_hashes=8, bands=8)
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in indexed_near_dup_pairs(probe, fresh, "text", threshold=0.3).collect()
+    }
+    assert got == want and got  # identical and non-trivial
+    # deleted doc stays gone under the retuned banding
+    assert all(b != 101 for _, b, _ in got)
+
+
+def test_rebuild_dedup_index_rejects_bad_banding(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import rebuild_dedup_index
+
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    with pytest.raises(ValueError, match="must divide"):
+        rebuild_dedup_index(spark, path, bands=3)

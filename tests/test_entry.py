@@ -295,3 +295,27 @@ def test_stale_rewrite_reds_only_expiry_tripwire(monkeypatch):
         if latest.get(n, -1) >= r
     }
     assert stale == {"q_05": (10, 9)}
+
+
+def test_headline_set_is_deliberate():
+    """bench.py runs every headline-tagged entry; the set is a
+    PROTOCOL artifact (cross-round drift comparisons assume it).
+    r10 added q_sim_index_ingest — a deliberate series break recorded
+    in SCALE.md. Any other membership change must be equally
+    deliberate: update this list AND the SCALE.md protocol note."""
+    from pandas_aws_spark.registry import load_registry
+
+    headline = sorted(n for n, s in load_registry().items() if s.headline)
+    assert headline == [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_region_revenue",
+        "q_dedup_minhash_lsh",
+        "q_events_sessionize",
+        "q_events_tumbling_hourly",
+        "q_sim_bruteforce_topk",
+        "q_sim_index_ingest",
+        "q_text_curation_pipeline",
+        "q_text_token_stats",
+        "q_top_customers_per_segment",
+    ]

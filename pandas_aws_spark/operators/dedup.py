@@ -793,29 +793,30 @@ def rebuild_dedup_index(
     *,
     n_hashes: int | None = None,
     bands: int | None = None,
-    hash_fn: str | None = None,
 ) -> None:
     """Re-TUNE the stored index's banding recipe WITHOUT rescanning
     corpus text — the dedup twin of
     :func:`~pandas_aws_spark.operators.annindex.rebuild_ann_index`
     (there the quantizers retrain because they are data-trained; here
     the signatures are recipe-hashed, so "rebuild" means re-deriving
-    band postings under a NEW (n_hashes, bands, hash_fn) from the
-    stored shingle-hash packs — the packs ARE the sufficient
-    statistic). Use case: moving the recall/cost operating point (e.g.
-    bands=4,rows=2 -> bands=8,rows=1 to catch lower-jaccard pairs)
-    on a corpus whose text may no longer be retained. ``shingle_k``
-    CANNOT change — the stored hashes pin the shingling; a k change
-    needs the original text. The rewrite is a base write: a new
-    committed generation (crash-safe, genstore), batch dirs folded,
-    tombstoned docs physically dropped. Signatures derived from packs
-    are bit-identical to a fresh text build with the same recipe
-    (tests assert equality of search results)."""
+    band postings under a NEW (n_hashes, bands) from the stored
+    shingle-hash packs — the packs ARE the sufficient statistic). Use
+    case: moving the recall/cost operating point (e.g. bands=4,rows=2
+    -> bands=8,rows=1 to catch lower-jaccard pairs) on a corpus whose
+    text may no longer be retained. ``shingle_k`` and ``hash_fn``
+    CANNOT change — the stored hashes pin both the shingling and the
+    shingle->hash space (r10 ADVICE: a hash_fn "retune" only rewrote
+    params, so later batch text hashed into a DIFFERENT space and
+    silently matched nothing); changing either needs the original
+    text, i.e. a fresh :func:`build_dedup_index`. The rewrite is a
+    base write: a new committed generation (crash-safe, genstore),
+    batch dirs folded, tombstoned docs physically dropped. Signatures
+    derived from packs are bit-identical to a fresh text build with
+    the same recipe (tests assert equality of search results)."""
     idx = read_dedup_index(spark, path)
     p = dict(idx.params)
     n_hashes = int(n_hashes if n_hashes is not None else p["n_hashes"])
     bands = int(bands if bands is not None else p["bands"])
-    hash_fn = hash_fn if hash_fn is not None else p["hash_fn"]
     if n_hashes % bands:
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     rows = n_hashes // bands
@@ -823,9 +824,9 @@ def rebuild_dedup_index(
     # stored packs hold each doc's sorted DISTINCT shingle hashes —
     # exploding them reproduces doc_shingle_hashes' (id, h) set exactly
     sh = idx.packs.select(F.col(id_col), F.explode("hs").alias("h"))
-    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    sig = minhash_signatures(sh, id_col, n_hashes, p["hash_fn"])
     buckets = lsh_band_buckets(sig, id_col, bands, rows)
-    p.update({"n_hashes": n_hashes, "bands": bands, "hash_fn": hash_fn})
+    p.update({"n_hashes": n_hashes, "bands": bands})
     write_dedup_index(DedupIndex(buckets, idx.packs, p), path, batch_id="base")
 
 

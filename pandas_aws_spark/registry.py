@@ -208,23 +208,123 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r10 start: both r9 rewrites — q_dedup_embedding_lsh and
-    # q_io_mixed_prefix_lineage — re-verified green in
-    # CORRECTNESS_r09.json 50/50 and cleared per the r9 verdict's
-    # ask #1.)
+    # (r11 start: the r10 enumeration was ZERO plan rewrites; the four
+    # r10-new entries verified green in CORRECTNESS_r10.json.)
     #
-    # r10 end enumeration (tools/dump_plans.py at pre-round commit
-    # 4dc91d7 via a throwaway worktree vs HEAD, diffed by
-    # tools/diff_plans.py after its r9-ADVICE precision fix; the
-    # same-HEAD double-dump control reads 0/227 false positives):
-    # ZERO rewrites — the round's storage-protocol work (generation
-    # commits, upsert commit point, tombstone guards) and build-side
-    # additions (coherence/occupancy baselines) change no registered
-    # query's returned plan; the only deltas are the NEW entries
-    # q_sim_index_drift_signal, q_dedup_index_delete,
-    # q_sim_index_rebuild and q_dedup_index_rebuild, which enter the
-    # window as never-verified obligations automatically.
+    # r11 seed (r10 verdict "What's wrong" #1 / ask #1): the seven
+    # entries whose EXECUTION SUBSTRATE changed in r10 (generation
+    # layout under the index lifecycle entries; the upsert commit
+    # path) without any optimized-plan diff. The plan-diff enumeration
+    # could not see those changes — the blind spot the
+    # _SUBSTRATE_OWNERSHIP map below closes going forward — so they
+    # claim r11 window slots explicitly and expire when r11 evidence
+    # lands, like any rewrite.
+    "q_sim_index_ingest": 11,
+    "q_dedup_index_ingest": 11,
+    "q_sim_index_delete": 11,
+    "q_sim_index_filtered": 11,
+    "q_stream_ann_ingest": 11,
+    "q_upsert_merge": 11,
+    "q_upsert_duplicate_keys": 11,
 }
+
+# ---------------------------------------------------------------------------
+# Substrate ownership (r10 verdict ask #1). The plan-diff enumeration
+# (_REWRITTEN_THIS_ROUND + tools/diff_plans.py) only sees entries whose
+# OPTIMIZED PLAN changed; entries whose execution flows through
+# procedural side-effect code — generation/commit protocols, tombstone
+# application, catalog ALTERs, streaming micro-batch drivers — can
+# change behavior with an identical returned plan. This map records,
+# for each such substrate module, the registry entries whose evidence
+# is attested BY that module's behavior. derive_driver_window() treats
+# any owned entry as rewritten-for-window-purposes when its module
+# changed in the current round's git diff (diff base = the last commit
+# touching a CORRECTNESS_r*.json file, i.e. the driver's previous
+# round-end commit — so the set self-expires the moment the next
+# round's evidence is committed).
+#
+# Granularity is deliberately the module FILE: over-flagging costs a
+# re-check slot (cheap, self-correcting next round); under-flagging is
+# exactly the r10 blind spot. Declarative-only query modules are NOT
+# listed — their changes surface in the plan diff already.
+_SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
+    "pandas_aws_spark/operators/genstore.py": (
+        "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
+        "q_sim_index_drift_signal", "q_sim_index_rebuild",
+        "q_stream_ann_ingest", "q_dedup_index_ingest",
+        "q_dedup_index_delete", "q_dedup_index_rebuild",
+    ),
+    "pandas_aws_spark/operators/annindex.py": (
+        "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
+        "q_sim_index_drift_signal", "q_sim_index_rebuild",
+        "q_stream_ann_ingest",
+    ),
+    "pandas_aws_spark/operators/dedup.py": (
+        "q_dedup_index_ingest", "q_dedup_index_delete",
+        "q_dedup_index_rebuild",
+    ),
+    "pandas_aws_spark/warehouse.py": (
+        "q_upsert_merge", "q_upsert_duplicate_keys",
+        "q_warehouse_catalog_roundtrip", "q_io_bucketed_join",
+    ),
+    "pandas_aws_spark/streaming/pipeline.py": (
+        "q_stream_ann_ingest", "q_stream_curation",
+        "q_stream_dedup_incremental", "q_stream_dedup_within_watermark",
+        "q_stream_heartbeat_gaps", "q_stream_outer_join",
+        "q_stream_sessionize", "q_stream_sink_parquet",
+        "q_stream_static_enrich", "q_stream_stream_join",
+        "q_stream_topk_per_window", "q_stream_tumbling_hourly",
+        "q_stream_upsert_foreachbatch", "q_stream_user_running_totals",
+    ),
+    "pandas_aws_spark/objectstore.py": (
+        "q_io_roundtrip_csv_gzip", "q_io_roundtrip_jsonl",
+        "q_io_roundtrip_orc", "q_io_roundtrip_parquet_partitioned",
+        "q_io_multifile_union", "q_io_mixed_prefix_lineage",
+        "q_io_csv_malformed", "q_io_schema_evolution",
+        "q_io_compact_small_files", "q_io_dynamic_partition_overwrite",
+    ),
+}
+
+
+def _round_changed_files() -> set[str]:
+    """Repo-relative paths changed since the current round started
+    (base = last commit touching a CORRECTNESS_r*.json file — the
+    driver's previous round-end commit; the diff runs against the
+    working tree so uncommitted mid-round edits count too). Returns
+    empty on any git failure — the substrate mechanism then degrades
+    to the hand-seeded _REWRITTEN_THIS_ROUND entries, never blocks
+    window derivation."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        base = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not base:
+            return set()
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", base],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        return {line.strip() for line in diff.stdout.splitlines() if line.strip()}
+    except Exception:
+        return set()
+
+
+def substrate_rewritten() -> set[str]:
+    """Registry entries whose owning substrate module changed this
+    round (see _SUBSTRATE_OWNERSHIP) — rewritten-for-window-purposes
+    even when their optimized plan is byte-identical."""
+    changed = _round_changed_files()
+    out: set[str] = set()
+    for mod, names in _SUBSTRATE_OWNERSHIP.items():
+        if mod in changed:
+            out.update(names)
+    return out
+
 
 _WINDOW_SIZE = 50
 
@@ -268,6 +368,11 @@ def derive_driver_window() -> tuple[str, ...]:
     missing_rw = [n for n in _REWRITTEN_THIS_ROUND if n not in REGISTRY]
     if missing_rw:
         raise RuntimeError(f"_REWRITTEN_THIS_ROUND names not registered: {missing_rw}")
+    # (_SUBSTRATE_OWNERSHIP hygiene — every owned name registered, every
+    # key an existing file — is enforced by
+    # tests/test_entry.py::test_substrate_ownership_maps_real_modules;
+    # derive time filters to registered names so synthetic registries
+    # and partial imports stay usable.)
     # Priority: never-verified (registration order), then rewritten-plan
     # entries, then oldest-evidence re-checks. The window is truncated
     # to exactly _WINDOW_SIZE at the end — if never-verified entries
@@ -287,6 +392,16 @@ def derive_driver_window() -> tuple[str, ...]:
         n
         for n, rewritten_in in _REWRITTEN_THIS_ROUND.items()
         if n not in window and latest.get(n, -1) < rewritten_in
+    ]
+    # Substrate-changed entries (r10 verdict ask #1) rank WITH plan
+    # rewrites: their prior evidence attests behavior a procedural
+    # module no longer has, even though the optimized plan is
+    # unchanged. The set is derived from the round's git diff and
+    # self-expires when the next CORRECTNESS commit advances the diff
+    # base, so no hand cleanup exists to forget. Sorted for a
+    # deterministic, auditable window.
+    window += [
+        n for n in sorted(substrate_rewritten()) if n in REGISTRY and n not in window
     ]
     pool = sorted(
         (n for n in REGISTRY if n in latest and n not in window),

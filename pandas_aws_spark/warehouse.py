@@ -218,11 +218,18 @@ class WarehouseClient:
             df = df.repartition(F.col(repartition_key))
         if sort_key:
             df = df.sortWithinPartitions(*sort_key)
-        (
-            df.write.mode(mode)
-            .option("path", self._loc(name))
-            .saveAsTable(name)
-        )
+        writer = df.write.mode(mode).option("path", self._loc(name))
+        # Appending into a CLUSTERED BY target (create_table dist_key)
+        # must declare the SAME bucket spec — Spark rejects a mismatched
+        # saveAsTable outright, and files written without the spec would
+        # be invalid bucket files for every later bucketed read.
+        spec = self._bucket_spec(name)
+        if spec is not None:
+            n_buckets, bucket_cols, sort_cols = spec
+            writer = writer.bucketBy(n_buckets, *bucket_cols)
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
 
     # -- query (reference S7, redshift.py:417-448) -------------------------
 
@@ -282,6 +289,15 @@ class WarehouseClient:
         docstring): the ALTER's atomicity is the catalog's, not a
         multi-statement transaction — Delta/Iceberg would subsume it,
         their jars are absent here.
+
+        Bucketed targets (r10 ADVICE): the ALTER retains the target's
+        CLUSTERED BY metadata, so the stage MUST be written with the
+        same bucket spec — an unbucketed stage passes the plain read
+        but fails every later bucketed-scan read with
+        ``INVALID_BUCKET_FILE``. The spec is read from the catalog and
+        applied to the stage write, so upsert into a DISTKEY table
+        (the reference's mainline layout, redshift.py:229-237) keeps
+        its shuffle-free-join property through the merge.
         """
         updates = normalize_column_names(updates)
         target = self.spark.table(target_table)
@@ -297,12 +313,38 @@ class WarehouseClient:
         # saveAsTable with an explicit path creates an EXTERNAL table:
         # dropping the stage NAME later leaves the data files the
         # target now points at.
-        merged.write.option("path", stage_loc).saveAsTable(stage)
+        writer = merged.write.option("path", stage_loc)
+        spec = self._bucket_spec(target_table)
+        if spec is not None:
+            n_buckets, bucket_cols, sort_cols = spec
+            writer = writer.bucketBy(n_buckets, *bucket_cols)
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(stage)
         self.spark.sql(f"ALTER TABLE {target_table} SET LOCATION '{stage_loc}'")
         self.spark.catalog.refreshTable(target_table)
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         if old_loc:
             self._delete_dir(old_loc)
+
+    def _bucket_spec(self, name: str) -> tuple[int, list[str], list[str]] | None:
+        """The catalog's ``(n_buckets, bucket_cols, sort_cols)`` for
+        ``name``, or None when the table is absent or unbucketed.
+        Metadata-only (DESCRIBE EXTENDED) — no Spark job."""
+        try:
+            rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        except Exception:
+            return None
+        meta = {r["col_name"]: r["data_type"] for r in rows}
+        n = meta.get("Num Buckets")
+        if not n:
+            return None
+
+        def _cols(key: str) -> list[str]:
+            raw = (meta.get(key) or "").strip().strip("[]")
+            return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+        return int(n), _cols("Bucket Columns"), _cols("Sort Columns")
 
     def _table_location(self, name: str) -> str | None:
         """Physical location of a catalog table ('' / None if absent)."""

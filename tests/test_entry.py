@@ -173,10 +173,23 @@ def test_driver_window_covers_never_verified():
         assert not missing_rw, (
             f"plan-rewritten entries left out of the window: {sorted(missing_rw)}"
         )
+        # Substrate-changed entries (r10 verdict ask #1) are rewrite-
+        # class obligations too: their owning procedural module changed
+        # this round, so their old evidence attests behavior that no
+        # longer exists even though the plan diff is silent. They hold
+        # slots and are exempt from the stalest-first comparison.
+        from pandas_aws_spark.registry import substrate_rewritten
+
+        sub_rw = substrate_rewritten() & set(reg)
+        missing_sub = sub_rw - window
+        assert not missing_sub, (
+            f"substrate-changed entries left out of the window: "
+            f"{sorted(missing_sub)}"
+        )
         # regime 2: re-check slots must carry the STALEST evidence —
         # the freshest evidence inside the window may not postdate the
         # stalest evidence left outside it.
-        recheck = window & verified - live_rw
+        recheck = window & verified - live_rw - sub_rw
         outside = verified & set(reg) - window
         if recheck and outside:
             newest_in = max(latest[n] for n in recheck)
@@ -195,6 +208,50 @@ def test_driver_window_covers_never_verified():
             f"queue of {len(never)} never-verified queries exceeds the window "
             f"but these slots are spent on re-checks: {sorted(recheck_slots)}"
         )
+
+
+def test_substrate_module_change_claims_window_slot(monkeypatch):
+    """r10 verdict ask #1 (the rewrite-enumeration blind spot): an
+    entry whose owning OPERATOR MODULE changed this round must claim a
+    driver-window slot even when its optimized plan is byte-identical
+    — exactly the class of change (generation layout, commit markers,
+    ALTER statements) tools/dump_plans.py cannot see. Simulated by
+    patching the round-diff probe to report a genstore-only change."""
+    from pandas_aws_spark import registry
+
+    monkeypatch.setattr(
+        registry,
+        "_round_changed_files",
+        lambda: {"pandas_aws_spark/operators/genstore.py"},
+    )
+    window = registry.derive_driver_window()
+    owned = set(
+        registry._SUBSTRATE_OWNERSHIP["pandas_aws_spark/operators/genstore.py"]
+    )
+    missing = owned - set(window)
+    assert not missing, (
+        f"genstore.py changed but its owned entries hold no window slot: "
+        f"{sorted(missing)}"
+    )
+    # and a diff that touches no substrate module claims nothing
+    monkeypatch.setattr(
+        registry, "_round_changed_files", lambda: {"pandas_aws_spark/queries/events.py"}
+    )
+    assert registry.substrate_rewritten() == set()
+
+
+def test_substrate_ownership_maps_real_modules():
+    """Every _SUBSTRATE_OWNERSHIP key is a file that exists (a renamed
+    module would silently stop flagging its entries) and every owned
+    name is a registered query (validated harder at derive time)."""
+    from pandas_aws_spark import registry
+
+    reg = registry.load_registry()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for mod, names in registry._SUBSTRATE_OWNERSHIP.items():
+        assert os.path.isfile(os.path.join(root, mod)), f"missing module {mod}"
+        unknown = [n for n in names if n not in reg]
+        assert not unknown, f"{mod} owns unregistered entries {unknown}"
 
 
 def test_derive_driver_window_overflow_regimes(monkeypatch):

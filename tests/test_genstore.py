@@ -423,3 +423,26 @@ def test_rebuild_dedup_index_rejects_bad_banding(spark, tmp_path):
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
     with pytest.raises(ValueError, match="must divide"):
         rebuild_dedup_index(spark, path, bands=3)
+
+
+def test_rebuild_dedup_index_has_no_hash_fn_knob(spark, tmp_path):
+    """r10 ADVICE: hash_fn looked retunable but the stored packs pin
+    the shingle->hash space — a hash_fn 'retune' only rewrote params,
+    so later batches hashed into a different space and silently
+    matched nothing. The knob is gone; the stored recipe's hash_fn is
+    always used."""
+    import inspect
+
+    from pandas_aws_spark.operators.dedup import rebuild_dedup_index
+
+    assert "hash_fn" not in inspect.signature(rebuild_dedup_index).parameters
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " x")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    with pytest.raises(TypeError):
+        rebuild_dedup_index(spark, path, hash_fn="xxhash64")
+    # the stored hash_fn survives a banding retune
+    rebuild_dedup_index(spark, path, bands=8)
+    assert read_dedup_index(spark, path).params["hash_fn"] == "affine"

@@ -171,6 +171,59 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         wh.drop_table("ord_bkt")
 
 
+def test_upsert_into_bucketed_target_keeps_bucket_files_valid(spark, wc):
+    """r10 ADVICE: the upsert's ALTER TABLE SET LOCATION retains the
+    target's CLUSTERED BY metadata, so the stage must be written with
+    the SAME bucket spec — an unbucketed stage passed plain reads but
+    failed every bucketed-scan read with INVALID_BUCKET_FILE. The
+    regression probe is therefore a post-upsert co-located join (the
+    read path that trusts bucket metadata), not a plain count."""
+    from pandas_aws_spark.plans.inspect import num_shuffles
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "pk int, payload string"
+    )
+    wc.create_bucketed_table(df, "b_ups", "pk", n_buckets=4)
+    upd = spark.createDataFrame([(1, "NEW1"), (99, "v99")], "pk int, payload string")
+    wc.upsert(upd, "b_ups", keys=["pk"])
+    # bucket spec survived the location swap
+    assert wc._bucket_spec("b_ups") == (4, ["pk"], ["pk"])
+    other = spark.createDataFrame([(1,), (99,), (5,)], "pk int")
+    wc.create_bucketed_table(other, "b_probe", "pk", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_ups").join(spark.table("b_probe"), "pk")
+        # the whole point of keeping the spec: still a co-located join
+        assert num_shuffles(joined) == 0
+        rows = sorted((r.pk, r.payload) for r in joined.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rows == [(1, "NEW1"), (5, "v5"), (99, "v99")]
+    wc.drop_table("b_ups")
+    wc.drop_table("b_probe")
+
+
+def test_upload_appends_into_clustered_by_table(spark, wc):
+    """create_table(dist_key=..) declares CLUSTERED BY in the catalog;
+    a later upload must append with the matching bucket spec (Spark
+    rejects a spec-less saveAsTable into a bucketed table outright)."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(8)], "k int, v int")
+    wc.create_table(
+        df, "b_load", dist_key="k", n_buckets=4, sort_key=["k"],
+        include_date_insert=False, overwrite=True,
+    )
+    wc.upload(df, "b_load", include_date_insert=False)
+    wc.upload(
+        spark.createDataFrame([(100, 1000)], "k int, v int"),
+        "b_load",
+        include_date_insert=False,
+    )
+    assert spark.table("b_load").count() == 9
+    assert wc._bucket_spec("b_load") == (4, ["k"], ["k"])
+    wc.drop_table("b_load")
+
+
 def test_upsert_crash_before_commit_keeps_target_serving(spark, wc, monkeypatch):
     """r10 upsert commit protocol: the commit point is the single
     ALTER TABLE .. SET LOCATION. Kill the writer right before it — the

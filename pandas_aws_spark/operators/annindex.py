@@ -92,13 +92,22 @@ from . import genstore
 from .dedup import validate_batch_id
 from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode
 
+# Calibrated re-train trigger (SCALE.md r10, tools/measure_quantizer_
+# drift.py): warn when a batch's occupancy-TV EXCESS over the
+# same-size clean control reaches this value — it fired four batches
+# before the measured recall knee (recall still 0.936 at trigger time,
+# 0.68 four batches later) with zero false fires on the control.
+DRIFT_TV_EXCESS_THRESHOLD = 0.25
+
 __all__ = [
     "AnnIndex",
+    "DRIFT_TV_EXCESS_THRESHOLD",
     "build_ann_index",
     "write_ann_index",
     "read_ann_index",
     "append_ann_index",
     "delete_from_ann_index",
+    "undelete_from_ann_index",
     "compact_ann_index",
     "rebuild_ann_index",
     "ann_index_topk",
@@ -207,6 +216,25 @@ def build_ann_index(
         cents, coh_frame, vec_col=vec_col
     )
     params = {
+        # Self-contained drift CONTROL (r10 verdict ask #2): the
+        # occupancy-TV trigger is calibrated as EXCESS over a
+        # same-size zero-shift control (SCALE.md r10 — a small batch
+        # reads TV ~0.5 against a 64-cell histogram from sampling
+        # noise alone). Re-sampling a control per append would scan
+        # the stored vectors (O(index), not O(batch)), so the control
+        # is the ANALYTIC expectation of the null TV instead, pinned
+        # at build from the base occupancy: for a batch of n distinct
+        # vectors drawn from the base distribution, per-cell
+        # |p_hat - p| has mean sqrt(2 p (1-p) / (pi n)) (normal
+        # approximation to Binomial), so
+        # E[TV] = coeff / sqrt(n) with coeff below. Verified against
+        # the measured r10 control: coeff~3.2 for 64 near-uniform
+        # cells gives 0.50 at the calibration batch's ~40 distinct
+        # vectors vs 0.546 measured.
+        "control_tv_coeff": 0.5
+        * sum((2.0 * f * (1.0 - f) / 3.141592653589793) ** 0.5 for f in base_fracs),
+    }
+    params |= {
         "id_col": id_col,
         "vec_col": vec_col,
         "dim": dim,
@@ -224,11 +252,18 @@ def build_ann_index(
     return AnnIndex(cents, cb, codes, vectors, params)
 
 
-def write_ann_index(index: AnnIndex, path: str, *, batch_id: str = "base") -> None:
+def write_ann_index(
+    index: AnnIndex,
+    path: str,
+    *,
+    batch_id: str = "base",
+    carry_tombstones: DataFrame | None = None,
+) -> None:
     """Persist an index under ``path`` (layout + crash-ordering rules
     in the module docstring). ``batch_id='base'`` initializes a brand-
-    new GENERATION: vectors, codes, centroids, codebook, then params as
-    the intra-generation commit record, then the atomic ``_committed``
+    new GENERATION: vectors, codes, centroids, codebook, the carried
+    exclusion ledger (below) if any, then params as the
+    intra-generation commit record, then the atomic ``_committed``
     marker that publishes it, then GC of retired generations and any
     legacy flat-layout artifacts. Because the rewrite lands in a fresh
     directory, the input frames may lazily READ the previous generation
@@ -237,7 +272,15 @@ def write_ann_index(index: AnnIndex, path: str, *, batch_id: str = "base") -> No
     path can never union into the new index (the r8-ADVICE re-init
     hazard) because they live in generations the GC removes and readers
     no longer resolve. Non-base ids write only the two batch
-    subdirectories of the CURRENT generation."""
+    subdirectories of the CURRENT generation.
+
+    ``carry_tombstones`` (base writes only; r11 deletion-ledger
+    semantics): an id frame whose rows are re-written into the new
+    generation as a ``del``-op ledger batch — how compaction/rebuild
+    keep tombstoned ids dead across the physical removal. Written
+    BEFORE params/commit so no crash point publishes a generation
+    missing its exclusions; materialized before the GC deletes the old
+    generation's files it lazily reads."""
     validate_batch_id(batch_id)
     spark = index.codes.sparkSession
     if batch_id == "base":
@@ -249,6 +292,11 @@ def write_ann_index(index: AnnIndex, path: str, *, batch_id: str = "base") -> No
     if batch_id == "base":
         index.centroids.write.mode("overwrite").parquet(f"{root}/centroids")
         index.codebook.write.mode("overwrite").parquet(f"{root}/codebook")
+        if carry_tombstones is not None and carry_tombstones.limit(1).count():
+            genstore.write_tombstone_batch(
+                carry_tombstones, root, index.params["id_col"],
+                batch_id="base", op="del",
+            )
         spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
             f"{root}/params"
         )
@@ -286,14 +334,11 @@ def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     id_col = params["id_col"]
     codes = spark.read.parquet(f"{root}/codes").drop("batch")
     vectors = spark.read.parquet(f"{root}/vectors").drop("batch")
-    from ..objectstore import _hadoop_fs
-
     genstore.warn_if_tombstones_oversized(spark, root, "ann-index")
-    fs, tomb_path, _ = _hadoop_fs(spark, f"{root}/tombstones")
-    if fs.exists(tomb_path):
-        tombs = spark.read.parquet(f"{root}/tombstones").drop("batch").distinct()
-        codes = codes.join(F.broadcast(tombs), id_col, "left_anti")
-        vectors = vectors.join(F.broadcast(tombs), id_col, "left_anti")
+    dead = genstore.net_dead_ids(spark, root, id_col)
+    if dead is not None:
+        codes = codes.join(F.broadcast(dead), id_col, "left_anti")
+        vectors = vectors.join(F.broadcast(dead), id_col, "left_anti")
     return AnnIndex(
         spark.read.parquet(f"{root}/centroids"),
         spark.read.parquet(f"{root}/codebook"),
@@ -303,7 +348,14 @@ def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     )
 
 
-def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> None:
+def append_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+    staleness_check: bool = False,
+    staleness_threshold: float = DRIFT_TV_EXCESS_THRESHOLD,
+) -> None:
     """Ingest a batch of NEW raw vectors into a stored index — assign
     to the EXISTING cells, encode with the EXISTING codebook, no
     retraining (the whole point of the artifact: ingest cost is
@@ -314,12 +366,52 @@ def append_ann_index(new_vectors: DataFrame, path: str, *, batch_id: str) -> Non
     write overwrites that batch's subdirectories, so a retried append
     converges instead of duplicating rows.
 
+    ``staleness_check=True`` (r10 verdict ask #2) runs
+    :func:`quantizer_staleness` on the batch BEFORE ingesting and
+    warns when the occupancy-TV excess over the params-pinned
+    same-size control crosses ``staleness_threshold`` — the SCALE.md
+    r10 calibrated trigger (default 0.25 = ``DRIFT_TV_EXCESS_
+    THRESHOLD``, fires four batches before the measured recall knee).
+    Opt-in because it adds two O(batch) jobs per append and a
+    drifting stream is a property of the SOURCE, not every pipeline.
+    The warning's action is :func:`rebuild_ann_index`; the append
+    itself still lands (the batch is valid data — recall degradation
+    is about future searches, and the rebuild retrains on everything
+    ingested so far, this batch included).
+
     Recipe pinning: the stored params' dim is validated against the
     incoming vectors — appending dim-128 vectors into a dim-64 index
     would corrupt every downstream distance silently."""
     if batch_id == "base":
         raise ValueError("batch_id 'base' is reserved for the initial index write")
     validate_batch_id(batch_id)
+    if staleness_check:
+        sig = quantizer_staleness(new_vectors, path)
+        if sig["tv_excess"] is None:
+            import warnings
+
+            warnings.warn(
+                "append_ann_index(staleness_check=True): stored params "
+                "predate the drift baselines (pre-r11 index) — signal "
+                "unavailable; rebuild_ann_index() re-pins them.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        elif sig["tv_excess"] >= staleness_threshold:
+            import warnings
+
+            warnings.warn(
+                f"append_ann_index: quantizer staleness trigger — occupancy-TV "
+                f"excess {sig['tv_excess']:.3f} >= {staleness_threshold} "
+                f"(occupancy_tv={sig['occupancy_tv']:.3f}, "
+                f"control_tv={sig['control_tv']:.3f} at "
+                f"n_distinct={sig['n_batch_distinct']}). The append stream has "
+                "drifted from the train-time distribution; frozen-quantizer "
+                "recall degrades silently from here (SCALE.md r10 measured "
+                "1.00 -> 0.02). Schedule rebuild_ann_index().",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     from .similarity import ivf_assign
 
     spark = new_vectors.sparkSession
@@ -372,23 +464,27 @@ def delete_from_ann_index(
     max_tombstone_rows: int = genstore.DEFAULT_MAX_TOMBSTONE_ROWS,
 ) -> None:
     """Logical deletion (takedown/GDPR/dedup-drop story): write the ids
-    as a tombstone batch under ``{path}/tombstones/batch=<id>``. Reads
-    anti-join live rows against the tombstone set, so deletions take
-    effect on the next :func:`read_ann_index` — no data files are
-    rewritten (O(ids), not O(index)), the same deletion-vector shape
-    Delta/Iceberg/Lucene use. Idempotent under retries like appends
-    (same ``batch_id`` overwrites itself).
+    as a ``del`` batch of the tombstone LEDGER under
+    ``{path}/tombstones/batch=<id>`` (op + monotone epoch — ledger
+    semantics in :mod:`.genstore`). Reads anti-join live rows against
+    the net exclusion set, so deletions take effect on the next
+    :func:`read_ann_index` — no data files are rewritten (O(ids), not
+    O(index)), the same deletion-vector shape Delta/Iceberg/Lucene
+    use. Idempotent under retries like appends (same ``batch_id``
+    overwrites itself).
 
-    Semantics to know: a tombstoned id stays dead even if a later
-    append re-adds it — the anti-join has no version axis. Physical
-    removal happens at :func:`compact_ann_index`, which rewrites only
-    live rows and CLEARS the tombstones; re-appending after compaction
-    resurrects the id. At 100 TB the tombstone set stays a broadcast-
-    sized id list between compactions — ENFORCED since r10: the delete
-    errors when the projected post-delete set exceeds
+    Semantics (r11, uniform — the r10 verdict's resurrection edge is
+    closed): a deleted id stays dead through re-appends AND through
+    compaction/rebuild (which physically remove its rows but carry
+    the exclusion forward), until :func:`undelete_from_ann_index`
+    revokes it at a later epoch — the takedown contract, where a
+    re-crawled document must not silently resurface. At 100 TB the
+    exclusion set stays a broadcast-sized id list — ENFORCED since
+    r10: the delete errors when the projected net set exceeds
     ``max_tombstone_rows`` (default ``genstore.DEFAULT_MAX_TOMBSTONE_
     ROWS``; rationale and the companion read-time byte-size warning in
-    :mod:`.genstore`)."""
+    :mod:`.genstore`); free budget via undelete or
+    ``compact_ann_index(retain_tombstones=False)``."""
     validate_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
@@ -398,12 +494,35 @@ def delete_from_ann_index(
         raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
     incoming = ids.select(id_col).distinct()
     genstore.check_tombstone_budget(
-        spark, root, incoming.count(), max_tombstone_rows, "ann-index"
+        spark, root, incoming.count(), max_tombstone_rows, "ann-index",
+        id_col=id_col, batch_id=batch_id,
     )
-    incoming.write.mode("overwrite").parquet(f"{root}/tombstones/batch={batch_id}")
+    genstore.write_tombstone_batch(incoming, root, id_col, batch_id=batch_id, op="del")
 
 
-def compact_ann_index(spark: SparkSession, path: str) -> None:
+def undelete_from_ann_index(ids: DataFrame, path: str, *, batch_id: str) -> None:
+    """Revoke standing deletions: write the ids as a ``revoke`` ledger
+    batch at a later epoch, so they stop being excluded on the next
+    read. Rows still present in batch dirs (deleted but not yet
+    compacted away) become visible again; physically-removed rows need
+    a fresh :func:`append_ann_index`. A later delete of the same id
+    wins again by epoch order. This is the explicit resurrect path the
+    r11 stay-dead semantics require (delete docstring)."""
+    validate_batch_id(batch_id)
+    spark = ids.sparkSession
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    id_col = params["id_col"]
+    if id_col not in ids.columns:
+        raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
+    genstore.write_tombstone_batch(
+        ids.select(id_col).distinct(), root, id_col, batch_id=batch_id, op="revoke"
+    )
+
+
+def compact_ann_index(
+    spark: SparkSession, path: str, *, retain_tombstones: bool = True
+) -> None:
     """Fold the accumulated ``batch=<id>`` subdirectories into a single
     ``batch=base`` — the maintenance op a long-running ingest pipeline
     schedules once small-batch count (and with it per-search file-open
@@ -423,13 +542,25 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     a pass-through distributed copy and materializing the entire index
     in executor storage first. Appends that raced a compaction land in
     the retired generation and are dropped by its GC — single-writer
-    per index path remains the standing assumption."""
+    per index path remains the standing assumption.
+
+    Tombstoned rows are physically REMOVED (the read anti-joins them
+    before the rewrite). By default the net exclusion id list is
+    carried into the new generation (``retain_tombstones=True``, r11
+    — the r10 verdict's resurrection edge: without the carry, a
+    re-append after compaction silently resurfaced a taken-down id
+    while the identical re-append before compaction stayed dead).
+    ``retain_tombstones=False`` deliberately forgets the exclusions —
+    the bulk-dedup-drop workflow, where deleted ids were duplicates
+    and a future legitimate re-ingest should land."""
+    root = genstore.current_root(spark, path)
     idx = read_ann_index(spark, path)
-    # read_ann_index already anti-joined tombstones away, so the
-    # rewrite materializes LIVE rows only = physical deletion; the new
-    # generation starts with no tombstones dir, and later appends may
-    # legitimately re-introduce tombstoned ids.
-    write_ann_index(idx, path, batch_id="base")
+    carry = (
+        genstore.net_dead_ids(spark, root, idx.params["id_col"])
+        if retain_tombstones
+        else None
+    )
+    write_ann_index(idx, path, batch_id="base", carry_tombstones=carry)
 
 
 def _coherence_and_occupancy(
@@ -509,9 +640,23 @@ def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
       recall-vs-signal table and the documented threshold live in
       SCALE.md (tools/measure_quantizer_drift.py).
 
+    The SCALE.md trigger compares the TV against a SAME-SIZE clean
+    control (sampling noise alone puts a small batch at TV ~0.5
+    against a 64-cell histogram). The control is self-contained in
+    the index params since r11 (``control_tv_coeff``, rationale at
+    :func:`build_ann_index`): ``control_tv = coeff /
+    sqrt(n_distinct)`` where ``n_distinct`` counts distinct batch
+    vectors (replicas carry no independent occupancy information —
+    the r10 calibration corpus showed raw row count overstates the
+    effective sample 10x). ``tv_excess = occupancy_tv - control_tv``
+    is the calibrated trigger statistic: re-train past
+    ``DRIFT_TV_EXCESS_THRESHOLD`` (SCALE.md r10: fires four batches
+    before the recall knee).
+
     Returns ``{"base_coherence", "batch_coherence", "ratio",
-    "occupancy_tv"}``; the baseline-dependent fields are ``None`` for
-    pre-r10 indexes whose params predate them."""
+    "occupancy_tv", "n_batch_distinct", "control_tv", "tv_excess"}``;
+    baseline-dependent fields are ``None`` for indexes whose params
+    predate them."""
     from .similarity import ivf_assign
 
     spark = new_vectors.sparkSession
@@ -527,6 +672,9 @@ def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
         raise ValueError("quantizer_staleness: batch is empty")
     assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
     batch, cells, fracs = _coherence_and_occupancy(cents, assigned, vec_col=vec_col)
+    n_distinct = int(
+        cn.agg(F.count_distinct(F.xxhash64(vec_col)).alias("n")).first()["n"]
+    )
     base = params.get("base_coherence")
     base = float(base) if base is not None else None
     tv = None
@@ -537,11 +685,18 @@ def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
             abs(base_fr.get(c, 0.0) - batch_fr.get(c, 0.0))
             for c in set(base_fr) | set(batch_fr)
         )
+    coeff = params.get("control_tv_coeff")
+    control = (
+        float(coeff) / max(n_distinct, 1) ** 0.5 if coeff is not None else None
+    )
     return {
         "base_coherence": base,
         "batch_coherence": batch,
         "ratio": (batch / base) if base else None,
         "occupancy_tv": tv,
+        "n_batch_distinct": n_distinct,
+        "control_tv": control,
+        "tv_excess": (tv - control) if (tv is not None and control is not None) else None,
     }
 
 
@@ -551,6 +706,7 @@ def rebuild_ann_index(
     *,
     coarse_sample: float | None = None,
     coarse: str | None = None,
+    retain_tombstones: bool = True,
 ) -> None:
     """The action the drift trigger points at: RETRAIN both quantizers
     on the index's current LIVE vectors and rewrite the whole artifact
@@ -563,10 +719,13 @@ def rebuild_ann_index(
     build. Crash-safe for free: the rewrite is a base write, i.e. a
     new generation committed by the atomic marker (genstore), with the
     old index serving until then; a retry converges. Like compaction it
-    folds batch dirs and physically drops tombstoned rows (the read
-    applies them) — a rebuild subsumes a compaction. Stored vectors are
-    already unit-norm; the rebuild re-normalizes them, a ulp-level
-    no-op."""
+    folds batch dirs, physically drops tombstoned rows (the read
+    applies them) and carries the net exclusion list forward unless
+    ``retain_tombstones=False`` (semantics at
+    :func:`compact_ann_index`) — a rebuild subsumes a compaction.
+    Stored vectors are already unit-norm; the rebuild re-normalizes
+    them, a ulp-level no-op."""
+    root = genstore.current_root(spark, path)
     idx = read_ann_index(spark, path)
     p = idx.params
     payload_cols = tuple(c for c in p.get("payload_cols", "").split(",") if c)
@@ -586,7 +745,12 @@ def rebuild_ann_index(
         coarse_sample=coarse_sample,
         payload_cols=payload_cols,
     )
-    write_ann_index(rebuilt, path)
+    carry = (
+        genstore.net_dead_ids(spark, root, p["id_col"])
+        if retain_tombstones
+        else None
+    )
+    write_ann_index(rebuilt, path, carry_tombstones=carry)
 
 
 def ann_index_topk(

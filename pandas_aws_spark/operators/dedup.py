@@ -53,6 +53,7 @@ __all__ = [
     "read_dedup_index",
     "append_dedup_index",
     "delete_from_dedup_index",
+    "undelete_from_dedup_index",
     "compact_dedup_index",
     "rebuild_dedup_index",
     "validate_batch_id",
@@ -624,7 +625,11 @@ def build_dedup_index(
 
 
 def write_dedup_index(
-    index: DedupIndex, path: str, *, batch_id: str = "base"
+    index: DedupIndex,
+    path: str,
+    *,
+    batch_id: str = "base",
+    carry_tombstones: DataFrame | None = None,
 ) -> None:
     """Persist an index under ``path``. Layout: ``packs/batch=<id>/``
     and ``buckets/batch=<id>/`` parquet subdirectories (one per ingest
@@ -659,7 +664,14 @@ def write_dedup_index(
     generation serves until the new marker exists. Non-base ids write
     only their two batch subdirectories of the CURRENT generation.
     Batch ids are validated Hive-partition-safe
-    (:func:`validate_batch_id`)."""
+    (:func:`validate_batch_id`).
+
+    ``carry_tombstones`` (base writes only, r11): id frame re-written
+    into the new generation as a ``del`` ledger batch — how
+    compaction/rebuild keep deleted docs dead across physical removal
+    (ledger semantics in :mod:`.genstore`); written before
+    params/commit so no crash point publishes a generation missing
+    its exclusions."""
     validate_batch_id(batch_id)
     spark = index.buckets.sparkSession
     from . import genstore
@@ -671,6 +683,11 @@ def write_dedup_index(
     index.packs.write.mode("overwrite").parquet(f"{root}/packs/batch={batch_id}")
     index.buckets.write.mode("overwrite").parquet(f"{root}/buckets/batch={batch_id}")
     if batch_id == "base":
+        if carry_tombstones is not None and carry_tombstones.limit(1).count():
+            genstore.write_tombstone_batch(
+                carry_tombstones, root, index.params["id_col"],
+                batch_id="base", op="del",
+            )
         spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
             f"{root}/params"
         )
@@ -700,14 +717,11 @@ def read_dedup_index(spark, path: str) -> DedupIndex:
     id_col = params["id_col"]
     buckets = spark.read.parquet(f"{root}/buckets").drop("batch")
     packs = spark.read.parquet(f"{root}/packs").drop("batch")
-    from ..objectstore import _hadoop_fs
-
     genstore.warn_if_tombstones_oversized(spark, root, "dedup-index")
-    fs, tomb_path, _ = _hadoop_fs(spark, f"{root}/tombstones")
-    if fs.exists(tomb_path):
-        tombs = spark.read.parquet(f"{root}/tombstones").drop("batch").distinct()
-        buckets = buckets.join(F.broadcast(tombs), id_col, "left_anti")
-        packs = packs.join(F.broadcast(tombs), id_col, "left_anti")
+    dead = genstore.net_dead_ids(spark, root, id_col)
+    if dead is not None:
+        buckets = buckets.join(F.broadcast(dead), id_col, "left_anti")
+        packs = packs.join(F.broadcast(dead), id_col, "left_anti")
     return DedupIndex(buckets, packs, params)
 
 
@@ -719,16 +733,20 @@ def delete_from_dedup_index(
     max_tombstone_rows: int | None = None,
 ) -> None:
     """Logical deletion of docs from the stored dedup index (takedown /
-    post-dedup drop list): ids land as a tombstone batch; reads
-    anti-join them away (O(ids), no data-file rewrite), and
-    :func:`compact_dedup_index` makes the removal physical and retires
-    the tombstones — the same deletion-vector lifecycle as the ANN
-    index (:func:`~pandas_aws_spark.operators.annindex
-    .delete_from_ann_index`, semantics documented there). The
-    broadcast-sized-tombstone-set scale assumption is enforced:
+    post-dedup drop list): ids land as a ``del`` batch of the
+    tombstone LEDGER; reads anti-join the net exclusion set away
+    (O(ids), no data-file rewrite). :func:`compact_dedup_index` makes
+    the removal physical and by default CARRIES the exclusion list
+    forward, so a deleted doc stays dead through re-appends and
+    compaction alike until :func:`undelete_from_dedup_index` revokes
+    it — the same r11 deletion-ledger lifecycle as the ANN index
+    (:func:`~pandas_aws_spark.operators.annindex
+    .delete_from_ann_index`; ledger semantics in :mod:`.genstore`).
+    The broadcast-sized-exclusion-set scale assumption is enforced:
     exceeding ``max_tombstone_rows`` (default
     ``genstore.DEFAULT_MAX_TOMBSTONE_ROWS``) raises before the write —
-    compact first."""
+    free budget via undelete or
+    ``compact_dedup_index(retain_tombstones=False)`` first."""
     from . import genstore
 
     if max_tombstone_rows is None:
@@ -742,9 +760,31 @@ def delete_from_dedup_index(
         raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
     incoming = ids.select(id_col).distinct()
     genstore.check_tombstone_budget(
-        spark, root, incoming.count(), max_tombstone_rows, "dedup-index"
+        spark, root, incoming.count(), max_tombstone_rows, "dedup-index",
+        id_col=id_col, batch_id=batch_id,
     )
-    incoming.write.mode("overwrite").parquet(f"{root}/tombstones/batch={batch_id}")
+    genstore.write_tombstone_batch(incoming, root, id_col, batch_id=batch_id, op="del")
+
+
+def undelete_from_dedup_index(ids: DataFrame, path: str, *, batch_id: str) -> None:
+    """Revoke standing deletions on the dedup index: a ``revoke``
+    ledger batch at a later epoch lifts the exclusion, so
+    not-yet-compacted rows become visible again and future re-appends
+    of those ids land (semantics mirror
+    :func:`~pandas_aws_spark.operators.annindex
+    .undelete_from_ann_index`)."""
+    from . import genstore
+
+    validate_batch_id(batch_id)
+    spark = ids.sparkSession
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    id_col = params["id_col"]
+    if id_col not in ids.columns:
+        raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
+    genstore.write_tombstone_batch(
+        ids.select(id_col).distinct(), root, id_col, batch_id=batch_id, op="revoke"
+    )
 
 
 def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
@@ -770,7 +810,7 @@ def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
     write_dedup_index(delta, path, batch_id=batch_id)
 
 
-def compact_dedup_index(spark, path: str) -> None:
+def compact_dedup_index(spark, path: str, *, retain_tombstones: bool = True) -> None:
     """Fold the accumulated ``batch=<id>`` subdirectories into a single
     ``batch=base`` — the maintenance op for long ingest histories
     (per-ingest probe cost doesn't grow with batch count, but file-open
@@ -782,9 +822,20 @@ def compact_dedup_index(spark, path: str) -> None:
     :func:`~pandas_aws_spark.operators.annindex.compact_ann_index`,
     including the removal of the old ``localCheckpoint``
     materialization: the plan now streams old-generation files straight
-    into the new generation). Single-writer assumed."""
+    into the new generation). Tombstoned docs are physically removed
+    and their exclusion carried forward by default
+    (``retain_tombstones``, r11 — full semantics at
+    ``compact_ann_index``). Single-writer assumed."""
+    from . import genstore
+
+    root = genstore.current_root(spark, path)
     idx = read_dedup_index(spark, path)
-    write_dedup_index(idx, path, batch_id="base")
+    carry = (
+        genstore.net_dead_ids(spark, root, idx.params["id_col"])
+        if retain_tombstones
+        else None
+    )
+    write_dedup_index(idx, path, batch_id="base", carry_tombstones=carry)
 
 
 def rebuild_dedup_index(
@@ -793,6 +844,7 @@ def rebuild_dedup_index(
     *,
     n_hashes: int | None = None,
     bands: int | None = None,
+    retain_tombstones: bool = True,
 ) -> None:
     """Re-TUNE the stored index's banding recipe WITHOUT rescanning
     corpus text — the dedup twin of
@@ -810,9 +862,14 @@ def rebuild_dedup_index(
     silently matched nothing); changing either needs the original
     text, i.e. a fresh :func:`build_dedup_index`. The rewrite is a
     base write: a new committed generation (crash-safe, genstore),
-    batch dirs folded, tombstoned docs physically dropped. Signatures
+    batch dirs folded, tombstoned docs physically dropped with their
+    exclusion carried forward unless ``retain_tombstones=False``
+    (r11 ledger semantics — :func:`compact_dedup_index`). Signatures
     derived from packs are bit-identical to a fresh text build with
     the same recipe (tests assert equality of search results)."""
+    from . import genstore
+
+    root = genstore.current_root(spark, path)
     idx = read_dedup_index(spark, path)
     p = dict(idx.params)
     n_hashes = int(n_hashes if n_hashes is not None else p["n_hashes"])
@@ -827,7 +884,13 @@ def rebuild_dedup_index(
     sig = minhash_signatures(sh, id_col, n_hashes, p["hash_fn"])
     buckets = lsh_band_buckets(sig, id_col, bands, rows)
     p.update({"n_hashes": n_hashes, "bands": bands})
-    write_dedup_index(DedupIndex(buckets, idx.packs, p), path, batch_id="base")
+    carry = (
+        genstore.net_dead_ids(spark, root, id_col) if retain_tombstones else None
+    )
+    write_dedup_index(
+        DedupIndex(buckets, idx.packs, p), path, batch_id="base",
+        carry_tombstones=carry,
+    )
 
 
 def indexed_near_dup_pairs(

@@ -390,15 +390,18 @@ def test_compact_dedup_index_preserves_matches(spark, tmp_path):
 
 
 def test_tombstone_delete_lifecycle(spark, tmp_path):
-    """Deletions are logical until compaction: a tombstoned id
-    disappears from reads, stays dead even if re-appended (no version
-    axis), is physically gone after compaction, and may be
-    legitimately re-introduced afterwards."""
+    """r11 deletion-ledger semantics (r10 verdict ask #4 — the
+    resurrection edge closed): a tombstoned id disappears from reads,
+    stays dead when re-appended BEFORE compaction, stays dead when
+    re-appended AFTER compaction (the carry — pre-r11 this silently
+    resurrected), and comes back only through the explicit
+    undelete_from_ann_index revoke path."""
     import os
 
     from pandas_aws_spark.operators.annindex import (
         compact_ann_index,
         delete_from_ann_index,
+        undelete_from_ann_index,
     )
 
     emb, base, b1, _ = _splits(spark)
@@ -421,15 +424,57 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
     vid = one.first().vec_id
     append_ann_index(one, path, batch_id="readd")
     assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 0
-    # compaction: physical removal, tombstones retired
+    # compaction: physical removal, exclusion ledger CARRIED forward
     compact_ann_index(spark, path)
+    from pandas_aws_spark.operators.genstore import current_root, net_dead_ids
+
+    root = current_root(spark, path)
+    assert os.path.isdir(f"{root}/tombstones"), "exclusion ledger must survive"
+    after = read_ann_index(spark, path)
+    assert after.codes.count() == n - n_victims
+    # post-compaction re-append STAYS DEAD (r10 verdict: pre-r11 this
+    # resurrected, inconsistently with the pre-compaction behavior)
+    append_ann_index(one, path, batch_id="readd2")
+    assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 0
+    # the explicit resurrect path: revoke, then re-append lands
+    undelete_from_ann_index(one, path, batch_id="u1")
+    assert net_dead_ids(spark, root, "vec_id").filter(f"vec_id = {vid}").count() == 0
+    assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 1
+    # other victims remain dead — the revoke was id-scoped
+    assert (
+        read_ann_index(spark, path).codes.filter("vec_id % 10 = 7").count() == 1
+    )
+    # epoch ordering: a LATER delete wins over the earlier revoke
+    delete_from_ann_index(one, path, batch_id="t2")
+    assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 0
+
+
+def test_compact_without_retention_forgets_exclusions(spark, tmp_path):
+    """retain_tombstones=False is the bulk-dedup-drop workflow: the
+    physical removal still happens but the exclusion list is
+    deliberately forgotten, so a later legitimate re-ingest lands."""
+    import os
+
+    from pandas_aws_spark.operators.annindex import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb, base, _, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    n = base.count()
+    victims = base.filter(F.col("vec_id") % 10 == 7)
+    n_victims = victims.count()
+    delete_from_ann_index(victims, path, batch_id="t1")
+    compact_ann_index(spark, path, retain_tombstones=False)
     from pandas_aws_spark.operators.genstore import current_root
 
     assert not os.path.isdir(f"{current_root(spark, path)}/tombstones")
-    after = read_ann_index(spark, path)
-    assert after.codes.count() == n - n_victims
-    # post-compaction re-append resurrects
-    append_ann_index(one, path, batch_id="resurrect")
+    assert read_ann_index(spark, path).codes.count() == n - n_victims
+    one = victims.limit(1)
+    vid = one.first().vec_id
+    append_ann_index(one, path, batch_id="reingest")
     assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 1
 
 
@@ -505,3 +550,52 @@ def test_tombstones_compose_with_payload_filtered_search(spark, tmp_path):
         .collect()
     ]
     assert compacted_rows == post_rows
+
+
+def test_append_staleness_check_warns_on_drifted_stream_only(spark, tmp_path):
+    """r10 verdict ask #2: the calibrated drift trigger is WIRED into
+    the append path. append_ann_index(staleness_check=True) computes
+    quantizer_staleness pre-append and warns when the occupancy-TV
+    excess over the params-pinned same-size control crosses the
+    SCALE.md threshold (DRIFT_TV_EXCESS_THRESHOLD = 0.25): a clean
+    same-distribution batch ingests silently, a shifted batch warns
+    and names the action (rebuild_ann_index); the append itself lands
+    in both cases."""
+    import warnings
+
+    from pandas_aws_spark.operators.annindex import quantizer_staleness
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    clean = b1.withColumn("vec_id", F.col("vec_id") + 100_000)
+    drifted = clean.withColumn("vec_id", F.col("vec_id") + 100_000).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i % 2 == 0, F.lit(0.5)).otherwise(F.lit(-0.5)),
+        ),
+    )
+    # the signal itself is self-contained: control rides in params
+    sig = quantizer_staleness(clean, path)
+    assert sig["control_tv"] is not None and sig["tv_excess"] < 0.25
+    n0 = read_ann_index(spark, path).codes.count()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        append_ann_index(clean, path, batch_id="c1", staleness_check=True)
+    stale = [w for w in caught if "staleness trigger" in str(w.message)]
+    assert not stale, "clean batch must not fire the drift trigger"
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        append_ann_index(drifted, path, batch_id="d1", staleness_check=True)
+    stale = [w for w in caught if "staleness trigger" in str(w.message)]
+    assert len(stale) == 1, "drifted batch must fire the drift trigger once"
+    assert "rebuild_ann_index" in str(stale[0].message)
+
+    # both appends landed regardless of the warning
+    n_clean = clean.count()
+    assert (
+        read_ann_index(spark, path).codes.count() == n0 + 2 * n_clean
+    )

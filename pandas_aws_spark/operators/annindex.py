@@ -89,7 +89,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
 from . import genstore
-from .dedup import validate_batch_id
+from .dedup import validate_batch_id, validate_ledger_batch_id
 from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode
 
 # Calibrated re-train trigger (SCALE.md r10, tools/measure_quantizer_
@@ -485,7 +485,7 @@ def delete_from_ann_index(
     ROWS``; rationale and the companion read-time byte-size warning in
     :mod:`.genstore`); free budget via undelete or
     ``compact_ann_index(retain_tombstones=False)``."""
-    validate_batch_id(batch_id)
+    validate_ledger_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
@@ -508,7 +508,7 @@ def undelete_from_ann_index(ids: DataFrame, path: str, *, batch_id: str) -> None
     a fresh :func:`append_ann_index`. A later delete of the same id
     wins again by epoch order. This is the explicit resurrect path the
     r11 stay-dead semantics require (delete docstring)."""
-    validate_batch_id(batch_id)
+    validate_ledger_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()

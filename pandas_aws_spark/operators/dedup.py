@@ -591,6 +591,26 @@ def validate_batch_id(batch_id: str) -> str:
     return batch_id
 
 
+def validate_ledger_batch_id(batch_id: str) -> str:
+    """:func:`validate_batch_id` plus the ``'base'`` reservation for
+    tombstone ops (r11 ADVICE): compaction/rebuild carry the net
+    exclusion ledger as ``tombstones/batch=base``, and
+    ``write_tombstone_batch`` overwrites its own batch dir — so a user
+    delete/undelete issued with ``batch_id='base'`` would silently
+    clobber the carried exclusions and resurrect taken-down ids, the
+    exact edge the ledger exists to close. Appends already reserve
+    ``'base'``; this extends the reservation to the four
+    delete/undelete entry points."""
+    validate_batch_id(batch_id)
+    if batch_id == "base":
+        raise ValueError(
+            "batch_id 'base' is reserved for the system exclusion ledger "
+            "carried by compaction/rebuild; a delete/undelete writing "
+            "tombstones/batch=base would overwrite it — pick another id"
+        )
+    return batch_id
+
+
 def build_dedup_index(
     df: DataFrame,
     id_col: str,
@@ -751,7 +771,7 @@ def delete_from_dedup_index(
 
     if max_tombstone_rows is None:
         max_tombstone_rows = genstore.DEFAULT_MAX_TOMBSTONE_ROWS
-    validate_batch_id(batch_id)
+    validate_ledger_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
@@ -775,7 +795,7 @@ def undelete_from_dedup_index(ids: DataFrame, path: str, *, batch_id: str) -> No
     .undelete_from_ann_index`)."""
     from . import genstore
 
-    validate_batch_id(batch_id)
+    validate_ledger_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()

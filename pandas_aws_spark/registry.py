@@ -208,24 +208,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r11 start: the r10 enumeration was ZERO plan rewrites; the four
-    # r10-new entries verified green in CORRECTNESS_r10.json.)
-    #
-    # r11 seed (r10 verdict "What's wrong" #1 / ask #1): the seven
-    # entries whose EXECUTION SUBSTRATE changed in r10 (generation
-    # layout under the index lifecycle entries; the upsert commit
-    # path) without any optimized-plan diff. The plan-diff enumeration
-    # could not see those changes — the blind spot the
-    # _SUBSTRATE_OWNERSHIP map below closes going forward — so they
-    # claim r11 window slots explicitly and expire when r11 evidence
-    # lands, like any rewrite.
-    "q_sim_index_ingest": 11,
-    "q_dedup_index_ingest": 11,
-    "q_sim_index_delete": 11,
-    "q_sim_index_filtered": 11,
-    "q_stream_ann_ingest": 11,
-    "q_upsert_merge": 11,
-    "q_upsert_duplicate_keys": 11,
+    # (r12 start: the seven r11-seeded substrate entries re-verified
+    # green in CORRECTNESS_r11.json — cleared per the self-expiry
+    # protocol. Going forward the git-diff-derived
+    # substrate_rewritten() below claims slots automatically for
+    # substrate changes; this map stays for optimized-plan rewrites
+    # only, and r12's enumeration is empty so far.)
 }
 
 # ---------------------------------------------------------------------------

@@ -329,12 +329,25 @@ class WarehouseClient:
 
     def _bucket_spec(self, name: str) -> tuple[int, list[str], list[str]] | None:
         """The catalog's ``(n_buckets, bucket_cols, sort_cols)`` for
-        ``name``, or None when the table is absent or unbucketed.
-        Metadata-only (DESCRIBE EXTENDED) — no Spark job."""
+        ``name``, or None when the table is ABSENT or unbucketed.
+        Metadata-only (DESCRIBE EXTENDED) — no Spark job.
+
+        Only table-not-found is tolerated (r11 ADVICE): any other
+        DESCRIBE failure re-raises, because treating a transient
+        catalog error as 'unbucketed' would write a spec-less stage
+        under a CLUSTERED BY target and silently reintroduce the
+        INVALID_BUCKET_FILE failure the spec probe exists to prevent."""
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-        except Exception:
-            return None
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if (cond and "TABLE_OR_VIEW_NOT_FOUND" in cond) or (
+                cond is None and "TABLE_OR_VIEW_NOT_FOUND" in str(e)
+            ):
+                return None
+            raise
         meta = {r["col_name"]: r["data_type"] for r in rows}
         n = meta.get("Num Buckets")
         if not n:

@@ -510,7 +510,10 @@ def test_dedup_tombstone_delete(spark, tmp_path):
         ).count()
         == 0
     )
-    compact_dedup_index(spark, path)
+    # retain_tombstones=False: this test wants the removal fully
+    # physical WITH the budget freed (the r11 default carries the
+    # exclusion ledger forward — its own lifecycle tests cover that)
+    compact_dedup_index(spark, path, retain_tombstones=False)
     from pandas_aws_spark.operators.genstore import current_root
 
     assert not os.path.isdir(f"{current_root(spark, path)}/tombstones")

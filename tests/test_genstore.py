@@ -203,12 +203,14 @@ def test_tombstone_budget_guard_errors_at_delete_time(spark, tmp_path):
     delete_from_ann_index(v1, path, batch_id="t1", max_tombstone_rows=1000)
     n_live = read_ann_index(spark, path).codes.count()
     v2 = base.filter(F.col("vec_id") % 10 == 3)
-    with pytest.raises(ValueError, match="tombstone budget.*compaction"):
+    with pytest.raises(ValueError, match="tombstone budget"):
         delete_from_ann_index(v2, path, batch_id="t2", max_tombstone_rows=2)
     # rejected delete wrote nothing: live view unchanged
     assert read_ann_index(spark, path).codes.count() == n_live
-    # compaction retires the tombstones; the budget is free again
-    compact_ann_index(spark, path)
+    # ledger-dropping compaction retires the tombstones (the r11
+    # default CARRIES them, keeping the budget occupied by design);
+    # the budget is free again
+    compact_ann_index(spark, path, retain_tombstones=False)
     delete_from_ann_index(
         v2.limit(2), path, batch_id="t2", max_tombstone_rows=2
     )
@@ -390,8 +392,10 @@ def test_rebuild_dedup_index_retunes_banding_from_packs(spark, tmp_path):
     )
 
     # retune 4x2 -> 8x1 (single-row bands: more candidates, lower
-    # effective threshold — the recall-raising operating point)
-    rebuild_dedup_index(spark, path, bands=8)
+    # effective threshold — the recall-raising operating point);
+    # retain_tombstones=False because this test asserts the fully
+    # physical fold (the r11 default carries the exclusion ledger)
+    rebuild_dedup_index(spark, path, bands=8, retain_tombstones=False)
     idx = read_dedup_index(spark, path)
     assert idx.params["bands"] == 8 and idx.params["n_hashes"] == 8
     root = genstore.current_root(spark, path)
@@ -446,3 +450,52 @@ def test_rebuild_dedup_index_has_no_hash_fn_knob(spark, tmp_path):
     # the stored hash_fn survives a banding retune
     rebuild_dedup_index(spark, path, bands=8)
     assert read_dedup_index(spark, path).params["hash_fn"] == "affine"
+
+
+def test_ledger_ops_reject_reserved_base_batch_id(spark, tmp_path):
+    """r11 ADVICE (medium): compaction/rebuild carry the exclusion
+    ledger as tombstones/batch=base, and write_tombstone_batch
+    overwrites its own batch dir — so a user delete/undelete issued
+    with batch_id='base' would clobber the carried exclusions and
+    resurrect taken-down ids. All four ledger entry points must
+    reserve 'base' the way the appends already do, and the rejection
+    must leave the carried ledger intact."""
+    from pandas_aws_spark.operators.annindex import undelete_from_ann_index
+    from pandas_aws_spark.operators.dedup import undelete_from_dedup_index
+
+    # dedup side: delete -> compact (default CARRIES the ledger) ->
+    # base-named ops bounce without touching tombstones/batch=base
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    dpath = str(tmp_path / "didx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), dpath)
+    dead = spark.createDataFrame([(1,)], "doc_id long")
+    delete_from_dedup_index(dead, dpath, batch_id="t1")
+    compact_dedup_index(spark, dpath)  # retain_tombstones=True default
+    probe = spark.createDataFrame([(20, BASE)], "doc_id long, text string")
+
+    def _hits():
+        return indexed_near_dup_pairs(
+            probe, read_dedup_index(spark, dpath), "text", threshold=0.5
+        ).count()
+
+    with pytest.raises(ValueError, match="reserved"):
+        delete_from_dedup_index(dead, dpath, batch_id="base")
+    with pytest.raises(ValueError, match="reserved"):
+        undelete_from_dedup_index(dead, dpath, batch_id="base")
+    # carried exclusion survived the rejected ops: a re-append of the
+    # taken-down doc stays dead (the exact contract the reservation
+    # protects)
+    append_dedup_index(build_dedup_index(corpus, "doc_id", "text"), dpath,
+                       batch_id="re1")
+    assert _hits() == 0
+
+    # ann side: the twins reject too (no compaction needed — the
+    # reservation is unconditional)
+    _, base_emb, _ = _splits(spark)
+    apath = str(tmp_path / "aidx")
+    write_ann_index(build_ann_index(base_emb, **_RECIPE), apath)
+    victims = base_emb.filter(F.col("vec_id") % 10 == 7)
+    with pytest.raises(ValueError, match="reserved"):
+        delete_from_ann_index(victims, apath, batch_id="base")
+    with pytest.raises(ValueError, match="reserved"):
+        undelete_from_ann_index(victims, apath, batch_id="base")

@@ -1473,6 +1473,236 @@ def connected_components(
 
 
 # --------------------------------------------------------------------------
+# Incremental duplicate-cluster maintenance on the persisted dedup
+# index (r12, the r10/r11 verdicts' carried ask #3): cluster labels
+# become a persisted index artifact, and each ingest union-merges ONLY
+# the components its new pairs touch — the from-scratch
+# connected_components recompute was the one remaining O(corpus) step
+# in the incremental crawl-dedup story.
+#
+# Layout: ``{path}/clusters/batch=<id>/`` parquet deltas of
+# ``(doc_id, cluster_id, seq)`` rows, latest-``seq``-wins per doc —
+# the same Hive-batch + monotone-stamp shape as the tombstone ledger
+# (``seq`` derived excluding the writing batch, so retries reproduce
+# their stamp and the overwrite converges). The directory lives
+# BESIDE the ``gen-*`` generations, not inside them, so index
+# compaction/rebuild (which GC only generation dirs and the flat
+# legacy subdirs) leave the labels untouched — labels are a function
+# of the PAIR GRAPH, which compaction preserves bit-for-bit.
+#
+# Label invariant (matches ``connected_components`` exactly):
+# ``cluster_id`` = min doc id reachable in the pair graph. The merge
+# maintains it inductively — a merged component's label is the min
+# over its member clusters' labels and the new singleton ids, and a
+# per-doc label only ever DECREASES (components only grow), which is
+# also what makes the raw-row member join below sound: a label that
+# appears as some doc's LATEST is live, and a live label cannot also
+# be a superseded historical label of another doc.
+# --------------------------------------------------------------------------
+
+
+def _read_raw_cluster_labels(
+    spark, path: str, *, exclude_batch: str | None = None
+) -> "DataFrame | None":
+    """The unfolded ``(doc_id, cluster_id, seq[, batch])`` delta rows
+    under ``{path}/clusters``, or None when no labels exist.
+    ``exclude_batch`` drops one batch's rows — the writer's own, so a
+    retry after a mid-write crash recomputes from the pristine
+    pre-attempt state (same idempotency argument as
+    ``genstore.next_tombstone_epoch``)."""
+    from . import genstore
+
+    cdir = f"{path}/clusters"
+    fs, p, _ = genstore._fs(spark, cdir)
+    if not fs.exists(p):
+        return None
+    t = spark.read.parquet(cdir)
+    if exclude_batch is not None and "batch" in t.columns:
+        t = t.filter(F.col("batch") != F.lit(exclude_batch))
+    if "batch" in t.columns:
+        t = t.drop("batch")
+    return t
+
+
+def init_cluster_labels(pairs: DataFrame, path: str, *, max_iter: int = 20) -> None:
+    """Bootstrap the persisted cluster-label artifact from the initial
+    corpus's verified near-dup pairs: one from-scratch
+    :func:`connected_components` (the LAST full recompute the index
+    ever needs), written as ``clusters/batch=base`` with ``seq=1``.
+    Re-running replaces any existing label state (single-writer, like
+    every artifact op here)."""
+    spark = pairs.sparkSession
+    from . import genstore
+
+    cc = connected_components(pairs, max_iter=max_iter)
+    cdir = f"{path}/clusters"
+    fs, p, _ = genstore._fs(spark, cdir)
+    if fs.exists(p):
+        fs.delete(p, True)
+    cc.withColumn("seq", F.lit(1).cast("long")).write.mode("overwrite").parquet(
+        f"{cdir}/batch=base"
+    )
+
+
+def merge_cluster_labels(
+    new_pairs: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> None:
+    """Incrementally fold an ingest's new near-dup pairs (batch-vs-
+    corpus from :func:`indexed_near_dup_pairs` plus batch-internal
+    pairs) into the persisted cluster labels, touching ONLY the
+    components the new pairs reach.
+
+    Algorithm — the classic union-merge on top of stored labels:
+
+    1. collapse each new edge's endpoints to their component
+       REPRESENTATIVE (the stored label if the endpoint is already
+       clustered, else the doc id itself);
+    2. run :func:`connected_components` on that rep graph — its size
+       is O(new pairs + touched clusters), never O(corpus);
+    3. write one delta batch: every endpoint's new label, plus a
+       relabel of the members of every existing cluster whose label
+       changed (min over merged reps — the invariant above).
+
+    Scale shape: the stored labels are scanned (never shuffled) twice
+    — once probing for the endpoints' current labels, once for the
+    members of changed clusters — and both probes are BROADCAST hash
+    joins against sets bounded by the new pairs, so the only shuffles
+    are over O(batch + touched) rows (plan-asserted in
+    tests/test_dedup.py). Retry-idempotent: the delta recomputes from
+    the other batches' state and overwrites its own ``batch=<id>``
+    dir. ``batch_id='base'`` is reserved for
+    :func:`init_cluster_labels`."""
+    validate_ledger_batch_id(batch_id)
+    spark = new_pairs.sparkSession
+
+    pairs = (
+        new_pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not pairs.limit(1).count():
+        return
+    raw = _read_raw_cluster_labels(spark, path, exclude_batch=batch_id)
+    delta, seq = _cluster_merge_delta(pairs, raw, max_iter=max_iter)
+    # localCheckpoint BEFORE the write: the delta plan reads the
+    # clusters directory the write lands in.
+    out = delta.localCheckpoint()
+    if out.limit(1).count():
+        out.withColumn("seq", F.lit(seq).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/clusters/batch={batch_id}")
+
+
+def _cluster_merge_delta(pairs, raw, *, max_iter: int):
+    """Pure plan construction for :func:`merge_cluster_labels`:
+    ``(delta_frame, seq)`` where delta holds the ``(doc_id,
+    cluster_id)`` rows the batch must write. Split out so tests can
+    assert the plan shape (stored labels only ever probed via
+    broadcast joins)."""
+    ids = (
+        pairs.select(F.col("u").alias("doc_id"))
+        .unionByName(pairs.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    if raw is not None:
+        # current label of each endpoint: filter the stored rows down
+        # to the endpoints FIRST (broadcast semi-probe — no shuffle of
+        # the label artifact), then latest-seq-wins over that small set
+        touched = (
+            raw.join(F.broadcast(ids), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.max_by("cluster_id", "seq").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        row = raw.agg(F.max("seq").alias("m")).first()
+        seq = int(row["m"] or 0) + 1
+    else:
+        touched = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).limit(0)
+        touched = touched.localCheckpoint()
+        seq = 1
+    ta = touched.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("ru"))
+    tb = touched.select(F.col("doc_id").alias("v"), F.col("cluster_id").alias("rv"))
+    rep_edges = (
+        pairs.join(F.broadcast(ta), "u", "left")
+        .join(F.broadcast(tb), "v", "left")
+        .select(
+            F.coalesce("ru", F.col("u")).alias("id_a"),
+            F.coalesce("rv", F.col("v")).alias("id_b"),
+        )
+    )
+    # CC over representatives only — O(new pairs + touched clusters)
+    mini = connected_components(rep_edges, max_iter=max_iter).localCheckpoint()
+    reps = mini.select(
+        F.col("doc_id").alias("rep"), F.col("cluster_id").alias("new_label")
+    )
+    ep_new = (
+        ids.join(F.broadcast(touched), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep"))
+        .join(F.broadcast(reps), "rep")
+        .select("doc_id", F.col("new_label").alias("cluster_id"))
+    )
+    changed = reps.filter(F.col("new_label") != F.col("rep")).select(
+        F.col("rep").alias("old_label"), "new_label"
+    )
+    if raw is not None:
+        # members of merged clusters: probe the stored rows by label —
+        # sound because a label serving as some doc's latest is LIVE
+        # (labels decrease monotonically; see section comment), so
+        # every matched doc's latest label IS old_label
+        members = (
+            raw.join(F.broadcast(changed), raw.cluster_id == F.col("old_label"))
+            .select(raw.doc_id, F.col("new_label").alias("cluster_id"))
+        )
+        delta = ep_new.unionByName(members).distinct()
+        # drop rows whose label is unchanged (endpoints inside an
+        # untouched-label component) — keeps the artifact's growth
+        # proportional to actual label churn
+        cur = touched.select("doc_id", F.col("cluster_id").alias("cur"))
+        delta = (
+            delta.join(F.broadcast(cur), "doc_id", "left")
+            .filter(F.col("cur").isNull() | (F.col("cur") != F.col("cluster_id")))
+            .select("doc_id", "cluster_id")
+        )
+    else:
+        delta = ep_new.distinct()
+    return delta, seq
+
+
+def read_cluster_labels(spark, path: str) -> DataFrame:
+    """The current ``(doc_id, cluster_id)`` labels: latest-seq-wins
+    fold of the delta batches, minus tombstoned docs (the same
+    live-docs-only contract as :func:`read_dedup_index` — the net
+    exclusion set is broadcast-capped by the delete budget). The fold
+    shuffles O(label rows) — proportionate, since the output itself is
+    the full label table; per-ingest maintenance never calls this."""
+    from . import genstore
+
+    raw = _read_raw_cluster_labels(spark, path)
+    if raw is None:
+        raise ValueError(
+            f"no cluster labels under {path!r}: run init_cluster_labels "
+            "once over the initial corpus pairs"
+        )
+    folded = raw.groupBy("doc_id").agg(
+        F.max_by("cluster_id", "seq").alias("cluster_id")
+    )
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    dead = genstore.net_dead_ids(spark, root, params["id_col"])
+    if dead is not None:
+        dead = dead.withColumnRenamed(params["id_col"], "doc_id")
+        folded = folded.join(F.broadcast(dead), "doc_id", "left_anti")
+    return folded
+
+
+# --------------------------------------------------------------------------
 # Semantic dedup (SemDeDup): cluster embeddings, prune near-dups
 # within each cluster only.
 # --------------------------------------------------------------------------

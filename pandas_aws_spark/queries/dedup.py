@@ -629,6 +629,122 @@ def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental duplicate-cluster maintenance (r12, the carried r10/r11
+# verdict ask): labels persisted beside the dedup index, each ingest
+# union-merges only touched components. Oracle: from-scratch recursive
+# CTE over the UNION corpus's pair graph — the incremental labels must
+# hash-match the full recompute exactly. No bucket cap on either side
+# (cap thresholds are corpus-size-dependent and would differ between
+# the staged ingests and the union build — the same reason
+# q_dedup_index_ingest's oracle runs uncapped).
+# --------------------------------------------------------------------------
+_INCR_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.lstrip()
+    + """,
+mh AS (SELECT doc_id,
+              MIN((1299721*h + 12345)   % 1000000007) AS h0,
+              MIN((15485863*h + 678910) % 1000000007) AS h1,
+              MIN((32452843*h + 1112131) % 1000000007) AS h2,
+              MIN((49979687*h + 1415161) % 1000000007) AS h3,
+              MIN((67867967*h + 1718192) % 1000000007) AS h4,
+              MIN((86028121*h + 2021222) % 1000000007) AS h5,
+              MIN((104395301*h + 2324252) % 1000000007) AS h6,
+              MIN((122949823*h + 2627282) % 1000000007) AS h7
+       FROM hh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS sig FROM mh UNION ALL
+  SELECT doc_id, 1, h2 * 1000000007 + h3 FROM mh UNION ALL
+  SELECT doc_id, 2, h4 * 1000000007 + h5 FROM mh UNION ALL
+  SELECT doc_id, 3, h6 * 1000000007 + h7 FROM mh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id),
+"""
+    + _VERIFY_CTE.format(thr=0.8)
+    + """,
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "q_dedup_cluster_incremental",
+    oracle=_INCR_CLUSTER_ORACLE,
+    tags=("dedup", "clustering", "incremental"),
+)
+def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance, end to end on disk:
+    build + persist the dedup index over the corpus (doc_id % 4 != 0),
+    ``init_cluster_labels`` from the corpus's own pair graph (the LAST
+    full connected-components run), then two staged ingests — batch 1
+    (% 8 == 0) and batch 2 (% 8 == 4) — each contributing its
+    batch-vs-index pairs (``indexed_near_dup_pairs``, no corpus text
+    in the plan) plus its batch-internal pairs, folded in by
+    ``merge_cluster_labels``: a union-merge that runs CC only over the
+    REPRESENTATIVES the new pairs touch and rewrites only members of
+    clusters whose label changed (O(batch + touched); the stored
+    labels are probed twice by broadcast join, never shuffled —
+    plan-asserted in tests/test_dedup.py). The final label table must
+    hash-match the oracle's from-scratch recursive-CTE components over
+    the UNION corpus — incremental maintenance is exact, not an
+    approximation."""
+    from ..operators.dedup import (
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        init_cluster_labels,
+        merge_cluster_labels,
+        minhash_near_dup_pairs,
+        read_cluster_labels,
+        read_dedup_index,
+        release_cached_inputs,
+        write_dedup_index,
+    )
+    from . import scratch_dir
+
+    recipe = dict(shingle_k=3, n_hashes=8, bands=4)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    b1 = docs.filter(F.col("doc_id") % 8 == 0)
+    b2 = docs.filter(F.col("doc_id") % 8 == 4)
+    path = scratch_dir(prefix="pandas_aws_spark_cluster_incr_")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
+    init_cluster_labels(
+        minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe),
+        path,
+    )
+    for batch, bid in ((b1, "b1"), (b2, "b2")):
+        stored = read_dedup_index(spark, path)
+        cross = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
+        internal = minhash_near_dup_pairs(
+            batch, "doc_id", "text", threshold=0.8, **recipe
+        )
+        merge_cluster_labels(
+            cross.select("id_a", "id_b").unionByName(
+                internal.select("id_a", "id_b")
+            ),
+            path,
+            batch_id=bid,
+        )
+        release_cached_inputs(cross)
+        from ..operators.dedup import append_dedup_index
+
+        append_dedup_index(
+            build_dedup_index(batch, "doc_id", "text", **recipe), path, batch_id=bid
+        )
+    return read_cluster_labels(spark, path).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Decontamination: flag held-out (benchmark) docs sharing any 5-word
 # shingle with the training split — the n-gram overlap check run
 # before every evaluation. Shingle hashes only (int64) cross the join.

@@ -394,3 +394,137 @@ def test_cluster_best_keeps_highest_quality_member(spark):
     got = {r.cluster_id: r.doc_id for r in best.collect()}
     # cluster {1,2,3}: 2 and 3 tie on length -> lower id 2 wins, not min-id 1
     assert got == {1: 2, 10: 10}
+
+
+# --------------------------------------------------------------------------
+# Incremental duplicate-cluster maintenance (r12): persisted labels +
+# union-merge of touched components only.
+# --------------------------------------------------------------------------
+
+
+def _cluster_fixture(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import (
+        build_dedup_index,
+        init_cluster_labels,
+        write_dedup_index,
+    )
+
+    path = str(tmp_path / "didx")
+    corpus = spark.createDataFrame(
+        [(i, f"filler text body number {i} with words") for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
+    p0 = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    init_cluster_labels(p0, path)
+    return path, p0
+
+
+def _labels(spark, path):
+    from pandas_aws_spark.operators.dedup import read_cluster_labels
+
+    return sorted(tuple(r) for r in read_cluster_labels(spark, path).collect())
+
+
+def test_incremental_cluster_merge_matches_scratch_cc(spark, tmp_path):
+    """Two staged merges == from-scratch connected_components over the
+    union pair graph — incremental maintenance is exact, including a
+    new doc transitively fusing two existing clusters."""
+    from pandas_aws_spark.operators.dedup import (
+        connected_components,
+        merge_cluster_labels,
+    )
+
+    path, p0 = _cluster_fixture(spark, tmp_path)
+    p1 = spark.createDataFrame(
+        [(20, 3), (20, 7), (21, 22), (30, 9)], "id_a long, id_b long"
+    )
+    merge_cluster_labels(p1, path, batch_id="b1")
+    union1 = p0.unionByName(p1)
+    assert _labels(spark, path) == sorted(
+        tuple(r) for r in connected_components(union1).collect()
+    )
+    p2 = spark.createDataFrame([(22, 1)], "id_a long, id_b long")
+    merge_cluster_labels(p2, path, batch_id="b2")
+    assert _labels(spark, path) == sorted(
+        tuple(r) for r in connected_components(union1.unionByName(p2)).collect()
+    )
+
+
+def test_incremental_cluster_merge_retry_idempotent(spark, tmp_path):
+    """Re-running a merge with the same batch_id overwrites its own
+    delta and converges — the crash-retry discipline every artifact op
+    here shares (the delta is derived EXCLUDING the writing batch)."""
+    from pandas_aws_spark.operators.dedup import merge_cluster_labels
+
+    path, _ = _cluster_fixture(spark, tmp_path)
+    p1 = spark.createDataFrame([(20, 3), (20, 7)], "id_a long, id_b long")
+    merge_cluster_labels(p1, path, batch_id="b1")
+    want = _labels(spark, path)
+    merge_cluster_labels(p1, path, batch_id="b1")
+    assert _labels(spark, path) == want
+
+
+def test_incremental_cluster_merge_empty_and_reserved(spark, tmp_path):
+    from pandas_aws_spark.operators.dedup import merge_cluster_labels
+
+    path, _ = _cluster_fixture(spark, tmp_path)
+    before = _labels(spark, path)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    merge_cluster_labels(empty, path, batch_id="b1")
+    assert _labels(spark, path) == before
+    with pytest.raises(ValueError, match="reserved"):
+        merge_cluster_labels(empty, path, batch_id="base")
+
+
+def test_incremental_cluster_touched_only_delta(spark, tmp_path):
+    """The written delta covers ONLY endpoints and members of clusters
+    whose label changed — untouched clusters' rows are never
+    rewritten, and the stored labels are probed with broadcast joins,
+    never shuffled (no SortMergeJoin/ShuffledHashJoin anywhere in the
+    delta plan)."""
+    import os
+
+    from pandas_aws_spark.operators.dedup import (
+        _cluster_merge_delta,
+        _read_raw_cluster_labels,
+        merge_cluster_labels,
+    )
+
+    from pyspark.sql import functions as F
+
+    path, _ = _cluster_fixture(spark, tmp_path)
+    # merge touching ONLY cluster {7,8}: doc 50 joins it
+    p1 = spark.createDataFrame([(50, 8)], "id_a long, id_b long")
+    pairs = (
+        p1.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    raw = _read_raw_cluster_labels(spark, path, exclude_batch="b1")
+    delta, seq = _cluster_merge_delta(pairs, raw, max_iter=20)
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    rows = {tuple(r) for r in delta.collect()}
+    # only the new endpoint needs a row: 8's label (7) is unchanged
+    assert rows == {(50, 7)}
+    assert seq == 2
+    merge_cluster_labels(p1, path, batch_id="b1")
+    written = spark.read.parquet(f"{path}/clusters/batch=b1")
+    assert {tuple(r) for r in written.select("doc_id", "cluster_id").collect()} == rows
+    assert os.path.isdir(f"{path}/clusters/batch=base")
+
+
+def test_read_cluster_labels_excludes_tombstoned_docs(spark, tmp_path):
+    """Live-docs-only contract: labels of deleted docs disappear from
+    read_cluster_labels, same as the index read paths."""
+    from pandas_aws_spark.operators.dedup import delete_from_dedup_index
+
+    path, _ = _cluster_fixture(spark, tmp_path)
+    before = dict(_labels(spark, path))
+    assert 3 in before
+    delete_from_dedup_index(
+        spark.createDataFrame([(3,)], "doc_id long"), path, batch_id="t1"
+    )
+    after = dict(_labels(spark, path))
+    assert 3 not in after and set(before) - set(after) == {3}

@@ -27,6 +27,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pandas_aws_spark.registry import load_registry
 from pandas_aws_spark.session import get_spark
 
+# The ten headline queries benchmarked every round since r4 — their
+# subtotal is the comparable cross-round drift series (newer headline
+# additions like q_sim_index_ingest change headline_total's meaning,
+# so the judge tracks this stable subset separately).
+LEGACY_TEN = frozenset(
+    {
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_region_revenue",
+        "q_dedup_minhash_lsh",
+        "q_events_sessionize",
+        "q_events_tumbling_hourly",
+        "q_sim_bruteforce_topk",
+        "q_text_curation_pipeline",
+        "q_text_token_stats",
+        "q_top_customers_per_segment",
+    }
+)
+
 
 def _materialize(df) -> int:
     """Execute the full plan on executors; return row count.
@@ -64,12 +83,15 @@ def main() -> int:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
+    legacy = round(sum(t for n, t in timings.items() if n in LEGACY_TEN), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                # stable-subset subtotal: comparable r4..rN drift series
+                "headline_legacy_total": legacy,
                 "queries": timings,
                 "sf": sf,
             }

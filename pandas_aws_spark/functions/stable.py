@@ -101,3 +101,4 @@ def sql_dsum_micro(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{SCALE}))) AS DOUBLE) / COUNT({expr}))"
+

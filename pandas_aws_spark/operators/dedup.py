@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import bounded_window_key
 from ..functions.texthash import char_ngrams, seeded_md5, tokens, word_shingles
 
 __all__ = [
@@ -1743,7 +1744,7 @@ def semantic_dedup(
             corpus.orderBy(id_col)
             .limit(n_cells)
             .select(
-                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.row_number().over(Window.partitionBy(bounded_window_key()).orderBy(id_col)).alias("centroid_id"),
                 F.col(vec_col),
             )
         )

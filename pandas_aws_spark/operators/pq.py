@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import bounded_window_key
 from ..functions.vector import as_double
 
 __all__ = [
@@ -389,7 +390,7 @@ def ivf_pq_build_full(
             cn.orderBy(id_col)
             .limit(n_centroids)
             .select(
-                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.row_number().over(Window.partitionBy(bounded_window_key()).orderBy(id_col)).alias("centroid_id"),
                 F.col(vec_col),
             )
         )
@@ -483,7 +484,7 @@ def ivf_pq_topk(
             cn.orderBy(id_col)
             .limit(n_centroids)
             .select(
-                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.row_number().over(Window.partitionBy(bounded_window_key()).orderBy(id_col)).alias("centroid_id"),
                 F.col(vec_col),
             )
         )

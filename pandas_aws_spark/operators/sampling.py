@@ -142,3 +142,64 @@ def temperature_rates(
         weights.crossJoin(F.broadcast(total))
         .select(source_col, F.expr("(1000000 * wgt) div tw").alias("rate_ppm"))
     )
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    rates: DataFrame,
+    budget_tokens,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    rate_col: str = "rate_ppm",
+) -> DataFrame:
+    """Token-BUDGETED mixture selection — the materialization step after
+    :func:`temperature_rates`: given per-source mixture rates (ppm) and
+    a global token budget, pick the actual documents. Each source gets
+    quota_s = budget * rate_s ppm; its docs are taken in hash-priority
+    order (a deterministic uniform draw, same rationale as
+    :func:`reservoir_per_group`) while the tokens BEFORE the doc are
+    under the quota — the doc that crosses the boundary still lands, so
+    every non-exhausted source fills its quota exactly, overshooting by
+    at most one document (the same cut rule as
+    ``text.pack_documents``). A pure function of (data, rates, budget):
+    identical across reruns, repartitions, and engines.
+
+    Scale shape: source is a LOW-cardinality group (handfuls of crawls
+    / curated sets), exactly the case where ``Window.partitionBy(
+    source)`` funnels each source through one task — so the running
+    total comes from :func:`~pandas_aws_spark.operators.twophase.
+    distributed_grouped_cumsum` (range-partitioned slices + broadcast
+    per-group prefix offsets), and the kilobyte quota table broadcasts
+    onto the result. No full-corpus single-task stage anywhere.
+
+    ``budget_tokens`` may be an int or a one-row single-column
+    DataFrame (e.g. ``total_tokens div 10`` computed upstream) — the
+    latter joins in as a broadcast scalar so the budget can itself be
+    data-derived without a driver round-trip."""
+    from .twophase import distributed_grouped_cumsum
+
+    quota_src = rates.select(F.col(source_col), F.col(rate_col).cast("long").alias("_rate"))
+    if isinstance(budget_tokens, DataFrame):
+        bcol = budget_tokens.columns[0]
+        quota = quota_src.crossJoin(F.broadcast(budget_tokens)).select(
+            source_col,
+            F.expr(f"(CAST({bcol} AS BIGINT) * _rate) div 1000000").alias("_quota"),
+        )
+    else:
+        quota = quota_src.select(
+            source_col,
+            F.expr(f"(CAST({int(budget_tokens)} AS BIGINT) * _rate) div 1000000").alias(
+                "_quota"
+            ),
+        )
+    pri = docs.withColumn("_pri", hash_priority(F.col(id_col)))
+    cum = distributed_grouped_cumsum(
+        pri, source_col, ["_pri", id_col], token_col, out="_cum"
+    )
+    return (
+        cum.join(F.broadcast(quota), source_col)
+        .filter(F.col("_cum") - F.col(token_col) < F.col("_quota"))
+        .drop("_pri", "_cum", "_quota")
+    )

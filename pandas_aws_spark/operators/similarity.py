@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import bounded_window_key
 from ..functions.vector import as_double, cosine, dot, norm
 
 __all__ = ["MAX_QUERY_SIDE_ROWS", "brute_force_topk", "brute_force_topk_arrow", "ivf_assign", "ivf_topk", "kmeans_fit", "lsh_bucket", "lsh_topk", "lsh_topk_multiprobe", "recommended_n_planes", "sql_lsh_bucket_masked", "sql_recommended_n_planes"]
@@ -71,7 +72,11 @@ def _guarded_query_side(queries: DataFrame, cap: int | None, op_name: str) -> Da
     extra scheduling round trip this in-plan guard exists to avoid."""
     if cap is None:
         return queries
-    w = Window.partitionBy()
+    # constant partition key: the frame is bounded by limit(cap + 1), so
+    # the single-task window is fine — the key keeps it off WindowExec's
+    # unpartitioned-window warning channel so real funnels stay visible
+    # in bench tails (r11 verdict ask #8; see bounded_window_key).
+    w = Window.partitionBy(bounded_window_key())
     return (
         queries.limit(cap + 1)
         .withColumn("_qn", F.count(F.lit(1)).over(w))
@@ -184,7 +189,7 @@ def ivf_topk(
             corpus.orderBy(id_col)
             .limit(n_centroids)
             .select(
-                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.row_number().over(Window.partitionBy(bounded_window_key()).orderBy(id_col)).alias("centroid_id"),
                 F.col(vec_col),
             )
         )
@@ -265,7 +270,7 @@ def kmeans_fit(
         corpus.orderBy(id_col)
         .limit(k)
         .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.row_number().over(Window.partitionBy(bounded_window_key()).orderBy(id_col)).alias("centroid_id"),
             as_double(vec_col).alias(vec_col),
         )
     )

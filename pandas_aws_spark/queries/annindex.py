@@ -495,12 +495,11 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.annindex import (
         ann_index_topk,
-        append_ann_index,
         build_ann_index,
         read_ann_index,
         write_ann_index,
     )
-    from ..streaming.pipeline import record_drain
+    from ..streaming.pipeline import stream_ann_ingest
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.expr(_STREAM_BASE_PRED))
@@ -516,22 +515,12 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest.repartition(4).write.mode("overwrite").parquet(landing)
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        append_ann_index(batch_df, path, batch_id=f"s{batch_id}")
-
-    q = (
+    stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(landing)
-        .writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    record_drain(q)
+    stream_ann_ingest(stream, path, ckpt)
 
     stored = read_ann_index(spark, path)
     out = (

@@ -744,6 +744,64 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_cluster_labels(spark, path).orderBy("doc_id")
 
 
+@query(
+    "q_stream_dedup_ingest",
+    oracle=_INCR_CLUSTER_ORACLE,
+    tags=("streaming", "dedup", "clustering", "incremental"),
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-dedup pipeline as a STANDING STREAM — the streaming
+    twin of ``q_dedup_cluster_incremental`` and the dedup twin of
+    ``q_stream_ann_ingest``: the persisted index and cluster labels
+    are bootstrapped over the batch corpus (doc_id % 4 != 0; the last
+    full connected-components run), the remaining quarter of the
+    documents lands as a parquet file stream (4 landing files, 2 per
+    trigger -> 2 micro-batches), and
+    ``stream_dedup_ingest(maintain_clusters=True)`` folds each
+    micro-batch in via foreachBatch: batch-vs-index pairs
+    (``indexed_near_dup_pairs``) + batch-internal pairs ->
+    ``merge_cluster_labels`` (union-merge, O(batch + touched)) ->
+    ``append_dedup_index`` (O(batch) delta, replay-idempotent per
+    checkpointed micro-batch id). The final label table is
+    micro-batch-boundary-INVARIANT — a near-dup pair split across
+    batches is caught by the later batch's index probe, a same-batch
+    pair by the internal scan, so the folded pair graph equals the
+    union corpus's whatever the file-to-trigger split — and must
+    hash-match the oracle's from-scratch recursive-CTE components over
+    ALL documents."""
+    from ..operators.dedup import (
+        build_dedup_index,
+        init_cluster_labels,
+        minhash_near_dup_pairs,
+        read_cluster_labels,
+        write_dedup_index,
+    )
+    from ..streaming.pipeline import stream_dedup_ingest
+    from . import scratch_dir
+
+    recipe = dict(shingle_k=3, n_hashes=8, bands=4)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    rest = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    work = scratch_dir(prefix="pandas_aws_spark_dedup_stream_")
+    path, landing, ckpt = f"{work}/idx", f"{work}/landing", f"{work}/ckpt"
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
+    init_cluster_labels(
+        minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe),
+        path,
+    )
+    rest.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+    )
+    stream_dedup_ingest(
+        stream, path, ckpt, threshold=0.8, maintain_clusters=True
+    )
+    return read_cluster_labels(spark, path).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Decontamination: flag held-out (benchmark) docs sharing any 5-word
 # shingle with the training split — the n-gram overlap check run

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import sql_davg, davg
+from ..functions import bounded_window_key
 from ..functions.texthash import tokens
 from ..operators.text import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
 from ..registry import load_table, query
@@ -311,7 +312,7 @@ def q_text_trigram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic train/val/test splitting — hash-bucket sampling that is
 # stable under repartitioning and engines (unlike seeded sample()).
 # --------------------------------------------------------------------------
-from ..operators.sampling import sql_hash_bucket  # noqa: E402
+from ..operators.sampling import sql_hash_bucket, sql_hash_priority  # noqa: E402
 
 _SPLIT_ORACLE = f"""
 WITH b AS (
@@ -791,6 +792,60 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-budgeted mixture selection: materialize the temperature mix.
+# --------------------------------------------------------------------------
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source),
+w AS (SELECT source, CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS wgt FROM s),
+tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS tw FROM w),
+r AS (SELECT source, CAST((1000000 * wgt) // tw AS BIGINT) AS rate_ppm FROM w, tot),
+b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 10 AS budget FROM t),
+q AS (SELECT source, (budget * rate_ppm) // 1000000 AS quota FROM r, b),
+o AS (
+  SELECT t.*, SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY {sql_hash_priority('doc_id')}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT o.doc_id, o.source, o.n_tokens
+FROM o JOIN q USING (source)
+WHERE o.cum - o.n_tokens < q.quota
+ORDER BY o.doc_id
+"""
+
+
+@query(
+    "q_sample_token_budget",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("sampling", "mixture", "training"),
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture SELECTION — the step q_sample_temperature
+    stops short of: rates say how much of each source the mix wants,
+    this picks the actual documents. Budget = corpus tokens div 10
+    (data-derived, shipped as a one-row broadcast frame — no driver
+    round-trip); each source's quota fills in deterministic
+    hash-priority order via the two-phase grouped cumsum (source is
+    low-cardinality, exactly where a partitioned window would funnel
+    each source through one task). The crossing doc lands, so quotas
+    fill exactly with <= 1 doc overshoot per source."""
+    from ..operators.sampling import sample_to_token_budget, temperature_rates
+    from ..operators.text import token_stats
+
+    docs = token_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    per_src = docs.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    rates = temperature_rates(per_src)
+    budget = docs.agg(F.expr("CAST(sum(n_tokens) AS BIGINT) div 10").alias("budget"))
+    return sample_to_token_budget(docs, rates, budget).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # BPE-style pre-tokenizer counting (regex, not whitespace).
 # --------------------------------------------------------------------------
 # Disjoint alternatives (letter runs / single digits / single punct), so
@@ -1029,7 +1084,10 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("bm25_ppm"), F.col("doc_id")).limit(_BM25_TOPK)
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("bm25_ppm"), F.col("doc_id"))
+    # constant partition key: frame is bounded (<= _BM25_TOPK rows after
+    # the limit) — silences WindowExec's unpartitioned-window warning so
+    # a REAL unbounded one in a bench tail stays visible.
+    w = Window.partitionBy(bounded_window_key()).orderBy(F.desc("bm25_ppm"), F.col("doc_id"))
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "bm25_ppm")

@@ -429,6 +429,140 @@ def stream_upsert_to_table(
     record_drain(q)
 
 
+def stream_ann_ingest(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    batch_prefix: str = "s",
+    staleness_check: bool = False,
+    staleness_threshold: float | None = None,
+) -> None:
+    """Continuous vector ingest into a persisted ANN index via
+    ``foreachBatch`` — the crawl-to-index topology: each micro-batch
+    lands as an O(batch) ``append_ann_index`` against the FROZEN
+    quantizers, with ``batch_id=<prefix><micro-batch id>`` so an
+    at-least-once foreachBatch replay overwrites its own batch subdirs
+    (exactly-once index effect; the checkpoint pins the id sequence).
+
+    ``staleness_check=True`` plumbs the calibrated quantizer-drift
+    trigger (r11 verdict ask #9) into the place drift actually ARRIVES
+    in production — the standing ingest stream: each micro-batch runs
+    ``quantizer_staleness`` pre-append and warns past the SCALE.md
+    occupancy-TV threshold, naming ``rebuild_ann_index`` as the
+    action. foreachBatch callbacks execute on the driver, so the
+    warning surfaces in the driver's log/warning stream where an
+    operator alert hook can see it; appends still land (recall decay
+    concerns future searches — the rebuild retrains on everything
+    ingested, these batches included)."""
+    from ..operators.annindex import append_ann_index
+
+    kwargs: dict = {"staleness_check": staleness_check}
+    if staleness_threshold is not None:
+        kwargs["staleness_threshold"] = staleness_threshold
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_index(
+            batch_df, index_path, batch_id=f"{batch_prefix}{batch_id}", **kwargs
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    record_drain(q)
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    batch_prefix: str = "s",
+    maintain_clusters: bool = False,
+) -> None:
+    """Continuous document ingest into a persisted dedup index — the
+    crawl-side twin of :func:`stream_ann_ingest`: each micro-batch is
+    shingled/signed against the index's STORED recipe and appended as
+    an O(batch) delta (``append_dedup_index``), with
+    ``batch_id=<prefix><micro-batch id>`` so foreachBatch replays
+    overwrite their own batch subdirs.
+
+    ``maintain_clusters=True`` keeps the persisted duplicate-cluster
+    labels current as the stream lands: per micro-batch, the
+    batch-vs-index pairs (``indexed_near_dup_pairs`` — band postings +
+    stored packs, no corpus text scan) union the batch-internal pairs
+    feed ``merge_cluster_labels``, whose union-merge touches only the
+    components the new pairs reach (O(batch + touched)). The merge
+    runs BEFORE the append, mirroring the batch entry
+    (``q_dedup_cluster_incremental``); final labels are micro-batch-
+    boundary-INVARIANT: a near-dup pair split across batches is caught
+    by the later batch's index probe, a pair within one batch by its
+    internal scan, so the folded pair graph — hence every connected
+    component — is that of the union corpus however the file-to-
+    trigger split lands. Replay after a crash between the merge and
+    the append also converges: the cluster delta recomputes from the
+    OTHER batches' state, and a replayed index probe that already sees
+    its own rows only adds batch-internal edges the internal scan
+    contributes anyway (same connectivity)."""
+    from ..operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        indexed_near_dup_pairs,
+        merge_cluster_labels,
+        minhash_near_dup_pairs,
+        read_dedup_index,
+        release_cached_inputs,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stored = read_dedup_index(spark, index_path)
+        p = stored.params
+        recipe = {
+            k: p[k] for k in ("shingle_k", "n_hashes", "bands", "hash_fn")
+        }
+        bid = f"{batch_prefix}{batch_id}"
+        if maintain_clusters:
+            cross = indexed_near_dup_pairs(
+                batch_df, stored, text_col, threshold=threshold
+            )
+            internal = minhash_near_dup_pairs(
+                batch_df, p["id_col"], text_col, threshold=threshold, **recipe
+            )
+            merge_cluster_labels(
+                cross.select("id_a", "id_b").unionByName(
+                    internal.select("id_a", "id_b")
+                ),
+                index_path,
+                batch_id=bid,
+            )
+            release_cached_inputs(cross)
+        append_dedup_index(
+            build_dedup_index(batch_df, p["id_col"], text_col, **recipe),
+            index_path,
+            batch_id=bid,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    record_drain(q)
+
+
 # --------------------------------------------------------------------------
 # Heartbeat-gap detection: alert when a user's inter-event silence
 # exceeds a threshold. Order-sensitive custom state (last-seen

@@ -602,3 +602,53 @@ def test_append_staleness_check_warns_on_drifted_stream_only(spark, tmp_path):
     assert (
         read_ann_index(spark, path).codes.count() == n0 + 2 * n_clean
     )
+
+
+def test_stream_ann_ingest_staleness_check_end_to_end(spark, tmp_path):
+    """r11 verdict ask #9: the drift trigger is reachable from the
+    STREAMING ingest path, where drift actually arrives in production.
+    stream_ann_ingest(staleness_check=True) runs the calibrated
+    quantizer_staleness probe inside each foreachBatch append — a
+    clean same-distribution stream drains silently, a shifted stream
+    warns (driver-side, where an alert hook sees it) and still lands
+    its batches."""
+    import warnings
+
+    from pandas_aws_spark.streaming.pipeline import stream_ann_ingest
+
+    emb, base, b1, b2 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+
+    clean = b1.withColumn("vec_id", F.col("vec_id") + 100_000)
+    drifted = b2.withColumn("vec_id", F.col("vec_id") + 200_000).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i % 2 == 0, F.lit(0.5)).otherwise(F.lit(-0.5)),
+        ),
+    )
+
+    def _drain(batch_df, name, prefix):
+        landing = str(tmp_path / f"landing_{name}")
+        batch_df.repartition(1).write.mode("overwrite").parquet(landing)
+        stream = spark.readStream.schema(batch_df.schema).parquet(landing)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            stream_ann_ingest(
+                stream,
+                path,
+                str(tmp_path / f"ckpt_{name}"),
+                batch_prefix=prefix,
+                staleness_check=True,
+            )
+        return [w for w in caught if "staleness trigger" in str(w.message)]
+
+    assert not _drain(clean, "clean", "c"), "clean stream must not warn"
+    stale = _drain(drifted, "drift", "d")
+    assert stale, "drifted stream must fire the drift trigger"
+    assert "rebuild_ann_index" in str(stale[0].message)
+
+    # every micro-batch landed regardless of the warning
+    got = read_ann_index(spark, path).codes.count()
+    assert got == base.count() + b1.count() + b2.count()

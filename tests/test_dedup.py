@@ -528,3 +528,58 @@ def test_read_cluster_labels_excludes_tombstoned_docs(spark, tmp_path):
     )
     after = dict(_labels(spark, path))
     assert 3 not in after and set(before) - set(after) == {3}
+
+
+def test_stream_dedup_ingest_boundary_invariant_clusters(spark, tmp_path):
+    """Streaming ingest with a DIFFERENT micro-batch split than the
+    registered entry (1 file per trigger -> 4 micro-batches vs the
+    entry's 2) must land on the same cluster labels as a from-scratch
+    connected-components run over the whole corpus's pair graph —
+    label maintenance is invariant to where the file-to-trigger
+    boundaries fall, because a cross-batch near-dup pair is caught by
+    the later batch's index probe and a same-batch pair by its
+    internal scan."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.dedup import (
+        build_dedup_index,
+        connected_components,
+        init_cluster_labels,
+        read_cluster_labels,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from pandas_aws_spark.streaming.pipeline import stream_dedup_ingest
+
+    recipe = dict(shingle_k=3, n_hashes=8, bands=4)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    rest = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
+    init_cluster_labels(
+        minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe),
+        path,
+    )
+    landing = str(tmp_path / "landing")
+    rest.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    stream_dedup_ingest(
+        stream, path, str(tmp_path / "ckpt"), threshold=0.8, maintain_clusters=True
+    )
+
+    got = sorted(tuple(r) for r in read_cluster_labels(spark, path).collect())
+    want = sorted(
+        tuple(r)
+        for r in connected_components(
+            minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.8, **recipe)
+        ).collect()
+    )
+    assert got == want
+
+    # every streamed doc was appended to the index exactly once
+    assert read_dedup_index(spark, path).packs.count() == docs.count()

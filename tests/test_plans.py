@@ -232,25 +232,10 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         # per-range-partition counts table, <= shuffle-partitions rows
         "q_customer_rfm": "_tp_pid",
         "q_supplier_pareto": "_tp_pid",
-        # in-plan query-row-cap guard: scalar count over the broadcast
-        # query side, which the operator caps at <= 100k rows
-        "q_sim_bruteforce_topk": "count(1)",
-        # same guard, twice (full-dim + truncated brute-force passes)
-        "q_embed_matryoshka_recall": "count(1)",
-        # brute-force guard count over the capped query side
-        "q_sim_knn_classify": "count(1)",
-        # first-C coarse-centroid init: window input is
-        # .limit(n_centroids), i.e. <= C rows (kilobytes)
-        "q_sim_ivf_fullprobe": "row_number()",
-        "q_sim_ivf_probe2": "row_number()",
-        "q_sim_ivf_pq": "row_number()",
-        "q_sim_ivf_pq_trained": "row_number()",
-        "q_dedup_semantic": "row_number()",
-        # rank over the already-limited top-k (<= 20 rows via TakeOrdered)
-        "q_text_bm25_search": "row_number()",
-        # brute pass: capped-query-side guard count; IVF pass: <= C-row
-        # centroid-init window (tuple = either marker is a proven bound)
-        "q_sim_eval_rank_quality": ("count(1)", "row_number()"),
+        # (every other formerly-allowlisted bounded window — the <= C-row
+        # centroid inits, the BM25 top-k rank, the capped-query-side
+        # guard counts — now carries a constant lit(0) partition key, r11
+        # verdict ask #8, so only the two-phase summary windows remain)
     }
     streaming_prefixes = ("q_stream_",)
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

@@ -219,3 +219,102 @@ def test_phash_near_dup_within_cap(spark, sf_dir):
         assert 0 <= r.hamming <= 6
         assert r.n_pairs >= 1
     assert min(r.hamming for r in rows) == 0
+
+
+def test_pack_documents_global_matches_window_semantics(spark):
+    """The partition_col=None path (two-phase cumsum, r11 verdict ask
+    #4) must produce the exact pack layout the naive global-window
+    cumsum defines: docs in id order, cut when the running total
+    crosses the budget."""
+    from pandas_aws_spark.operators.text import pack_documents
+
+    rows = [(i, (i * 7919) % 900 + 100) for i in range(1, 201)]  # 100..999 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_documents(df, budget=2048).collect()
+    }
+    cum, want = 0, {}
+    for doc_id, n in rows:  # already in id order
+        want[doc_id] = cum // 2048
+        cum += n
+    assert got == want
+
+
+def test_pack_documents_global_plan_has_no_data_path_global_window(spark):
+    """partition_col=None must NOT plan an unpartitioned window over
+    the input rows — only the two-phase summary windows (bounded by
+    the partition count, marked _tp_pid) may appear."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.text import pack_documents
+    from pandas_aws_spark.plans.inspect import unpartitioned_windows
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 512 + 1).alias("n_tokens")
+    )
+    flagged = unpartitioned_windows(pack_documents(df, budget=2048))
+    for line in flagged:
+        assert "_tp_pid" in line, f"global window over the data path: {line}"
+
+
+def test_sample_to_token_budget_fills_quota_deterministically(spark):
+    """Each source's selection (taken in hash-priority order) fills its
+    token quota: pre-crossing total < quota, post-crossing total >=
+    quota (unless the source ran out of docs), never more than one doc
+    past the boundary. Rerunning under a different partitioning picks
+    the identical doc set."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.sampling import (
+        sample_to_token_budget,
+        temperature_rates,
+    )
+
+    rows = [(i, f"s{i % 3}", (i * 37) % 200 + 20) for i in range(1, 301)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    per_src = docs.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    rates = temperature_rates(per_src)
+    budget = 5_000
+    got = sample_to_token_budget(docs, rates, budget)
+
+    quota = {
+        r.source: budget * r.rate_ppm // 1_000_000 for r in rates.collect()
+    }
+    src_total = {r.source: r.src_tokens for r in per_src.collect()}
+    picked = got.groupBy("source").agg(
+        F.sum("n_tokens").alias("tok"), F.count("*").alias("n"),
+        F.max("n_tokens").alias("max_tok"),
+    )
+    for r in picked.collect():
+        q = quota[r.source]
+        if src_total[r.source] >= q:
+            assert r.tok >= q, f"{r.source}: quota underfilled {r.tok} < {q}"
+            assert r.tok - r.max_tok < q, f"{r.source}: overshot past one doc"
+        else:
+            assert r.tok == src_total[r.source]
+
+    again = sample_to_token_budget(docs.repartition(7), rates, budget)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_sample_to_token_budget_plan_has_no_data_path_global_window(spark):
+    """The grouped cumsum must come from the two-phase helper — no
+    per-source single-task window over the corpus."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.sampling import (
+        sample_to_token_budget,
+        temperature_rates,
+    )
+    from pandas_aws_spark.plans.inspect import unpartitioned_windows
+
+    docs = spark.range(1, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.col("id") % 100 + 10).alias("n_tokens"),
+    )
+    per_src = docs.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    out = sample_to_token_budget(docs, temperature_rates(per_src), 10_000)
+    for line in unpartitioned_windows(out):
+        assert "_tp_pid" in line, f"global window over the data path: {line}"

@@ -870,6 +870,103 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SEMANTIC decontamination: flag held-out vectors whose embedding is
+# near-identical to some training vector — catches paraphrase-level
+# contamination the shingle check above cannot see. Asymmetric
+# hyperplane-LSH blocking; plane count adapts to the TRAIN side.
+# --------------------------------------------------------------------------
+_SEM_DECONTAM_TRAIN_PRED = "vec_id % 10 <> 0"
+_SEM_DECONTAM_THR = 0.4
+
+
+def _sem_decontam_oracle() -> str:
+    from ..operators.similarity import sql_lsh_bucket_masked, sql_recommended_n_planes
+
+    npl = sql_recommended_n_planes(
+        f"(SELECT * FROM embeddings WHERE {_SEM_DECONTAM_TRAIN_PRED}) trn", 128
+    )
+    bucket = sql_lsh_bucket_masked("v", 64, npl)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+tr AS (SELECT * FROM b WHERE {_SEM_DECONTAM_TRAIN_PRED}),
+be AS (SELECT * FROM b WHERE NOT ({_SEM_DECONTAM_TRAIN_PRED})),
+hits AS (
+  SELECT h.vec_id, {sql_cosine('h.v', 't.v')} AS cos_sim
+  FROM be h JOIN tr t ON t.bucket = h.bucket
+  WHERE {sql_cosine('h.v', 't.v')} >= {_SEM_DECONTAM_THR}
+)
+SELECT vec_id, COUNT(*) AS n_contaminating, MAX(cos_sim) AS max_cos
+FROM hits GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@query(
+    "q_dedup_semantic_decontaminate",
+    oracle=_sem_decontam_oracle(),
+    tags=("dedup", "embedding", "contamination", "lsh"),
+)
+def q_dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the paraphrase-level
+    complement of q_dedup_decontaminate's exact-shingle check: a
+    held-out vector is flagged when some TRAIN vector's cosine clears
+    the threshold. Candidate generation is the asymmetric variant of
+    q_dedup_embedding_lsh's bucketing: both splits bucket under the
+    same derived hyperplanes, the plane count adapting to the TRAIN
+    side's row count (the side that grows with the corpus — the
+    held-out set is a fixed benchmark), and only same-bucket
+    (bench x train) pairs are scored — pair space |bench| x |train| /
+    2^planes, never all-pairs. Norms precompute per row before the
+    join; the train build side is salted 8 ways so a hot bucket's
+    pair work fans out instead of serializing into one task (the r8
+    skew fix, same trade: 8x replication of vector ROWS to split
+    work quadratic in bucket size). Approximate by design exactly
+    like the LSH near-dup entries (a cross-plane pair is missed;
+    deterministic, oracle-replayed)."""
+    from ..functions.vector import dot, norm
+    from ..operators.similarity import lsh_bucket, recommended_n_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train_pred = F.expr(_SEM_DECONTAM_TRAIN_PRED)
+    npl = recommended_n_planes(emb.filter(train_pred).count(), 128)
+    n_salt = 8
+    e = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), 64, npl))
+        .withColumn("nv", norm(F.col("v")))
+    )
+    bench = (
+        e.filter(~train_pred)
+        .withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(n_salt)))
+        .alias("h")
+    )
+    train = (
+        e.filter(train_pred)
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        .alias("t")
+    )
+    hits = (
+        bench.join(
+            train,
+            (F.col("h.bucket") == F.col("t.bucket"))
+            & (F.col("h.salt") == F.col("t.salt")),
+        )
+        .select(
+            F.col("h.vec_id").alias("vec_id"),
+            (dot(F.col("h.v"), F.col("t.v")) / (F.col("h.nv") * F.col("t.nv"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEM_DECONTAM_THR)
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(F.count("*").alias("n_contaminating"), F.max("cos_sim").alias("max_cos"))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cross-split exact-content leakage: the eval set must not share content
 # with the train split of the same corpus.
 # --------------------------------------------------------------------------

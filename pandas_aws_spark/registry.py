@@ -212,8 +212,25 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     # green in CORRECTNESS_r11.json — cleared per the self-expiry
     # protocol. Going forward the git-diff-derived
     # substrate_rewritten() below claims slots automatically for
-    # substrate changes; this map stays for optimized-plan rewrites
-    # only, and r12's enumeration is empty so far.)
+    # substrate changes; this map stays for optimized-plan rewrites.)
+    #
+    # r12 plan rewrites (mechanical: tools/dump_plans.py at 849e04c vs
+    # HEAD + tools/diff_plans.py — 9 rewritten / 221 unchanged): the
+    # bounded-window constant partition key (bounded_window_key(), r11
+    # verdict ask #8) changes the Window nodes of every entry using the
+    # first-C centroid init, the BM25 top-k rank, or the capped
+    # query-side guard count. Values identical (same global order, one
+    # partition); the plans differ, so prior evidence attests the old
+    # plan shape.
+    "q_dedup_semantic": 12,
+    "q_embed_matryoshka_recall": 12,
+    "q_sim_bruteforce_topk": 12,
+    "q_sim_eval_rank_quality": 12,
+    "q_sim_ivf_fullprobe": 12,
+    "q_sim_ivf_pq": 12,
+    "q_sim_ivf_probe2": 12,
+    "q_sim_knn_classify": 12,
+    "q_text_bm25_search": 12,
 }
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_events_gap_fill": 8,  # 1-row bounds explode x tiny event-type dim
     "q_text_mixture_plan": 1,  # global-budget broadcast
     "q_sample_temperature": 1,  # weight-total broadcast
+    "q_sample_token_budget": 1,  # weight-total + 1-row data-derived budget
     "q_customer_rfm": 1,  # NTILE total-count broadcast (two-phase ntile)
     "q_supplier_pareto": 1,  # revenue grand-total broadcast
     "q_drift_tvd": 1,  # time-range-midpoint broadcast
@@ -195,8 +196,12 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     # before auditing it); 29 -> 30 for q_stream_ann_ingest (r9 — a
     # genuine streaming writer: foreachBatch appends micro-batches into
     # the stored ANN index; its final search plan is the same shape the
-    # gate-run q_sim_index_ingest entry covers).
-    assert len(skipped) < 30
+    # gate-run q_sim_index_ingest entry covers); 30 -> 31 for
+    # q_stream_dedup_ingest (r12 — a genuine streaming writer:
+    # foreachBatch appends micro-batches into the stored dedup index
+    # and folds cluster-label deltas; its read-back label plan is the
+    # same shape the gate-run q_dedup_cluster_incremental covers).
+    assert len(skipped) < 31
 
 
 def test_nlj_allowlist_build_sides_are_tiny(spark, sf_dir):

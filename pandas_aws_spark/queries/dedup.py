@@ -877,6 +877,10 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SEM_DECONTAM_TRAIN_PRED = "vec_id % 10 <> 0"
 _SEM_DECONTAM_THR = 0.4
+# per-sf_dir train-side plane count: a property of the dataset — cached
+# so repeated plan builds (plan gates sweep every entry) don't pay a
+# count job each (the q_sim _np_cache discipline)
+_sem_npl_cache: dict[str, int] = {}
 
 
 def _sem_decontam_oracle() -> str:
@@ -928,7 +932,11 @@ def q_dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, sf_dir, "embeddings")
     train_pred = F.expr(_SEM_DECONTAM_TRAIN_PRED)
-    npl = recommended_n_planes(emb.filter(train_pred).count(), 128)
+    if sf_dir not in _sem_npl_cache:
+        _sem_npl_cache[sf_dir] = recommended_n_planes(
+            emb.filter(train_pred).count(), 128
+        )
+    npl = _sem_npl_cache[sf_dir]
     n_salt = 8
     e = (
         emb.select("vec_id", as_double("embedding").alias("v"))

@@ -583,3 +583,25 @@ def test_stream_dedup_ingest_boundary_invariant_clusters(spark, tmp_path):
 
     # every streamed doc was appended to the index exactly once
     assert read_dedup_index(spark, path).packs.count() == docs.count()
+
+
+def test_cluster_labels_survive_tombstoned_label_doc(spark, tmp_path):
+    """Contract pin: cluster_id is an opaque STABLE identifier, not
+    'min live id' — tombstoning the doc whose id IS a cluster's label
+    drops that doc's row from read_cluster_labels (live-docs-only) but
+    the surviving members keep the old label value. Rationale: labels
+    only ever decrease on merge, so relabeling on delete would break
+    the monotonicity the incremental merge's member-probe soundness
+    argument rests on (operators/dedup.py label-invariant comment)."""
+    from pandas_aws_spark.operators.dedup import delete_from_dedup_index
+
+    path, p0 = _cluster_fixture(spark, tmp_path)
+    # p0 clusters: {1,2,3} labeled 1, {7,8} labeled 7
+    before = dict(_labels(spark, path))
+    assert before[2] == 1 and before[3] == 1
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    delete_from_dedup_index(ids, path, batch_id="t1")
+    after = dict(_labels(spark, path))
+    assert 1 not in after, "tombstoned doc must leave the label table"
+    assert after[2] == 1 and after[3] == 1, "survivors keep the stable label"
+    assert after[7] == 7 and after[8] == 7

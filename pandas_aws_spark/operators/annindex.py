@@ -107,6 +107,7 @@ __all__ = [
     "read_ann_index",
     "append_ann_index",
     "delete_from_ann_index",
+    "delete_from_ann_index_where",
     "undelete_from_ann_index",
     "compact_ann_index",
     "rebuild_ann_index",
@@ -500,6 +501,79 @@ def delete_from_ann_index(
     genstore.write_tombstone_batch(incoming, root, id_col, batch_id=batch_id, op="del")
 
 
+def _validate_payload_predicate(
+    codes: DataFrame, params: dict, where: str, extra_cols: tuple[str, ...] = ()
+) -> None:
+    """The predicate may reference ONLY the declared payload columns
+    (r9 ADVICE), plus ``extra_cols`` where the caller legitimately
+    widens the surface (predicate deletes may key on the id): a
+    predicate touching index-internal columns (cell, codes) silently
+    alters semantics rather than filtering. Validation is Catalyst's
+    own resolver, but against a DETACHED zero-row frame carrying just
+    the allowed schema — probing ``codes.select(payload)`` would not
+    work because Spark deliberately resolves Filter columns from a
+    Project's child output, letting internal columns leak back in.
+    Anything unresolved (internal column, typo, malformed SQL) fails
+    loudly here."""
+    from pyspark.sql.types import StructType
+
+    allowed = [c for c in params.get("payload_cols", "").split(",") if c]
+    allowed += [c for c in extra_cols if c not in allowed]
+    spark = codes.sparkSession
+    schema = StructType([f for f in codes.schema.fields if f.name in allowed])
+    try:
+        probe = spark.createDataFrame([], schema).filter(where)
+        probe.schema  # force analysis even if filter() defers it
+    except Exception as exc:
+        raise ValueError(
+            f"where= predicate must reference only the index's payload "
+            f"columns {allowed}: {exc}"
+        ) from None
+
+
+def delete_from_ann_index_where(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    *,
+    batch_id: str,
+    max_tombstone_rows: int = genstore.DEFAULT_MAX_TOMBSTONE_ROWS,
+) -> int:
+    """Predicate takedown — the shape real removals arrive in ("drop
+    everything from domain X / label Y"), as opposed to an id list:
+    tombstone every LIVE id whose index row matches ``where`` (SQL
+    over the declared ``payload_cols`` plus the id column). Resolves
+    the matching ids executor-side from the stored codes frame — the
+    predicate reaches the codes parquet scan pushed down, same as
+    filtered search — then delegates to :func:`delete_from_ann_index`
+    (ledger semantics, budget guard, retry idempotency all inherited).
+    Returns the number of ids tombstoned.
+
+    The matched id set is pinned eagerly (``localCheckpoint``) BEFORE
+    the ledger write: the live-rows plan anti-joins against the
+    tombstone directory this very op appends to, and a retried
+    ``batch_id`` overwrite would otherwise yank files out from under
+    the still-lazy scan (the stored-frame listing-pin gotcha). Only
+    LIVE rows match by construction (``read_ann_index`` applies the
+    net exclusion set), so re-running a predicate delete after new
+    appends picks up exactly the newly-landed matches."""
+    idx = read_ann_index(spark, path)
+    id_col = idx.params["id_col"]
+    _validate_payload_predicate(idx.codes, idx.params, where, extra_cols=(id_col,))
+    ids = (
+        idx.codes.filter(where)
+        .select(id_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = ids.count()
+    if n:
+        delete_from_ann_index(
+            ids, path, batch_id=batch_id, max_tombstone_rows=max_tombstone_rows
+        )
+    return n
+
+
 def undelete_from_ann_index(ids: DataFrame, path: str, *, batch_id: str) -> None:
     """Revoke standing deletions: write the ids as a ``revoke`` ledger
     batch at a later epoch, so they stop being excluded on the next
@@ -780,29 +854,7 @@ def ann_index_topk(
     p = index.params
     codes, vectors = index.codes, index.vectors
     if where is not None:
-        # The predicate may reference ONLY the declared payload columns
-        # (r9 ADVICE): a predicate touching index-internal columns
-        # (cell, codes, the id) silently alters search semantics rather
-        # than filtering the candidate set. Validation is Catalyst's own
-        # resolver, but against a DETACHED zero-row frame carrying just
-        # the payload schema — probing ``codes.select(payload)`` would
-        # not work because Spark deliberately resolves Filter columns
-        # from a Project's child output, letting internal columns leak
-        # back in. Anything unresolved (internal column, typo,
-        # malformed SQL) fails loudly here.
-        from pyspark.sql.types import StructType
-
-        payload_cols = [c for c in p.get("payload_cols", "").split(",") if c]
-        spark = codes.sparkSession
-        schema = StructType([f for f in codes.schema.fields if f.name in payload_cols])
-        try:
-            probe = spark.createDataFrame([], schema).filter(where)
-            probe.schema  # force analysis even if filter() defers it
-        except Exception as exc:
-            raise ValueError(
-                f"where= predicate must reference only the index's payload "
-                f"columns {payload_cols}: {exc}"
-            ) from None
+        _validate_payload_predicate(codes, p, where)
         codes = codes.filter(where)
         vectors = vectors.filter(where)
     return ivf_pq_topk(

@@ -652,3 +652,47 @@ def test_stream_ann_ingest_staleness_check_end_to_end(spark, tmp_path):
     # every micro-batch landed regardless of the warning
     got = read_ann_index(spark, path).codes.count()
     assert got == base.count() + b1.count() + b2.count()
+
+
+def test_delete_where_predicate_takedown(spark, tmp_path):
+    """Predicate delete (r12): every LIVE id matching a payload/id
+    predicate is tombstoned in one op — matched set resolved from the
+    stored codes frame, pinned before the ledger write, budget and
+    ledger semantics inherited from delete_from_ann_index. Re-running
+    the same predicate matches nothing (the dead are no longer live);
+    a re-append of a deleted id STAYS dead (r11 ledger contract);
+    internal columns are rejected."""
+    from pandas_aws_spark.operators.annindex import delete_from_ann_index_where
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path
+    )
+    total = read_ann_index(spark, path).codes.count()
+    want = emb.filter("label = 2 OR vec_id % 50 = 3").count()
+    assert want > 0
+
+    n = delete_from_ann_index_where(
+        spark, path, "label = 2 OR vec_id % 50 = 3", batch_id="p1"
+    )
+    assert n == want
+    live = read_ann_index(spark, path)
+    assert live.codes.count() == total - want
+    assert live.codes.filter("label = 2").count() == 0
+
+    # idempotent against the LIVE set: nothing left to match
+    assert delete_from_ann_index_where(
+        spark, path, "label = 2 OR vec_id % 50 = 3", batch_id="p2"
+    ) == 0
+
+    # a re-appended deleted id stays dead until undeleted
+    one = emb.filter("label = 2").orderBy("vec_id").limit(1)
+    dead_id = one.collect()[0].vec_id
+    append_ann_index(one.withColumn("label", one.label), path, batch_id="ra")
+    assert (
+        read_ann_index(spark, path).codes.filter(f"vec_id = {dead_id}").count() == 0
+    )
+
+    with pytest.raises(ValueError, match="payload"):
+        delete_from_ann_index_where(spark, path, "cell = 1", batch_id="p3")

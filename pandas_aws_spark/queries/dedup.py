@@ -680,6 +680,12 @@ FROM reach GROUP BY id ORDER BY doc_id
 @query(
     "q_dedup_cluster_incremental",
     oracle=_INCR_CLUSTER_ORACLE,
+    # headline since r12 (the round's flagship, the r11-verdict
+    # q_sim_index_ingest precedent): bench tracks the full
+    # index+labels lifecycle per round — 16.9 s at sf0.1 on entry.
+    # headline_total's meaning shifts; headline_legacy_total is the
+    # cross-round comparable series.
+    headline=True,
     tags=("dedup", "clustering", "incremental"),
 )
 def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,8 +182,30 @@ def sample_to_token_budget(
 
     quota_src = rates.select(F.col(source_col), F.col(rate_col).cast("long").alias("_rate"))
     if isinstance(budget_tokens, DataFrame):
+        if len(budget_tokens.columns) != 1:
+            raise ValueError(
+                f"budget_tokens frame must carry exactly one column, got "
+                f"{budget_tokens.columns}"
+            )
         bcol = budget_tokens.columns[0]
-        quota = quota_src.crossJoin(F.broadcast(budget_tokens)).select(
+        # in-plan one-row guard (the _guarded_query_side idiom — no
+        # eager count job): a multi-row budget frame would silently
+        # duplicate every quota row and with it every selected doc.
+        from ..functions import bounded_window_key
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(bounded_window_key())
+        b = (
+            budget_tokens.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(
+                F.assert_true(
+                    F.col("_bn") <= 1,
+                    F.lit("sample_to_token_budget: budget_tokens must be one row"),
+                ).isNull()
+            )
+            .drop("_bn")
+        )
+        quota = quota_src.crossJoin(F.broadcast(b)).select(
             source_col,
             F.expr(f"(CAST({bcol} AS BIGINT) * _rate) div 1000000").alias("_quota"),
         )

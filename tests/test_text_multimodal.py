@@ -318,3 +318,32 @@ def test_sample_to_token_budget_plan_has_no_data_path_global_window(spark):
     out = sample_to_token_budget(docs, temperature_rates(per_src), 10_000)
     for line in unpartitioned_windows(out):
         assert "_tp_pid" in line, f"global window over the data path: {line}"
+
+
+def test_sample_to_token_budget_rejects_bad_budget_frames(spark):
+    """A multi-row budget frame would silently duplicate every quota
+    row (and every selected doc); the in-plan guard fails the job
+    instead. Multi-column frames fail at build time."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.sampling import (
+        sample_to_token_budget,
+        temperature_rates,
+    )
+
+    docs = spark.range(1, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s0").alias("source"),
+        (F.col("id") % 40 + 10).alias("n_tokens"),
+    )
+    rates = temperature_rates(
+        docs.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    two_rows = spark.createDataFrame([(100,), (200,)], "budget long")
+    out = sample_to_token_budget(docs, rates, two_rows)
+    with pytest.raises(Exception, match="must be one row"):
+        out.collect()
+
+    two_cols = spark.createDataFrame([(100, 1)], "budget long, extra long")
+    with pytest.raises(ValueError, match="exactly one column"):
+        sample_to_token_budget(docs, rates, two_cols)

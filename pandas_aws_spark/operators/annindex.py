@@ -259,6 +259,7 @@ def write_ann_index(
     *,
     batch_id: str = "base",
     carry_tombstones: DataFrame | None = None,
+    retain_generations: int = 1,
 ) -> None:
     """Persist an index under ``path`` (layout + crash-ordering rules
     in the module docstring). ``batch_id='base'`` initializes a brand-
@@ -281,7 +282,13 @@ def write_ann_index(
     keep tombstoned ids dead across the physical removal. Written
     BEFORE params/commit so no crash point publishes a generation
     missing its exclusions; materialized before the GC deletes the old
-    generation's files it lazily reads."""
+    generation's files it lazily reads.
+
+    ``retain_generations`` (r12, snapshot reads): base writes keep the
+    newest N committed generations instead of GC-ing everything but
+    the new one — :func:`read_ann_index` serves any retained
+    generation via ``generation=`` (time travel; semantics at
+    ``genstore.snapshot_root``)."""
     validate_batch_id(batch_id)
     spark = index.codes.sparkSession
     if batch_id == "base":
@@ -314,10 +321,13 @@ def write_ann_index(
                 "params",
                 "tombstones",
             ),
+            retain_history=retain_generations,
         )
 
 
-def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+def read_ann_index(
+    spark: SparkSession, path: str, *, generation: int | None = None
+) -> AnnIndex:
     """Load a persisted index from its current committed generation
     (legacy flat layouts resolve to ``path`` itself — see genstore).
     The params read is a one-row kilobyte collect;
@@ -330,7 +340,11 @@ def read_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     against the (small) tombstone id set, so every consumer (search,
     compaction, counts) sees the same post-delete view without
     re-implementing the rule."""
-    root = genstore.current_root(spark, path)
+    root = (
+        genstore.current_root(spark, path)
+        if generation is None
+        else genstore.snapshot_root(spark, path, generation)
+    )
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
     codes = spark.read.parquet(f"{root}/codes").drop("batch")
@@ -595,7 +609,11 @@ def undelete_from_ann_index(ids: DataFrame, path: str, *, batch_id: str) -> None
 
 
 def compact_ann_index(
-    spark: SparkSession, path: str, *, retain_tombstones: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    retain_tombstones: bool = True,
+    retain_generations: int = 1,
 ) -> None:
     """Fold the accumulated ``batch=<id>`` subdirectories into a single
     ``batch=base`` — the maintenance op a long-running ingest pipeline
@@ -634,7 +652,10 @@ def compact_ann_index(
         if retain_tombstones
         else None
     )
-    write_ann_index(idx, path, batch_id="base", carry_tombstones=carry)
+    write_ann_index(
+        idx, path, batch_id="base", carry_tombstones=carry,
+        retain_generations=retain_generations,
+    )
 
 
 def _coherence_and_occupancy(
@@ -781,6 +802,7 @@ def rebuild_ann_index(
     coarse_sample: float | None = None,
     coarse: str | None = None,
     retain_tombstones: bool = True,
+    retain_generations: int = 1,
 ) -> None:
     """The action the drift trigger points at: RETRAIN both quantizers
     on the index's current LIVE vectors and rewrite the whole artifact
@@ -824,7 +846,10 @@ def rebuild_ann_index(
         if retain_tombstones
         else None
     )
-    write_ann_index(rebuilt, path, carry_tombstones=carry)
+    write_ann_index(
+        rebuilt, path, carry_tombstones=carry,
+        retain_generations=retain_generations,
+    )
 
 
 def ann_index_topk(

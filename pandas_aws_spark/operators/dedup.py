@@ -651,6 +651,7 @@ def write_dedup_index(
     *,
     batch_id: str = "base",
     carry_tombstones: DataFrame | None = None,
+    retain_generations: int = 1,
 ) -> None:
     """Persist an index under ``path``. Layout: ``packs/batch=<id>/``
     and ``buckets/batch=<id>/`` parquet subdirectories (one per ingest
@@ -692,7 +693,12 @@ def write_dedup_index(
     compaction/rebuild keep deleted docs dead across physical removal
     (ledger semantics in :mod:`.genstore`); written before
     params/commit so no crash point publishes a generation missing
-    its exclusions."""
+    its exclusions.
+
+    ``retain_generations`` (r12): base writes keep the newest N
+    committed generations; :func:`read_dedup_index` serves retained
+    ones via ``generation=`` (snapshot reads — cluster labels live
+    outside the generations and are deliberately unversioned)."""
     validate_batch_id(batch_id)
     spark = index.buckets.sparkSession
     from . import genstore
@@ -718,11 +724,12 @@ def write_dedup_index(
             path,
             keep=gen,
             flat_subdirs=("packs", "buckets", "params", "tombstones"),
+            retain_history=retain_generations,
         )
     index.release_cache()
 
 
-def read_dedup_index(spark, path: str) -> DedupIndex:
+def read_dedup_index(spark, path: str, *, generation: int | None = None) -> DedupIndex:
     """Load a persisted index. The params read is a one-row kilobyte
     collect; buckets/packs stay lazy parquet scans (the ``batch``
     partition column from the per-ingest layout is dropped — batch
@@ -733,7 +740,11 @@ def read_dedup_index(spark, path: str) -> DedupIndex:
     searches, appends and compaction all see live docs only."""
     from . import genstore
 
-    root = genstore.current_root(spark, path)
+    root = (
+        genstore.current_root(spark, path)
+        if generation is None
+        else genstore.snapshot_root(spark, path, generation)
+    )
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
     buckets = spark.read.parquet(f"{root}/buckets").drop("batch")
@@ -831,7 +842,9 @@ def append_dedup_index(delta: DedupIndex, path: str, *, batch_id: str) -> None:
     write_dedup_index(delta, path, batch_id=batch_id)
 
 
-def compact_dedup_index(spark, path: str, *, retain_tombstones: bool = True) -> None:
+def compact_dedup_index(
+    spark, path: str, *, retain_tombstones: bool = True, retain_generations: int = 1
+) -> None:
     """Fold the accumulated ``batch=<id>`` subdirectories into a single
     ``batch=base`` — the maintenance op for long ingest histories
     (per-ingest probe cost doesn't grow with batch count, but file-open
@@ -856,7 +869,10 @@ def compact_dedup_index(spark, path: str, *, retain_tombstones: bool = True) -> 
         if retain_tombstones
         else None
     )
-    write_dedup_index(idx, path, batch_id="base", carry_tombstones=carry)
+    write_dedup_index(
+        idx, path, batch_id="base", carry_tombstones=carry,
+        retain_generations=retain_generations,
+    )
 
 
 def rebuild_dedup_index(
@@ -866,6 +882,7 @@ def rebuild_dedup_index(
     n_hashes: int | None = None,
     bands: int | None = None,
     retain_tombstones: bool = True,
+    retain_generations: int = 1,
 ) -> None:
     """Re-TUNE the stored index's banding recipe WITHOUT rescanning
     corpus text — the dedup twin of
@@ -910,7 +927,7 @@ def rebuild_dedup_index(
     )
     write_dedup_index(
         DedupIndex(buckets, idx.packs, p), path, batch_id="base",
-        carry_tombstones=carry,
+        carry_tombstones=carry, retain_generations=retain_generations,
     )
 
 

@@ -88,6 +88,7 @@ __all__ = [
     "begin_generation",
     "commit_generation",
     "gc_generations",
+    "snapshot_root",
     "read_tombstones",
     "next_tombstone_epoch",
     "write_tombstone_batch",
@@ -162,20 +163,50 @@ def commit_generation(spark: SparkSession, path: str, gen: int) -> None:
     fs.create(marker, True).close()
 
 
+def snapshot_root(spark: SparkSession, path: str, generation: int) -> str:
+    """Resolve a SPECIFIC committed generation for a snapshot
+    (time-travel) read. Errors with the available history when the
+    requested generation is absent or uncommitted — a crashed rewrite
+    must not be readable as a snapshot."""
+    gens = dict(list_generations(spark, path))
+    if gens.get(generation):
+        return gen_dir(path, generation)
+    committed = [g for g, ok in sorted(gens.items()) if ok]
+    raise ValueError(
+        f"generation {generation} is not a committed generation of {path!r}; "
+        f"committed history: {committed} (retention is set at write time "
+        f"via retain_generations)"
+    )
+
+
 def gc_generations(
     spark: SparkSession,
     path: str,
     keep: int,
     flat_subdirs: tuple[str, ...] = (),
+    retain_history: int = 1,
 ) -> None:
-    """Delete every generation directory except ``keep`` (retired
-    committed generations AND crashed uncommitted ones), plus the
-    listed legacy flat-layout artifact subpaths under ``path``. Runs
-    only AFTER ``commit_generation`` — a crash before or during GC
-    leaves extra-but-inert directories, never a broken index."""
+    """Delete retired generation directories, plus the listed legacy
+    flat-layout artifact subpaths under ``path``. Runs only AFTER
+    ``commit_generation`` — a crash before or during GC leaves
+    extra-but-inert directories, never a broken index.
+
+    ``retain_history`` (r12, snapshot reads): keep the newest N
+    COMMITTED generations — ``keep`` (the one just committed) plus up
+    to N-1 predecessors, which :func:`snapshot_root` serves as
+    time-travel reads. Crashed-uncommitted directories are always
+    deleted regardless (they are not readable history, and
+    ``begin_generation`` never reuses their numbers). The default (1)
+    is the original keep-only-current behavior."""
     fs, _p, jvm = _fs(spark, path)
-    for gen, _ok in list_generations(spark, path):
-        if gen != keep:
+    gens = list_generations(spark, path)
+    committed = [g for g, ok in gens if ok]
+    retained = set(committed[-max(1, retain_history):])
+    retained.add(keep)
+    for gen, ok in gens:
+        if gen == keep:
+            continue
+        if gen not in retained or not ok:
             fs.delete(jvm.org.apache.hadoop.fs.Path(gen_dir(path, gen)), True)
     for sub in flat_subdirs:
         sp = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")

@@ -696,3 +696,49 @@ def test_delete_where_predicate_takedown(spark, tmp_path):
 
     with pytest.raises(ValueError, match="payload"):
         delete_from_ann_index_where(spark, path, "cell = 1", batch_id="p3")
+
+
+def test_snapshot_read_time_travel(spark, tmp_path):
+    """Snapshot (time-travel) reads on the generation store (r12):
+    compaction with retain_generations=2 keeps the predecessor
+    generation readable via read_ann_index(generation=N) — frozen at
+    that generation's last state, tombstone ledger included — while
+    the current view moves on; a later default-retention rewrite GCs
+    the history and the snapshot read errors with the committed list."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.annindex import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)  # gen 1
+    n_base = base.count()
+    victims = base.select("vec_id").orderBy("vec_id").limit(5)
+    delete_from_ann_index(victims, path, batch_id="d1")
+    live_before = n_base - 5
+
+    compact_ann_index(spark, path, retain_generations=2)  # gen 2, keeps gen 1
+    gens = genstore.list_generations(spark, path)
+    assert [g for g, ok in gens if ok] == [1, 2]
+
+    # current view: physical removal; post-compaction append grows it
+    assert read_ann_index(spark, path).codes.count() == live_before
+    app = b1.withColumn("vec_id", F.col("vec_id") + 500_000)
+    append_ann_index(app, path, batch_id="a1")
+    assert read_ann_index(spark, path).codes.count() == live_before + app.count()
+
+    # snapshot of gen 1: frozen pre-compaction state — same live rows
+    # (its own ledger applies), no post-compaction batch
+    snap = read_ann_index(spark, path, generation=1)
+    assert snap.codes.count() == live_before
+
+    with pytest.raises(ValueError, match="committed history: \\[1, 2\\]"):
+        read_ann_index(spark, path, generation=7)
+
+    # default retention on the next rewrite drops the history
+    compact_ann_index(spark, path)  # gen 3, retain 1
+    assert [g for g, ok in genstore.list_generations(spark, path) if ok] == [3]
+    with pytest.raises(ValueError, match="not a committed generation"):
+        read_ann_index(spark, path, generation=1)

@@ -605,3 +605,34 @@ def test_cluster_labels_survive_tombstoned_label_doc(spark, tmp_path):
     assert 1 not in after, "tombstoned doc must leave the label table"
     assert after[2] == 1 and after[3] == 1, "survivors keep the stable label"
     assert after[7] == 7 and after[8] == 7
+
+
+def test_dedup_snapshot_read_time_travel(spark, tmp_path):
+    """Dedup-index twin of the ANN snapshot test (shared genstore
+    protocol): retain_generations=2 keeps the pre-compaction
+    generation servable via read_dedup_index(generation=N); cluster
+    labels live OUTSIDE the generations (clusters/ at the artifact
+    root) and are deliberately NOT versioned — documented contract."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 4 != 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)  # gen 1
+    n1 = read_dedup_index(spark, path).packs.count()
+
+    compact_dedup_index(spark, path, retain_generations=2)  # gen 2
+    from pandas_aws_spark.operators.dedup import append_dedup_index
+
+    append_dedup_index(
+        build_dedup_index(batch, "doc_id", "text"), path, batch_id="b1"
+    )
+    assert read_dedup_index(spark, path).packs.count() == docs.count()
+    assert read_dedup_index(spark, path, generation=1).packs.count() == n1

@@ -213,6 +213,78 @@ def q_sim_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot (time-travel) reads: a retained generation serves the index
+# frozen at its last state while the current view moves on. Oracle =
+# the ingest replay with search 1's membership widened to base + b1
+# (the snapshot generation's final contents).
+# --------------------------------------------------------------------------
+_ANN_SNAPSHOT_ORACLE = _ANN_INGEST_ORACLE.replace(
+    f"JOIN codes c ON (srch.search = 2 OR (c.{_BASE_PRED}))",
+    f"JOIN codes c ON (srch.search = 2 OR (c.{_BASE_PRED}) OR (c.{_B1_PRED}))",
+)
+assert _ANN_SNAPSHOT_ORACLE != _ANN_INGEST_ORACLE  # replace must land
+
+
+@query(
+    "q_sim_index_snapshot",
+    oracle=_ANN_SNAPSHOT_ORACLE,
+    tags=("similarity", "pq", "ivf", "snapshot"),
+)
+def q_sim_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-read (time-travel) lifecycle on the generation store
+    (r12): build over base (gen 1, quantizers trained there and
+    frozen) -> append b1 into gen 1 -> ``compact_ann_index(
+    retain_generations=2)`` (gen 2 — physically folded, gen 1 kept as
+    readable history) -> append b2 into gen 2. Search 1 then runs
+    against ``read_ann_index(generation=1)`` — the index AS OF gen 1's
+    last state (base + b1, no b2; the snapshot is immune to everything
+    that landed after its generation committed) — and search 2 against
+    the current view (all three slices). Both searches must replay the
+    same frozen-quantizer SQL as the ingest entry, differing only in
+    candidate membership: time travel changes WHICH rows exist, never
+    the math. This is the Delta/Iceberg snapshot capability expressed
+    on the repo's own commit protocol (genstore.snapshot_root)."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    b1 = emb.filter(F.expr(_B1_PRED))
+    b2 = emb.filter(F.expr(_B2_PRED))
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_snapshot_")
+    write_ann_index(
+        build_ann_index(
+            base, n_centroids=_NCENT, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        ),
+        path,
+    )
+    append_ann_index(b1, path, batch_id="b1")
+    compact_ann_index(spark, path, retain_generations=2)
+    append_ann_index(b2, path, batch_id="b2")
+
+    snap = read_ann_index(spark, path, generation=1)
+    s1 = ann_index_topk(
+        qdf, snap, nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK, oversample=_PQ_OVERSAMPLE
+    ).withColumn("search", F.lit(1))
+    cur = read_ann_index(spark, path)
+    s2 = ann_index_topk(
+        qdf, cur, nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK, oversample=_PQ_OVERSAMPLE
+    ).withColumn("search", F.lit(2))
+    return (
+        s1.unionByName(s2)
+        .select("search", "query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("search", "query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # Filtered ANN search: top-k among ONLY the rows matching a metadata
 # predicate ("nearest label-3 neighbors") — the production shape for
 # per-language / per-source / per-license retrieval. The predicate is

@@ -163,6 +163,7 @@ NLJ_ALLOWED: dict[str, int] = {
     # (row-count totals attached to the <=2*NCENT-row occupancy frame)
     "q_sim_index_drift_signal": 16,
     "q_sim_index_rebuild": 16,  # stored-centroid fan-out, post-retrain search
+    "q_sim_index_snapshot": 16,  # same fan-out, snapshot + current searches
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

@@ -563,19 +563,29 @@ def delete_from_ann_index_where(
     (ledger semantics, budget guard, retry idempotency all inherited).
     Returns the number of ids tombstoned.
 
-    The matched id set is pinned eagerly (``localCheckpoint``) BEFORE
-    the ledger write: the live-rows plan anti-joins against the
-    tombstone directory this very op appends to, and a retried
-    ``batch_id`` overwrite would otherwise yank files out from under
-    the still-lazy scan (the stored-frame listing-pin gotcha). Only
-    LIVE rows match by construction (``read_ann_index`` applies the
-    net exclusion set), so re-running a predicate delete after new
-    appends picks up exactly the newly-landed matches."""
-    idx = read_ann_index(spark, path)
-    id_col = idx.params["id_col"]
-    _validate_payload_predicate(idx.codes, idx.params, where, extra_cols=(id_col,))
+    The matched id set resolves against live rows UNDER EVERY OTHER
+    BATCH's ledger state — the op's own (possibly half-written,
+    possibly retried) tombstone rows are excluded from the fold, the
+    same own-batch-exclusion rule the epoch derivation uses: a retry
+    of the same ``batch_id`` therefore re-resolves the identical id
+    set its first attempt saw and the overwrite converges, instead of
+    matching only the survivors of its own partial write and
+    RESURRECTING the rest. A re-run under a NEW batch_id matches
+    nothing already dead, so post-append re-runs pick up exactly the
+    newly-landed matches. The matched set is pinned eagerly
+    (``localCheckpoint``) BEFORE the ledger write: the resolving plan
+    reads the tombstone directory this very op overwrites (the
+    stored-frame listing-pin gotcha)."""
+    root = genstore.current_root(spark, path)
+    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    id_col = params["id_col"]
+    codes = spark.read.parquet(f"{root}/codes").drop("batch")
+    _validate_payload_predicate(codes, params, where, extra_cols=(id_col,))
+    dead = genstore.net_dead_ids(spark, root, id_col, exclude_batch=batch_id)
+    if dead is not None:
+        codes = codes.join(F.broadcast(dead), id_col, "left_anti")
     ids = (
-        idx.codes.filter(where)
+        codes.filter(where)
         .select(id_col)
         .distinct()
         .localCheckpoint(eager=True)

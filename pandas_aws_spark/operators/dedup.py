@@ -334,7 +334,13 @@ def minhash_near_dup_pairs(
     # packed verification (r6): at high true-dup density the verify
     # join dominates — measured 649s exploded vs 228.6s packed at the
     # 100x point's 31M candidates (SCALE.md).
-    return _verify_jaccard_packed(cand, sh, id_col, threshold)
+    result = _verify_jaccard_packed(cand, sh, id_col, threshold)
+    # expose the persisted shingle scan for release (r12 review fix —
+    # same convention as indexed_near_dup_pairs): CacheManager entries
+    # are never GC'd, so a long-lived ingest loop calling this per
+    # micro-batch would otherwise accumulate one cached frame per call.
+    result._pandas_aws_cached = (sh,)
+    return result
 
 
 def recommended_max_band_bucket(corpus_rows: int, floor: int = 64) -> int:

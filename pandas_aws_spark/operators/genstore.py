@@ -326,13 +326,30 @@ def _net_dead(t: "DataFrame", id_col: str) -> "DataFrame":
     return last.filter(F.col("_s._r") == 1).select(id_col)
 
 
-def net_dead_ids(spark: SparkSession, root: str, id_col: str) -> "DataFrame | None":
+def net_dead_ids(
+    spark: SparkSession,
+    root: str,
+    id_col: str,
+    *,
+    exclude_batch: str | None = None,
+) -> "DataFrame | None":
     """The current exclusion set: ids dead under the ledger's
     latest-op-wins rule, or None when no ledger exists. Broadcast-
-    sized by the budget guard; read paths anti-join against it."""
-    t = read_tombstones(spark, root)
+    sized by the budget guard; read paths anti-join against it.
+
+    ``exclude_batch``: drop one batch's rows from the fold before
+    computing the net set — how a RETRIED ledger op sees the state its
+    first attempt saw (its own possibly-half-written rows must not
+    influence what it re-resolves; the same own-batch-exclusion rule
+    as :func:`next_tombstone_epoch`)."""
+    t = read_tombstones(spark, root, keep_batch=exclude_batch is not None)
     if t is None:
         return None
+    if exclude_batch is not None:
+        from pyspark.sql import functions as F
+
+        if "batch" in t.columns:
+            t = t.filter(F.col("batch") != F.lit(exclude_batch)).drop("batch")
     return _net_dead(t, id_col)
 
 

@@ -188,23 +188,21 @@ def sample_to_token_budget(
                 f"{budget_tokens.columns}"
             )
         bcol = budget_tokens.columns[0]
-        # in-plan one-row guard (the _guarded_query_side idiom — no
-        # eager count job): a multi-row budget frame would silently
-        # duplicate every quota row and with it every selected doc.
-        from ..functions import bounded_window_key
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(bounded_window_key())
-        b = (
-            budget_tokens.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(
-                F.assert_true(
-                    F.col("_bn") <= 1,
-                    F.lit("sample_to_token_budget: budget_tokens must be one row"),
-                ).isNull()
-            )
-            .drop("_bn")
-        )
+        # in-plan exactly-one-row guard (no eager count job): a
+        # multi-row budget frame would silently duplicate every quota
+        # row (and every selected doc), and an EMPTY one would silently
+        # select nothing. The aggregate always yields one row, so the
+        # assert fires for both malformed shapes — a bare row-count
+        # window could never flag the empty case (no row to carry the
+        # assertion).
+        b = budget_tokens.agg(
+            F.count(F.lit(1)).alias("_bn"), F.max(bcol).alias(bcol)
+        ).filter(
+            F.assert_true(
+                F.col("_bn") == 1,
+                F.lit("sample_to_token_budget: budget_tokens must be exactly one row"),
+            ).isNull()
+        ).drop("_bn")
         quota = quota_src.crossJoin(F.broadcast(b)).select(
             source_col,
             F.expr(f"(CAST({bcol} AS BIGINT) * _rate) div 1000000").alias("_quota"),

@@ -742,6 +742,7 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id=bid,
         )
         release_cached_inputs(cross)
+        release_cached_inputs(internal)
         from ..operators.dedup import append_dedup_index
 
         append_dedup_index(

@@ -201,11 +201,13 @@ def write_jdbc(
     replacement for the reference's S3-stage + COPY hop
     (``redshift.py:124-189``), whose whole purpose was to get
     parallelism Redshift-side that psycopg2 could not provide
-    client-side. ``coalesce`` (never a shuffle) enforces the plan's
-    connection count when the frame has more partitions; fewer
-    partitions than the plan simply use fewer connections."""
-    if plan is not None and df.rdd.getNumPartitions() > plan.num_partitions:
-        df = df.coalesce(plan.num_partitions)
+    client-side. The plan's ``numPartitions`` option is enforced by
+    the Spark JDBC writer itself — it coalesces (never a shuffle) when
+    the frame has more partitions, and fewer partitions simply use
+    fewer connections — so no driver-side ``df.rdd`` partition probe
+    is needed (r12 review fix: the probe forced physical planning of
+    every written frame just to learn a count Spark already acts
+    on)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     if plan is not None:
         writer = writer.options(**plan.as_options())
@@ -239,7 +241,11 @@ def stage_table_statements(
 
 
 def upsert_statements(
-    target_table: str, stage_table: str, keys: list[str]
+    target_table: str,
+    stage_table: str,
+    keys: list[str],
+    *,
+    insert_cols: list[str] | None = None,
 ) -> list[str]:
     """The merge transaction the reference runs after loading the
     stage (``redshift.py:348-384``): inside ONE transaction, delete
@@ -248,7 +254,17 @@ def upsert_statements(
     identical to ``WarehouseClient.merge_frames``), drop the stage.
     Emitted as a single multi-statement transaction string per the
     reference's own batching, so a warehouse crash mid-merge rolls
-    back to the pre-upsert table."""
+    back to the pre-upsert table.
+
+    ``insert_cols`` (r12 review fix): the staged columns, emitted as an
+    explicit BY-NAME column list on the INSERT. The reference's bare
+    ``INSERT INTO target SELECT *`` is positional and only correct
+    because its DDL always appends the audit column LAST; against a
+    target whose audit column sits mid-schema it silently shifts every
+    later column one slot left. :func:`upsert_jdbc` always passes the
+    update frame's columns; None keeps the reference-verbatim
+    positional form for callers that guarantee the audit-col-last
+    layout."""
     target = _check_ident(target_table, "target_table")
     stage = _check_ident(stage_table, "stage_table")
     if not keys:
@@ -256,10 +272,15 @@ def upsert_statements(
     comparison = " AND ".join(
         f"{target}.{_check_ident(k, 'key')} = {stage}.{k}" for k in keys
     )
+    if insert_cols is not None:
+        cols = ", ".join(_check_ident(c, "insert_col") for c in insert_cols)
+        insert = f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {stage}"
+    else:
+        insert = f"INSERT INTO {target} SELECT * FROM {stage}"
     return [
         "BEGIN TRANSACTION;\n"
         f"DELETE FROM {target} USING {stage} WHERE {comparison};\n"
-        f"INSERT INTO {target} SELECT * FROM {stage};\n"
+        f"{insert};\n"
         f"DROP TABLE {stage};\n"
         "END TRANSACTION;"
     ]
@@ -291,5 +312,7 @@ def upsert_jdbc(
     for s in prep:
         run_statement(s)
     (_writer or write_jdbc)(updates, url, stage, mode="append", plan=plan)
-    for s in upsert_statements(target_table, stage, keys):
+    for s in upsert_statements(
+        target_table, stage, keys, insert_cols=list(updates.columns)
+    ):
         run_statement(s)

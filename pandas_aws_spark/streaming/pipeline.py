@@ -547,6 +547,7 @@ def stream_dedup_ingest(
                 batch_id=bid,
             )
             release_cached_inputs(cross)
+            release_cached_inputs(internal)
         append_dedup_index(
             build_dedup_index(batch_df, p["id_col"], text_col, **recipe),
             index_path,

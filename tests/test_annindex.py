@@ -742,3 +742,36 @@ def test_snapshot_read_time_travel(spark, tmp_path):
     assert [g for g, ok in genstore.list_generations(spark, path) if ok] == [3]
     with pytest.raises(ValueError, match="not a committed generation"):
         read_ann_index(spark, path, generation=1)
+
+
+def test_delete_where_retry_does_not_resurrect(spark, tmp_path):
+    """A retried predicate delete (same batch_id) must re-resolve the
+    SAME id set its first attempt saw — its own possibly-partial
+    tombstone rows are excluded from the fold — so the overwrite
+    converges instead of shrinking to the survivors and resurrecting
+    the rest (r12 review finding)."""
+    from pandas_aws_spark.operators.annindex import (
+        delete_from_ann_index,
+        delete_from_ann_index_where,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path)
+    full = emb.filter("label = 2").count()
+    assert full > 1
+
+    # simulate a crashed first attempt: only PART of the match landed
+    # under the batch id the predicate delete will retry with
+    partial = emb.filter("label = 2").orderBy("vec_id").limit(1).select("vec_id")
+    delete_from_ann_index(partial, path, batch_id="pd1")
+
+    n = delete_from_ann_index_where(spark, path, "label = 2", batch_id="pd1")
+    assert n == full, "retry must re-match the full predicate set"
+    live = read_ann_index(spark, path)
+    assert live.codes.filter("label = 2").count() == 0, "no resurrection"
+
+    # and a plain same-batch re-run of a COMPLETE delete also converges
+    n2 = delete_from_ann_index_where(spark, path, "label = 2", batch_id="pd1")
+    assert n2 == full
+    assert read_ann_index(spark, path).codes.filter("label = 2").count() == 0

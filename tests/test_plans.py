@@ -240,8 +240,10 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         "q_supplier_pareto": "_tp_pid",
         # (every other formerly-allowlisted bounded window — the <= C-row
         # centroid inits, the BM25 top-k rank, the capped-query-side
-        # guard counts — now carries a constant lit(0) partition key, r11
-        # verdict ask #8, so only the two-phase summary windows remain)
+        # guard counts — now carries bounded_window_key(), a NON-FOLDABLE
+        # always-0 key; a plain lit(0) would be stripped by Catalyst's
+        # EliminateWindowPartitions. r11 verdict ask #8; only the
+        # two-phase summary windows remain listed)
     }
     streaming_prefixes = ("q_stream_",)
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")

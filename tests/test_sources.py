@@ -114,6 +114,23 @@ def test_upsert_statements_single_transaction_delete_insert_drop():
         upsert_statements("sales", "stage_sales", [])
 
 
+def test_upsert_statements_named_insert_columns():
+    """insert_cols emits a BY-NAME column list (r12 review fix): the
+    positional SELECT * is only correct when the target's audit column
+    is last; named columns are immune to its position."""
+    (txn,) = upsert_statements(
+        "sales", "stage_sales", ["order_id"], insert_cols=["order_id", "val"]
+    )
+    assert (
+        "INSERT INTO sales (order_id, val) SELECT order_id, val FROM stage_sales;"
+        in txn
+    )
+    with pytest.raises(ValueError):
+        upsert_statements(
+            "sales", "stage_sales", ["order_id"], insert_cols=["x; DROP TABLE y"]
+        )
+
+
 def test_identifiers_validated_before_statement_generation():
     for bad in ("sales; DROP TABLE x", "a b", "", "x'y"):
         with pytest.raises(ValueError, match="identifier"):
@@ -142,4 +159,6 @@ def test_upsert_jdbc_composes_prepare_load_merge(spark):
     assert [s.split()[0] for s in calls[:3]] == ["DROP", "CREATE", "ALTER"]
     assert writes == [("jdbc:postgresql://wh/db", "stage_sales", "append", p)]
     assert calls[3].startswith("BEGIN TRANSACTION;")
+    # the merge INSERT names the staged columns explicitly
+    assert "INSERT INTO sales (order_id) SELECT order_id FROM stage_sales;" in calls[3]
     assert len(calls) == 4

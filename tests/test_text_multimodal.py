@@ -341,8 +341,12 @@ def test_sample_to_token_budget_rejects_bad_budget_frames(spark):
     )
     two_rows = spark.createDataFrame([(100,), (200,)], "budget long")
     out = sample_to_token_budget(docs, rates, two_rows)
-    with pytest.raises(Exception, match="must be one row"):
+    with pytest.raises(Exception, match="must be exactly one row"):
         out.collect()
+
+    empty = spark.createDataFrame([], "budget long")
+    with pytest.raises(Exception, match="must be exactly one row"):
+        sample_to_token_budget(docs, rates, empty).collect()
 
     two_cols = spark.createDataFrame([(100, 1)], "budget long, extra long")
     with pytest.raises(ValueError, match="exactly one column"):

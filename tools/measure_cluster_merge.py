@@ -79,6 +79,7 @@ def measure(spark, sf_dir: str, batch_docs: int) -> dict:
             batch_id="m1",
         )
         release_cached_inputs(cross)
+        release_cached_inputs(internal)
         append_dedup_index(
             build_dedup_index(batch, "doc_id", "text", **RECIPE), path, batch_id="m1"
         )

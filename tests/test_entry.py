@@ -357,9 +357,12 @@ def test_stale_rewrite_reds_only_expiry_tripwire(monkeypatch):
 def test_headline_set_is_deliberate():
     """bench.py runs every headline-tagged entry; the set is a
     PROTOCOL artifact (cross-round drift comparisons assume it).
-    r10 added q_sim_index_ingest — a deliberate series break recorded
-    in SCALE.md. Any other membership change must be equally
-    deliberate: update this list AND the SCALE.md protocol note."""
+    r10 added q_sim_index_ingest, r12 added q_dedup_cluster_incremental
+    — deliberate series breaks recorded in SCALE.md's protocol notes
+    (and since r12 bench.py emits headline_legacy_total so the stable
+    r4 ten-query series survives membership changes mechanically). Any
+    other change must be equally deliberate: update this list AND the
+    SCALE.md protocol note."""
     from pandas_aws_spark.registry import load_registry
 
     headline = sorted(n for n, s in load_registry().items() if s.headline)
@@ -367,6 +370,7 @@ def test_headline_set_is_deliberate():
         "q01_pricing_summary",
         "q03_shipping_priority",
         "q05_region_revenue",
+        "q_dedup_cluster_incremental",
         "q_dedup_minhash_lsh",
         "q_events_sessionize",
         "q_events_tumbling_hourly",

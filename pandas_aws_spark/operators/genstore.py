@@ -89,6 +89,7 @@ __all__ = [
     "commit_generation",
     "gc_generations",
     "snapshot_root",
+    "vacuum_generations",
     "read_tombstones",
     "next_tombstone_epoch",
     "write_tombstone_batch",
@@ -238,6 +239,24 @@ def gc_generations(
 # ``revoke`` op at a later epoch. The epoch axis is what makes
 # revoke-then-delete-again well-ordered without ever rewriting
 # previously-committed tombstone files.
+
+
+def vacuum_generations(spark: SparkSession, path: str, *, retain: int = 1) -> list[int]:
+    """Trim retained snapshot history WITHOUT a rewrite — the VACUUM
+    to ``retain_generations``'s write-time retention: keep the newest
+    ``retain`` committed generations (the current one always survives;
+    ``retain`` is clamped to >= 1), delete older committed ones and
+    every crashed-uncommitted directory. Returns the deleted
+    generation numbers. Frames handed out on a vacuumed generation
+    fail loudly on next evaluation (the standing reader-lifetime
+    rule); single-writer assumed, like every maintenance op here."""
+    committed = [g for g, ok in list_generations(spark, path) if ok]
+    if not committed:
+        return []
+    before = {g for g, _ok in list_generations(spark, path)}
+    gc_generations(spark, path, keep=committed[-1], retain_history=max(1, retain))
+    after = {g for g, _ok in list_generations(spark, path)}
+    return sorted(before - after)
 
 
 def read_tombstones(

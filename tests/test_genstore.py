@@ -499,3 +499,42 @@ def test_ledger_ops_reject_reserved_base_batch_id(spark, tmp_path):
         delete_from_ann_index(victims, apath, batch_id="base")
     with pytest.raises(ValueError, match="reserved"):
         undelete_from_ann_index(victims, apath, batch_id="base")
+
+
+def test_vacuum_generations_trims_history_without_rewrite(spark, tmp_path):
+    """vacuum_generations (r12): drop retained snapshot generations in
+    place — no data rewrite, current generation always survives,
+    crashed-uncommitted dirs always go, snapshot reads of vacuumed
+    history error with the committed list."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.annindex import (
+        build_ann_index,
+        compact_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(emb, n_centroids=8, m=8, k_codes=16, iters=2), path
+    )  # gen 1
+    compact_ann_index(spark, path, retain_generations=3)  # gen 2, keeps 1
+    compact_ann_index(spark, path, retain_generations=3)  # gen 3, keeps 1+2
+    assert [g for g, ok in genstore.list_generations(spark, path) if ok] == [1, 2, 3]
+    # plus a crashed-uncommitted dir to sweep
+    fs, p, jvm = genstore._fs(spark, path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(genstore.gen_dir(path, 9)))
+
+    deleted = genstore.vacuum_generations(spark, path, retain=2)
+    assert deleted == [1, 9]
+    assert [g for g, ok in genstore.list_generations(spark, path) if ok] == [2, 3]
+    assert read_ann_index(spark, path, generation=2).codes.count() == emb.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="committed history"):
+        read_ann_index(spark, path, generation=1)
+
+    # retain clamps at 1: the current generation is never vacuumable
+    assert genstore.vacuum_generations(spark, path, retain=0) == [2]
+    assert read_ann_index(spark, path).codes.count() == emb.count()

@@ -326,7 +326,11 @@ def write_ann_index(
 
 
 def read_ann_index(
-    spark: SparkSession, path: str, *, generation: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    generation: int | None = None,
+    exclude_tombstone_batch: str | None = None,
 ) -> AnnIndex:
     """Load a persisted index from its current committed generation
     (legacy flat layouts resolve to ``path`` itself — see genstore).
@@ -350,7 +354,12 @@ def read_ann_index(
     codes = spark.read.parquet(f"{root}/codes").drop("batch")
     vectors = spark.read.parquet(f"{root}/vectors").drop("batch")
     genstore.warn_if_tombstones_oversized(spark, root, "ann-index")
-    dead = genstore.net_dead_ids(spark, root, id_col)
+    # exclude_tombstone_batch: the retried-ledger-op view (one batch's
+    # own rows dropped from the exclusion fold — net_dead_ids docs);
+    # used by delete_from_ann_index_where, not by normal readers.
+    dead = genstore.net_dead_ids(
+        spark, root, id_col, exclude_batch=exclude_tombstone_batch
+    )
     if dead is not None:
         codes = codes.join(F.broadcast(dead), id_col, "left_anti")
         vectors = vectors.join(F.broadcast(dead), id_col, "left_anti")
@@ -576,16 +585,11 @@ def delete_from_ann_index_where(
     (``localCheckpoint``) BEFORE the ledger write: the resolving plan
     reads the tombstone directory this very op overwrites (the
     stored-frame listing-pin gotcha)."""
-    root = genstore.current_root(spark, path)
-    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
-    id_col = params["id_col"]
-    codes = spark.read.parquet(f"{root}/codes").drop("batch")
-    _validate_payload_predicate(codes, params, where, extra_cols=(id_col,))
-    dead = genstore.net_dead_ids(spark, root, id_col, exclude_batch=batch_id)
-    if dead is not None:
-        codes = codes.join(F.broadcast(dead), id_col, "left_anti")
+    idx = read_ann_index(spark, path, exclude_tombstone_batch=batch_id)
+    id_col = idx.params["id_col"]
+    _validate_payload_predicate(idx.codes, idx.params, where, extra_cols=(id_col,))
     ids = (
-        codes.filter(where)
+        idx.codes.filter(where)
         .select(id_col)
         .distinct()
         .localCheckpoint(eager=True)

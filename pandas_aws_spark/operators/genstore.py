@@ -250,13 +250,18 @@ def vacuum_generations(spark: SparkSession, path: str, *, retain: int = 1) -> li
     generation numbers. Frames handed out on a vacuumed generation
     fail loudly on next evaluation (the standing reader-lifetime
     rule); single-writer assumed, like every maintenance op here."""
-    committed = [g for g, ok in list_generations(spark, path) if ok]
-    if not committed:
-        return []
-    before = {g for g, _ok in list_generations(spark, path)}
-    gc_generations(spark, path, keep=committed[-1], retain_history=max(1, retain))
-    after = {g for g, _ok in list_generations(spark, path)}
-    return sorted(before - after)
+    gens = list_generations(spark, path)  # one FS listing, reused below
+    committed = [g for g, ok in gens if ok]
+    retained = set(committed[-max(1, retain):])
+    # crashed-uncommitted dirs are never readable history: delete them
+    # even when NO committed generation exists (legacy flat layout
+    # whose first rewrite crashed — the flat files stay the readable
+    # state and the half-written gen dir is pure garbage).
+    doomed = [g for g, ok in gens if not ok or g not in retained]
+    fs, _p, jvm = _fs(spark, path)
+    for gen in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(gen_dir(path, gen)), True)
+    return sorted(doomed)
 
 
 def read_tombstones(

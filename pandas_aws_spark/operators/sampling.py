@@ -194,18 +194,28 @@ def sample_to_token_budget(
         # select nothing. The aggregate always yields one row, so the
         # assert fires for both malformed shapes — a bare row-count
         # window could never flag the empty case (no row to carry the
-        # assertion).
-        b = budget_tokens.agg(
-            F.count(F.lit(1)).alias("_bn"), F.max(bcol).alias(bcol)
-        ).filter(
-            F.assert_true(
-                F.col("_bn") == 1,
-                F.lit("sample_to_token_budget: budget_tokens must be exactly one row"),
-            ).isNull()
-        ).drop("_bn")
+        # assertion). The budget column is re-aliased into the _tb_
+        # scratch namespace FIRST so a caller column literally named
+        # like the count alias cannot collide (r12 review).
+        b = (
+            budget_tokens.select(F.col(bcol).alias("_tb_budget"))
+            .agg(
+                F.count(F.lit(1)).alias("_tb_n"),
+                F.max("_tb_budget").alias("_tb_budget"),
+            )
+            .filter(
+                F.assert_true(
+                    F.col("_tb_n") == 1,
+                    F.lit(
+                        "sample_to_token_budget: budget_tokens must be exactly one row"
+                    ),
+                ).isNull()
+            )
+            .drop("_tb_n")
+        )
         quota = quota_src.crossJoin(F.broadcast(b)).select(
             source_col,
-            F.expr(f"(CAST({bcol} AS BIGINT) * _rate) div 1000000").alias("_quota"),
+            F.expr("(CAST(_tb_budget AS BIGINT) * _rate) div 1000000").alias("_quota"),
         )
     else:
         quota = quota_src.select(

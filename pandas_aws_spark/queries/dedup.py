@@ -724,10 +724,12 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 8 == 4)
     path = scratch_dir(prefix="pandas_aws_spark_cluster_incr_")
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
-    init_cluster_labels(
-        minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe),
-        path,
-    )
+    # init materializes inside the call (CC + parquet write), so the
+    # bootstrap pair scan's shingle cache releases immediately — the
+    # same hygiene as the per-ingest releases below (r12 review)
+    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    init_cluster_labels(p0, path)
+    release_cached_inputs(p0)
     for batch, bid in ((b1, "b1"), (b2, "b2")):
         stored = read_dedup_index(spark, path)
         cross = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
@@ -781,6 +783,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_cluster_labels,
         minhash_near_dup_pairs,
         read_cluster_labels,
+        release_cached_inputs,
         write_dedup_index,
     )
     from ..streaming.pipeline import stream_dedup_ingest
@@ -793,10 +796,9 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir(prefix="pandas_aws_spark_dedup_stream_")
     path, landing, ckpt = f"{work}/idx", f"{work}/landing", f"{work}/ckpt"
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
-    init_cluster_labels(
-        minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe),
-        path,
-    )
+    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    init_cluster_labels(p0, path)
+    release_cached_inputs(p0)
     rest.repartition(4).write.mode("overwrite").parquet(landing)
     stream = (
         spark.readStream.schema(rest.schema)

@@ -351,3 +351,8 @@ def test_sample_to_token_budget_rejects_bad_budget_frames(spark):
     two_cols = spark.createDataFrame([(100, 1)], "budget long, extra long")
     with pytest.raises(ValueError, match="exactly one column"):
         sample_to_token_budget(docs, rates, two_cols)
+
+    # a budget column named like the guard's old count alias must work
+    # (r12 review: the scratch namespace re-alias prevents collisions)
+    awkward = spark.createDataFrame([(10_000,)], "_bn long")
+    assert sample_to_token_budget(docs, rates, awkward).count() > 0

@@ -61,10 +61,11 @@ def measure(spark, sf_dir: str, batch_docs: int) -> dict:
     try:
         write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **RECIPE), path)
         t0 = time.perf_counter()
-        init_cluster_labels(
-            minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=THRESHOLD, **RECIPE),
-            path,
+        p0 = minhash_near_dup_pairs(
+            corpus, "doc_id", "text", threshold=THRESHOLD, **RECIPE
         )
+        init_cluster_labels(p0, path)
+        release_cached_inputs(p0)
         t_init = time.perf_counter() - t0
 
         stored = read_dedup_index(spark, path)
@@ -88,9 +89,11 @@ def measure(spark, sf_dir: str, batch_docs: int) -> dict:
         # the recompute the incremental path replaces: from-scratch CC
         # over the UNION corpus's full pair graph
         t0 = time.perf_counter()
-        connected_components(
-            minhash_near_dup_pairs(docs, "doc_id", "text", threshold=THRESHOLD, **RECIPE)
-        ).write.format("noop").mode("overwrite").save()
+        all_pairs = minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=THRESHOLD, **RECIPE
+        )
+        connected_components(all_pairs).write.format("noop").mode("overwrite").save()
+        release_cached_inputs(all_pairs)
         t_scratch = time.perf_counter() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)

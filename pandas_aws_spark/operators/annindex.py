@@ -599,6 +599,20 @@ def delete_from_ann_index_where(
         delete_from_ann_index(
             ids, path, batch_id=batch_id, max_tombstone_rows=max_tombstone_rows
         )
+    else:
+        # Retry-converges-via-overwrite must hold for the empty-match
+        # case too: a crashed first attempt may have left a PARTIAL
+        # tombstone batch under this id, and returning early would keep
+        # those stale rows live (benign under epoch order — later
+        # revokes outrank them — but the documented invariant is that a
+        # retry reproduces its full resolved set). Overwrite the
+        # existing dir with the empty match set; no dir, no write.
+        root = genstore.current_root(spark, path)
+        fs, bdir, _ = genstore._fs(spark, f"{root}/tombstones/batch={batch_id}")
+        if fs.exists(bdir):
+            genstore.write_tombstone_batch(
+                ids, root, id_col, batch_id=batch_id, op="del"
+            )
     return n
 
 

@@ -125,6 +125,13 @@ def check_query(
 ) -> ParityResult:
     sdf: DataFrame = fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
+    # drop any intermediate caches the entry pinned while building its
+    # plan (documented safe no-op for frames that cached nothing) — a
+    # full-registry sweep would otherwise leak one CacheManager entry
+    # per indexed-search invocation (r12 ADVICE).
+    from .operators.dedup import release_cached_inputs
+
+    release_cached_inputs(sdf)
     if oracle is None:
         # rows-only check, like the driver's weak path
         return ParityResult(name, True, "rows-only (no oracle)", len(spark_pdf), -1)

@@ -888,7 +888,12 @@ _SEM_DECONTAM_TRAIN_PRED = "vec_id % 10 <> 0"
 _SEM_DECONTAM_THR = 0.4
 # per-sf_dir train-side plane count: a property of the dataset — cached
 # so repeated plan builds (plan gates sweep every entry) don't pay a
-# count job each (the q_sim _np_cache discipline)
+# count job each (the q_sim _np_cache discipline). Like _np_cache, the
+# key is the PATH for the process lifetime: regenerating the dataset at
+# the same path with a different row count in one session would leave a
+# stale plane count while the DuckDB oracle recomputes from data — test
+# datasets are immutable per session, so the limitation is accepted and
+# the cache stays bounded by the handful of sf_dirs a process touches.
 _sem_npl_cache: dict[str, int] = {}
 
 

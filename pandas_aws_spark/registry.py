@@ -208,29 +208,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r12 start: the seven r11-seeded substrate entries re-verified
-    # green in CORRECTNESS_r11.json — cleared per the self-expiry
-    # protocol. Going forward the git-diff-derived
-    # substrate_rewritten() below claims slots automatically for
-    # substrate changes; this map stays for optimized-plan rewrites.)
-    #
-    # r12 plan rewrites (mechanical: tools/dump_plans.py at 849e04c vs
-    # HEAD + tools/diff_plans.py — 9 rewritten / 221 unchanged): the
-    # bounded-window constant partition key (bounded_window_key(), r11
-    # verdict ask #8) changes the Window nodes of every entry using the
-    # first-C centroid init, the BM25 top-k rank, or the capped
-    # query-side guard count. Values identical (same global order, one
-    # partition); the plans differ, so prior evidence attests the old
-    # plan shape.
-    "q_dedup_semantic": 12,
-    "q_embed_matryoshka_recall": 12,
-    "q_sim_bruteforce_topk": 12,
-    "q_sim_eval_rank_quality": 12,
-    "q_sim_ivf_fullprobe": 12,
-    "q_sim_ivf_pq": 12,
-    "q_sim_ivf_probe2": 12,
-    "q_sim_knn_classify": 12,
-    "q_text_bm25_search": 12,
+    # (r13 start: the nine r12 bounded_window_key plan rewrites
+    # re-verified green in CORRECTNESS_r12.json — cleared per the
+    # self-expiry protocol; freed slots flow to the r7-evidence
+    # cohort. The git-diff-derived substrate_rewritten() below claims
+    # slots automatically for substrate changes; this map stays for
+    # optimized-plan rewrites, seeded per round from
+    # tools/diff_plans.py output.)
 }
 
 # ---------------------------------------------------------------------------
@@ -256,24 +240,27 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/genstore.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
-        "q_stream_ann_ingest", "q_dedup_index_ingest",
-        "q_dedup_index_delete", "q_dedup_index_rebuild",
+        "q_sim_index_snapshot", "q_stream_ann_ingest",
+        "q_dedup_index_ingest", "q_dedup_index_delete",
+        "q_dedup_index_rebuild", "q_dedup_cluster_incremental",
+        "q_stream_dedup_ingest",
     ),
     "pandas_aws_spark/operators/annindex.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
-        "q_stream_ann_ingest",
+        "q_sim_index_snapshot", "q_stream_ann_ingest",
     ),
     "pandas_aws_spark/operators/dedup.py": (
         "q_dedup_index_ingest", "q_dedup_index_delete",
-        "q_dedup_index_rebuild",
+        "q_dedup_index_rebuild", "q_dedup_cluster_incremental",
+        "q_stream_dedup_ingest",
     ),
     "pandas_aws_spark/warehouse.py": (
         "q_upsert_merge", "q_upsert_duplicate_keys",
         "q_warehouse_catalog_roundtrip", "q_io_bucketed_join",
     ),
     "pandas_aws_spark/streaming/pipeline.py": (
-        "q_stream_ann_ingest", "q_stream_curation",
+        "q_stream_ann_ingest", "q_stream_dedup_ingest", "q_stream_curation",
         "q_stream_dedup_incremental", "q_stream_dedup_within_watermark",
         "q_stream_heartbeat_gaps", "q_stream_outer_join",
         "q_stream_sessionize", "q_stream_sink_parquet",

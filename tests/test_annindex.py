@@ -775,3 +775,35 @@ def test_delete_where_retry_does_not_resurrect(spark, tmp_path):
     n2 = delete_from_ann_index_where(spark, path, "label = 2", batch_id="pd1")
     assert n2 == full
     assert read_ann_index(spark, path).codes.filter("label = 2").count() == 0
+
+
+def test_delete_where_empty_match_retry_overwrites_stale_batch(spark, tmp_path):
+    """The retry-converges-via-overwrite invariant must hold when the
+    retry resolves ZERO matches: a crashed first attempt's partial
+    tombstone batch under the same batch_id is overwritten with the
+    empty match set (r12 ADVICE) — previously the early return left
+    the stale rows standing. A fresh batch_id with no leftover dir
+    still writes nothing."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.annindex import delete_from_ann_index_where
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path)
+    total = read_ann_index(spark, path).codes.count()
+
+    # simulate the crashed attempt: one stale row landed under pe1
+    root = genstore.current_root(spark, path)
+    stale = emb.select("vec_id").orderBy("vec_id").limit(1)
+    genstore.write_tombstone_batch(stale, root, "vec_id", batch_id="pe1", op="del")
+    assert read_ann_index(spark, path).codes.count() == total - 1
+
+    # retry resolves nothing live (predicate matches no row) -> the
+    # stale pe1 rows are overwritten away and the id resurfaces
+    assert delete_from_ann_index_where(spark, path, "label = -1", batch_id="pe1") == 0
+    assert read_ann_index(spark, path).codes.count() == total
+
+    # no leftover dir for a fresh id -> no write, no new ledger batch
+    assert delete_from_ann_index_where(spark, path, "label = -1", batch_id="pe2") == 0
+    fs, p, _ = genstore._fs(spark, f"{root}/tombstones/batch=pe2")
+    assert not fs.exists(p)

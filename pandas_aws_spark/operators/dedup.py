@@ -657,6 +657,7 @@ def write_dedup_index(
     *,
     batch_id: str = "base",
     carry_tombstones: DataFrame | None = None,
+    carry_labels: bool = False,
     retain_generations: int = 1,
 ) -> None:
     """Persist an index under ``path``. Layout: ``packs/batch=<id>/``
@@ -703,13 +704,25 @@ def write_dedup_index(
 
     ``retain_generations`` (r12): base writes keep the newest N
     committed generations; :func:`read_dedup_index` serves retained
-    ones via ``generation=`` (snapshot reads — cluster labels live
-    outside the generations and are deliberately unversioned)."""
+    ones via ``generation=``.
+
+    ``carry_labels`` (r13): base writes FOLD the cluster-label deltas
+    of the outgoing root (generation-resident or legacy flat) into a
+    single ``clusters/batch=base`` inside the new generation —
+    latest-seq-wins, tombstone-dead docs physically dropped, the same
+    treatment the data batches get. Sound because labels are a
+    function of the PAIR GRAPH, which a compaction/rebuild preserves
+    bit-for-bit. Compaction and rebuild pass True; the default False
+    is the fresh-corpus/re-init write, where any existing labels
+    describe the OLD corpus — the stale flat dir is GC'd below and
+    retired generations take theirs with them, so a re-init follows
+    with :func:`init_cluster_labels`."""
     validate_batch_id(batch_id)
     spark = index.buckets.sparkSession
     from . import genstore
 
     if batch_id == "base":
+        old_root = genstore.current_root(spark, path)
         gen, root = genstore.begin_generation(spark, path)
     else:
         root = genstore.current_root(spark, path)
@@ -721,6 +734,10 @@ def write_dedup_index(
                 carry_tombstones, root, index.params["id_col"],
                 batch_id="base", op="del",
             )
+        if carry_labels:
+            _fold_cluster_labels_into(
+                spark, path, old_root, root, index.params["id_col"]
+            )
         spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
             f"{root}/params"
         )
@@ -729,10 +746,36 @@ def write_dedup_index(
             spark,
             path,
             keep=gen,
-            flat_subdirs=("packs", "buckets", "params", "tombstones"),
+            flat_subdirs=("packs", "buckets", "params", "tombstones", "clusters"),
             retain_history=retain_generations,
         )
     index.release_cache()
+
+
+def _fold_cluster_labels_into(
+    spark, path: str, old_root: str, new_root: str, id_col: str
+) -> None:
+    """Collapse the outgoing root's cluster-label delta history into
+    ``{new_root}/clusters/batch=base`` (seq restarts at 1): one
+    latest-seq-wins fold, net-tombstoned docs physically dropped —
+    mirroring the physical removal the base rewrite applies to
+    packs/buckets. No-op when no labels exist. Runs BEFORE the commit
+    marker, so a crash mid-fold leaves the old generation serving."""
+    from . import genstore
+
+    raw = _read_raw_cluster_labels(spark, path, root=old_root)
+    if raw is None:
+        return
+    folded = raw.groupBy("doc_id").agg(
+        F.max_by("cluster_id", "seq").alias("cluster_id")
+    )
+    dead = genstore.net_dead_ids(spark, old_root, id_col)
+    if dead is not None:
+        dead = dead.withColumnRenamed(id_col, "doc_id")
+        folded = folded.join(F.broadcast(dead), "doc_id", "left_anti")
+    folded.withColumn("seq", F.lit(1).cast("long")).write.mode("overwrite").parquet(
+        f"{new_root}/clusters/batch=base"
+    )
 
 
 def read_dedup_index(spark, path: str, *, generation: int | None = None) -> DedupIndex:
@@ -865,7 +908,11 @@ def compact_dedup_index(
     into the new generation). Tombstoned docs are physically removed
     and their exclusion carried forward by default
     (``retain_tombstones``, r11 — full semantics at
-    ``compact_ann_index``). Single-writer assumed."""
+    ``compact_ann_index``). Cluster labels fold with the rest (r13,
+    ``carry_labels`` in :func:`write_dedup_index`): the delta history
+    collapses into one ``clusters/batch=base`` in the new generation —
+    this is also what migrates a legacy flat label dir into the
+    generation store. Single-writer assumed."""
     from . import genstore
 
     root = genstore.current_root(spark, path)
@@ -876,7 +923,7 @@ def compact_dedup_index(
         else None
     )
     write_dedup_index(
-        idx, path, batch_id="base", carry_tombstones=carry,
+        idx, path, batch_id="base", carry_tombstones=carry, carry_labels=True,
         retain_generations=retain_generations,
     )
 
@@ -933,7 +980,8 @@ def rebuild_dedup_index(
     )
     write_dedup_index(
         DedupIndex(buckets, idx.packs, p), path, batch_id="base",
-        carry_tombstones=carry, retain_generations=retain_generations,
+        carry_tombstones=carry, carry_labels=True,
+        retain_generations=retain_generations,
     )
 
 
@@ -1504,15 +1552,24 @@ def connected_components(
 # connected_components recompute was the one remaining O(corpus) step
 # in the incremental crawl-dedup story.
 #
-# Layout: ``{path}/clusters/batch=<id>/`` parquet deltas of
+# Layout: ``{root}/clusters/batch=<id>/`` parquet deltas of
 # ``(doc_id, cluster_id, seq)`` rows, latest-``seq``-wins per doc —
 # the same Hive-batch + monotone-stamp shape as the tombstone ledger
 # (``seq`` derived excluding the writing batch, so retries reproduce
-# their stamp and the overwrite converges). The directory lives
-# BESIDE the ``gen-*`` generations, not inside them, so index
-# compaction/rebuild (which GC only generation dirs and the flat
-# legacy subdirs) leave the labels untouched — labels are a function
-# of the PAIR GRAPH, which compaction preserves bit-for-bit.
+# their stamp and the overwrite converges). Since r13 the directory
+# lives INSIDE the generation root, beside packs/buckets/tombstones
+# (the r12 verdict's missing #4): a base rewrite
+# (compaction/rebuild) FOLDS the accumulated deltas into a single
+# ``batch=base`` in the new generation — latest-seq-wins, tombstone-
+# dead docs physically dropped, exactly like the data batches — so
+# the per-read fold cost is bounded by the compaction cadence instead
+# of growing with total ingest history, and
+# ``read_cluster_labels(generation=N)`` serves the label view
+# CONSISTENT with ``read_dedup_index(generation=N)`` (same root, same
+# frozen ledger). Pre-r13 artifacts with a flat ``{path}/clusters``
+# beside the generations keep reading/merging in place (resolution
+# below); their first compaction migrates the labels into the
+# generation store.
 #
 # Label invariant (matches ``connected_components`` exactly):
 # ``cluster_id`` = min doc id reachable in the pair graph. The merge
@@ -1525,20 +1582,41 @@ def connected_components(
 # --------------------------------------------------------------------------
 
 
+def _cluster_dir(spark, path: str, root: str) -> "str | None":
+    """Resolve the EXISTING label directory for artifact ``path`` under
+    resolved generation ``root``: ``{root}/clusters`` (the generation-
+    resident home since r13) wins; a flat ``{path}/clusters`` beside
+    the generations (the pre-r13 layout — distinct only when ``root``
+    is a generation dir) is honored until a base rewrite migrates it.
+    None when no labels exist anywhere."""
+    from . import genstore
+
+    candidates = [f"{root}/clusters"]
+    if root != path:
+        candidates.append(f"{path}/clusters")
+    for cdir in candidates:
+        fs, p, _ = genstore._fs(spark, cdir)
+        if fs.exists(p):
+            return cdir
+    return None
+
+
 def _read_raw_cluster_labels(
-    spark, path: str, *, exclude_batch: str | None = None
+    spark, path: str, *, root: str | None = None, exclude_batch: str | None = None
 ) -> "DataFrame | None":
     """The unfolded ``(doc_id, cluster_id, seq[, batch])`` delta rows
-    under ``{path}/clusters``, or None when no labels exist.
+    of the label artifact resolved against ``root`` (default: the
+    current generation root), or None when no labels exist.
     ``exclude_batch`` drops one batch's rows — the writer's own, so a
     retry after a mid-write crash recomputes from the pristine
     pre-attempt state (same idempotency argument as
     ``genstore.next_tombstone_epoch``)."""
     from . import genstore
 
-    cdir = f"{path}/clusters"
-    fs, p, _ = genstore._fs(spark, cdir)
-    if not fs.exists(p):
+    if root is None:
+        root = genstore.current_root(spark, path)
+    cdir = _cluster_dir(spark, path, root)
+    if cdir is None:
         return None
     t = spark.read.parquet(cdir)
     if exclude_batch is not None and "batch" in t.columns:
@@ -1552,19 +1630,21 @@ def init_cluster_labels(pairs: DataFrame, path: str, *, max_iter: int = 20) -> N
     """Bootstrap the persisted cluster-label artifact from the initial
     corpus's verified near-dup pairs: one from-scratch
     :func:`connected_components` (the LAST full recompute the index
-    ever needs), written as ``clusters/batch=base`` with ``seq=1``.
-    Re-running replaces any existing label state (single-writer, like
-    every artifact op here)."""
+    ever needs), written as ``clusters/batch=base`` with ``seq=1``
+    INSIDE the current generation root. Re-running replaces any
+    existing label state — generation-resident and legacy flat alike —
+    (single-writer, like every artifact op here)."""
     spark = pairs.sparkSession
     from . import genstore
 
     cc = connected_components(pairs, max_iter=max_iter)
-    cdir = f"{path}/clusters"
-    fs, p, _ = genstore._fs(spark, cdir)
-    if fs.exists(p):
-        fs.delete(p, True)
+    root = genstore.current_root(spark, path)
+    for cdir in sorted({f"{root}/clusters", f"{path}/clusters"}):
+        fs, p, _ = genstore._fs(spark, cdir)
+        if fs.exists(p):
+            fs.delete(p, True)
     cc.withColumn("seq", F.lit(1).cast("long")).write.mode("overwrite").parquet(
-        f"{cdir}/batch=base"
+        f"{root}/clusters/batch=base"
     )
 
 
@@ -1604,6 +1684,7 @@ def merge_cluster_labels(
     :func:`init_cluster_labels`."""
     validate_ledger_batch_id(batch_id)
     spark = new_pairs.sparkSession
+    from . import genstore
 
     pairs = (
         new_pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -1613,7 +1694,13 @@ def merge_cluster_labels(
     )
     if not pairs.limit(1).count():
         return
-    raw = _read_raw_cluster_labels(spark, path, exclude_batch=batch_id)
+    # the delta lands WHERE the labels live — the generation-resident
+    # dir for r13+ artifacts, the legacy flat dir until its first
+    # compaction migrates it (splitting the artifact across both
+    # locations is never allowed)
+    root = genstore.current_root(spark, path)
+    cdir = _cluster_dir(spark, path, root) or f"{root}/clusters"
+    raw = _read_raw_cluster_labels(spark, path, root=root, exclude_batch=batch_id)
     delta, seq = _cluster_merge_delta(pairs, raw, max_iter=max_iter)
     # localCheckpoint BEFORE the write: the delta plan reads the
     # clusters directory the write lands in.
@@ -1621,7 +1708,7 @@ def merge_cluster_labels(
     if out.limit(1).count():
         out.withColumn("seq", F.lit(seq).cast("long")).write.mode(
             "overwrite"
-        ).parquet(f"{path}/clusters/batch={batch_id}")
+        ).parquet(f"{cdir}/batch={batch_id}")
 
 
 def _cluster_merge_delta(pairs, raw, *, max_iter: int):
@@ -1699,25 +1786,57 @@ def _cluster_merge_delta(pairs, raw, *, max_iter: int):
     return delta, seq
 
 
-def read_cluster_labels(spark, path: str) -> DataFrame:
-    """The current ``(doc_id, cluster_id)`` labels: latest-seq-wins
-    fold of the delta batches, minus tombstoned docs (the same
-    live-docs-only contract as :func:`read_dedup_index` — the net
-    exclusion set is broadcast-capped by the delete budget). The fold
-    shuffles O(label rows) — proportionate, since the output itself is
-    the full label table; per-ingest maintenance never calls this."""
+def read_cluster_labels(
+    spark, path: str, *, generation: int | None = None
+) -> DataFrame:
+    """The ``(doc_id, cluster_id)`` labels: latest-seq-wins fold of
+    the delta batches, minus tombstoned docs (the same live-docs-only
+    contract as :func:`read_dedup_index` — the net exclusion set is
+    broadcast-capped by the delete budget). The fold shuffles O(label
+    rows since the last compaction) — base rewrites collapse the
+    history into one ``batch=base``, so the cost is bounded by the
+    compaction cadence, and per-ingest maintenance never calls this.
+
+    ``generation`` (r13): serve the label view of a RETAINED snapshot
+    generation — resolved against the same root and frozen tombstone
+    ledger as ``read_dedup_index(generation=N)``, so the pair of reads
+    is mutually consistent. Pre-r13 artifacts whose labels still live
+    in the legacy flat dir have no per-generation label history; a
+    snapshot read of one raises until a compaction migrates the labels
+    into the generation store."""
     from . import genstore
 
-    raw = _read_raw_cluster_labels(spark, path)
-    if raw is None:
+    if generation is None:
+        root = genstore.current_root(spark, path)
+        cdir = _cluster_dir(spark, path, root)
+    else:
+        root = genstore.snapshot_root(spark, path, generation)
+        fs, p, _ = genstore._fs(spark, f"{root}/clusters")
+        if not fs.exists(p):
+            legacy = _cluster_dir(spark, path, root)
+            raise ValueError(
+                f"generation {generation} of {path!r} holds no cluster "
+                "labels"
+                + (
+                    " (legacy flat-layout labels predate the generation "
+                    "store; run compact_dedup_index to migrate them)"
+                    if legacy is not None
+                    else "; run init_cluster_labels once over the initial "
+                    "corpus pairs"
+                )
+            )
+        cdir = f"{root}/clusters"
+    if cdir is None:
         raise ValueError(
             f"no cluster labels under {path!r}: run init_cluster_labels "
             "once over the initial corpus pairs"
         )
+    raw = spark.read.parquet(cdir)
+    if "batch" in raw.columns:
+        raw = raw.drop("batch")
     folded = raw.groupBy("doc_id").agg(
         F.max_by("cluster_id", "seq").alias("cluster_id")
     )
-    root = genstore.current_root(spark, path)
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     dead = genstore.net_dead_ids(spark, root, params["id_col"])
     if dead is not None:

@@ -638,10 +638,9 @@ def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the staged ingests and the union build — the same reason
 # q_dedup_index_ingest's oracle runs uncapped).
 # --------------------------------------------------------------------------
-_INCR_CLUSTER_ORACLE = (
-    "WITH RECURSIVE "
-    + _SHINGLES_CTE.lstrip()
-    + """,
+# shared minhash -> band -> candidate block (uncapped), reused by the
+# incremental and snapshot cluster oracles below
+_MINHASH_CAND_CTE = """,
 mh AS (SELECT doc_id,
               MIN((1299721*h + 12345)   % 1000000007) AS h0,
               MIN((15485863*h + 678910) % 1000000007) AS h1,
@@ -662,6 +661,11 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          JOIN bands b ON a.band = b.band AND a.sig = b.sig
                      AND a.doc_id < b.doc_id),
 """
+
+_INCR_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.lstrip()
+    + _MINHASH_CAND_CTE
     + _VERIFY_CTE.format(thr=0.8)
     + """,
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -809,6 +813,125 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, path, ckpt, threshold=0.8, maintain_clusters=True
     )
     return read_cluster_labels(spark, path).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Snapshot (time-travel) cluster labels (r13, the r12 verdict's
+# missing #4): labels are generation-resident, compaction folds their
+# delta history, and read_cluster_labels(generation=N) serves the view
+# consistent with read_dedup_index(generation=N). Oracle: the LSH
+# pipeline is per-doc deterministic, so the snapshot view's pair graph
+# is EXACTLY the full pair graph restricted to endpoints in
+# corpus ∪ batch1 (doc_id % 8 <> 4) — one candidate pipeline, two
+# recursive-CTE CC runs, one per view.
+# --------------------------------------------------------------------------
+_SNAPSHOT_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.lstrip()
+    + _MINHASH_CAND_CTE
+    + _VERIFY_CTE.format(thr=0.8)
+    + """,
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+snap_edges AS (SELECT u, v FROM edges WHERE u % 8 <> 4 AND v % 8 <> 4),
+snap_reach(id, r) AS (
+  SELECT DISTINCT u, u FROM snap_edges
+  UNION
+  SELECT e.u, snap_reach.r FROM snap_edges e JOIN snap_reach ON snap_reach.id = e.v
+)
+SELECT 'current' AS view, id AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY id
+UNION ALL
+SELECT 'snapshot' AS view, id AS doc_id, MIN(r) AS cluster_id
+FROM snap_reach GROUP BY id
+ORDER BY view, doc_id
+"""
+)
+
+
+@query(
+    "q_dedup_cluster_snapshot",
+    oracle=_SNAPSHOT_CLUSTER_ORACLE,
+    tags=("dedup", "clustering", "snapshot", "incremental"),
+)
+def q_dedup_cluster_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-consistent cluster labels on the generation store,
+    end to end on disk (r13): bootstrap the index + labels over the
+    corpus (doc_id % 4 != 0), ingest batch 1 (% 8 == 0) — index append
+    + ``merge_cluster_labels`` — then ``compact_dedup_index(
+    retain_generations=2)``: the label delta history folds into a
+    single ``clusters/batch=base`` inside the new generation while the
+    pre-compaction generation stays servable. Batch 2 (% 8 == 4) then
+    ingests into the CURRENT generation only. The returned union must
+    hash-match two independent from-scratch recursive-CTE component
+    runs: ``view='snapshot'`` (``read_cluster_labels(generation=1)``,
+    frozen at the post-batch-1 state) against the pair graph of
+    corpus ∪ batch1, and ``view='current'`` (routed through the FOLDED
+    base plus batch 2's delta) against the full union corpus — proving
+    the fold is lossless and the snapshot axis is consistent with
+    ``read_dedup_index(generation=N)`` (same root, same frozen
+    ledger)."""
+    from ..operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        indexed_near_dup_pairs,
+        init_cluster_labels,
+        merge_cluster_labels,
+        minhash_near_dup_pairs,
+        read_cluster_labels,
+        read_dedup_index,
+        release_cached_inputs,
+        write_dedup_index,
+    )
+    from . import scratch_dir
+
+    recipe = dict(shingle_k=3, n_hashes=8, bands=4)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    b1 = docs.filter(F.col("doc_id") % 8 == 0)
+    b2 = docs.filter(F.col("doc_id") % 8 == 4)
+    path = scratch_dir(prefix="pandas_aws_spark_cluster_snap_")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
+    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    init_cluster_labels(p0, path)
+    release_cached_inputs(p0)
+    for batch, bid in ((b1, "b1"), (b2, "b2")):
+        stored = read_dedup_index(spark, path)
+        cross = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
+        internal = minhash_near_dup_pairs(
+            batch, "doc_id", "text", threshold=0.8, **recipe
+        )
+        merge_cluster_labels(
+            cross.select("id_a", "id_b").unionByName(
+                internal.select("id_a", "id_b")
+            ),
+            path,
+            batch_id=bid,
+        )
+        release_cached_inputs(cross)
+        release_cached_inputs(internal)
+        append_dedup_index(
+            build_dedup_index(batch, "doc_id", "text", **recipe), path, batch_id=bid
+        )
+        if bid == "b1":
+            # gen 2 = folded post-batch-1 state; gen 1 retained as the
+            # snapshot the entry reads back below
+            compact_dedup_index(spark, path, retain_generations=2)
+    cur = read_cluster_labels(spark, path).withColumn("view", F.lit("current"))
+    snap = read_cluster_labels(spark, path, generation=1).withColumn(
+        "view", F.lit("snapshot")
+    )
+    return (
+        cur.unionByName(snap)
+        .select("view", "doc_id", "cluster_id")
+        .orderBy("view", "doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -983,6 +1106,125 @@ def q_dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         hits.groupBy("vec_id")
+        .agg(F.count("*").alias("n_contaminating"), F.max("cos_sim").alias("max_cos"))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# INDEX-BACKED semantic decontamination (r13, the r12 verdict's missing
+# #5): the recompute variant above re-buckets the full TRAIN side on
+# every benchmark run; here the train corpus lives in the persisted ANN
+# index — built once, grown O(batch) by append/stream_ann_ingest — and
+# each run only PROBES it (ann_index_radius: exact cosine within the
+# nprobe coarse cells, probed cells pushed into the stored-vectors scan
+# as a literal filter). The oracle replays the whole lifecycle: first-C
+# centroids from the BASE subset only, ALL train vectors assigned with
+# those frozen centroids (the append-without-retrain contract), bench
+# probes, exact dot on normalized vectors.
+# --------------------------------------------------------------------------
+_SEMIDX_NCENT = 8
+_SEMIDX_NPROBE = 2
+_SEMIDX_BASE_PRED = f"({_SEM_DECONTAM_TRAIN_PRED}) AND vec_id % 3 <> 1"
+
+
+def _sem_idx_oracle() -> str:
+    from ..functions.vector import sql_dot
+
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> x * 0.0) END AS v
+  FROM (SELECT vec_id, v, SQRT({sql_dot("v", "v")}) AS nrm FROM e0)
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e WHERE {_SEMIDX_BASE_PRED} ORDER BY vec_id LIMIT {_SEMIDX_NCENT}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e, cent ct WHERE {_SEM_DECONTAM_TRAIN_PRED})
+  WHERE rn = 1
+),
+qprobes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'ct.cv')} DESC,
+                                       ct.centroid_id) AS rn
+    FROM e q, cent ct WHERE NOT ({_SEM_DECONTAM_TRAIN_PRED}))
+  WHERE rn <= {_SEMIDX_NPROBE}
+),
+hits AS (
+  SELECT p.query_id, {sql_dot('q.v', 't.v')} AS cos_sim
+  FROM qprobes p
+  JOIN cells ce ON ce.cell = p.cell
+  JOIN e t ON t.vec_id = ce.vec_id
+  JOIN e q ON q.vec_id = p.query_id
+  WHERE {sql_dot('q.v', 't.v')} >= {_SEM_DECONTAM_THR}
+)
+SELECT query_id AS vec_id, COUNT(*) AS n_contaminating, MAX(cos_sim) AS max_cos
+FROM hits GROUP BY query_id ORDER BY vec_id
+"""
+
+
+@query(
+    "q_dedup_semantic_decontaminate_indexed",
+    oracle=_sem_idx_oracle(),
+    tags=("dedup", "embedding", "contamination", "ann", "index"),
+)
+def q_dedup_semantic_decontaminate_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination against the PERSISTED ANN index — the
+    production shape for a growing crawl: the train corpus is indexed
+    once (base = train vecs with vec_id % 3 <> 1), a later crawl batch
+    (% 3 = 1) lands via ``append_ann_index`` — O(batch), frozen
+    quantizers, the same call ``stream_ann_ingest`` issues per
+    micro-batch — and the benchmark run is ONE ``ann_index_radius``
+    probe: per-run cost O(bench + probed-cell rows), no re-bucketing,
+    no re-normalizing, no scan of train text/vectors outside the
+    probed cells (the probe-cell list is pushed into the stored-
+    vectors scan as a literal PushedFilter — plan-asserted in
+    tests/test_annindex.py). Contract matches
+    ``q_dedup_semantic_decontaminate``: per held-out vec, the count
+    and max of train cosines clearing the threshold — approximate by
+    candidate-blocking (coarse cells here, hyperplanes there), exact
+    within blocks, deterministic, fully SQL-replayed (the oracle
+    re-derives centroids from the base subset only, proving appended
+    rows are assigned with FROZEN quantizers yet still probed)."""
+    from ..operators.annindex import (
+        ann_index_radius,
+        append_ann_index,
+        build_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from . import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train_pred = F.expr(_SEM_DECONTAM_TRAIN_PRED)
+    base = emb.filter(F.expr(_SEMIDX_BASE_PRED))
+    batch = emb.filter(train_pred & (F.col("vec_id") % 3 == 1))
+    bench = emb.filter(~train_pred)
+    path = scratch_dir(prefix="pandas_aws_spark_sem_idx_")
+    write_ann_index(
+        build_ann_index(base, n_centroids=_SEMIDX_NCENT, m=8, k_codes=16, iters=2),
+        path,
+    )
+    append_ann_index(batch, path, batch_id="crawl1")
+    stored = read_ann_index(spark, path)
+    hits = ann_index_radius(
+        bench, stored, threshold=_SEM_DECONTAM_THR, nprobe=_SEMIDX_NPROBE
+    )
+    return (
+        hits.groupBy(F.col("query_id").alias("vec_id"))
         .agg(F.count("*").alias("n_contaminating"), F.max("cos_sim").alias("max_cos"))
         .orderBy("vec_id")
     )

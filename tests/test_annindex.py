@@ -807,3 +807,101 @@ def test_delete_where_empty_match_retry_overwrites_stale_batch(spark, tmp_path):
     assert delete_from_ann_index_where(spark, path, "label = -1", batch_id="pe2") == 0
     fs, p, _ = genstore._fs(spark, f"{root}/tombstones/batch=pe2")
     assert not fs.exists(p)
+
+
+def test_radius_search_exact_within_cells_with_literal_pushdown(spark, tmp_path):
+    """ann_index_radius (r13): for each query, EVERY stored vector in
+    the nprobe probed cells whose exact cosine clears the threshold is
+    returned — verified against an independent numpy recompute of the
+    same blocking — and the probed-cell list reaches the stored-vectors
+    scan as a LITERAL cell IN (...) pushed filter, with the source
+    embeddings parquet absent from the returned plan."""
+    import numpy as np
+
+    from pandas_aws_spark.operators.annindex import ann_index_radius
+    from pandas_aws_spark.plans.inspect import scans
+
+    emb, base, _, _ = _splits(spark)
+    src_path = str(tmp_path / "source_embeddings.parquet")
+    base.write.parquet(src_path)
+    corpus = spark.read.parquet(src_path)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(corpus, **_RECIPE), path)
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") % 4 == 0).limit(5)
+    qrows = [(r.vec_id, list(r.embedding)) for r in q.collect()]
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+    thr = 0.3
+    hits = ann_index_radius(queries, stored, threshold=thr, nprobe=2)
+
+    # plan: literal cell pushdown on the index scan, no source parquet
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "source_embeddings" not in plan
+    assert "cell" in plan and ("In(cell" in plan or "cell IN" in plan or "isin" in plan.lower() or "IN (" in plan), plan
+
+    got = {(r.query_id, r.neighbor_id) for r in hits.collect()}
+
+    # independent recompute: same blocking, exact cosine, numpy floats
+    def norm(v):
+        v = np.asarray(v, dtype="float64")
+        n = float(np.sqrt((v * v).sum()))
+        return v / n if n > 0 else v * 0.0
+
+    cents = {
+        r.centroid_id: np.asarray(r.embedding, dtype="float64")
+        for r in stored.centroids.collect()
+    }
+    vecs = {
+        r.vec_id: (np.asarray(r.embedding, dtype="float64"), r.cell)
+        for r in stored.vectors.collect()
+    }
+    want = set()
+    for qid, qv in qrows:
+        nq = norm(qv)
+        ranked = sorted(
+            cents,
+            key=lambda c: (
+                -float(np.dot(nq, cents[c]) / (np.linalg.norm(nq) * np.linalg.norm(cents[c]))),
+                c,
+            ),
+        )
+        probed = set(ranked[:2])
+        for vid, (nv, cell) in vecs.items():
+            if cell in probed and float(np.dot(nq, nv)) >= thr - 1e-12:
+                want.add((qid, vid))
+    assert got == want
+
+
+def test_radius_search_current_after_stream_ingest(spark, tmp_path):
+    """The decontamination-flags-stay-current wiring (r12 verdict ask
+    #3): vectors appended by the STREAMING ingest path are visible to
+    the next ann_index_radius probe — no rebuild, no re-bucketing, the
+    probe just reads the stored index that foreachBatch grew."""
+    from pandas_aws_spark.operators.annindex import ann_index_radius
+    from pandas_aws_spark.streaming.pipeline import stream_ann_ingest
+
+    emb, base, b1, b2 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    queries = emb.filter(F.col("vec_id") % 4 == 0).limit(3)
+
+    pre = (
+        ann_index_radius(queries, read_ann_index(spark, path), threshold=0.2, nprobe=2)
+        .count()
+    )
+
+    landing = str(tmp_path / "landing")
+    rest = b1.unionByName(b2).select("vec_id", "embedding")
+    rest.repartition(2).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    stream_ann_ingest(stream, path, str(tmp_path / "ckpt"))
+
+    post = (
+        ann_index_radius(queries, read_ann_index(spark, path), threshold=0.2, nprobe=2)
+        .count()
+    )
+    assert post > pre, "streamed appends must surface in the next probe"

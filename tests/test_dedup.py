@@ -510,9 +510,14 @@ def test_incremental_cluster_touched_only_delta(spark, tmp_path):
     assert rows == {(50, 7)}
     assert seq == 2
     merge_cluster_labels(p1, path, batch_id="b1")
-    written = spark.read.parquet(f"{path}/clusters/batch=b1")
+    from pandas_aws_spark.operators import genstore
+
+    root = genstore.current_root(spark, path)
+    written = spark.read.parquet(f"{root}/clusters/batch=b1")
     assert {tuple(r) for r in written.select("doc_id", "cluster_id").collect()} == rows
-    assert os.path.isdir(f"{path}/clusters/batch=base")
+    # labels are generation-resident since r13 (beside packs/buckets)
+    assert root != path and os.path.isdir(f"{root}/clusters/batch=base")
+    assert not os.path.isdir(f"{path}/clusters")
 
 
 def test_read_cluster_labels_excludes_tombstoned_docs(spark, tmp_path):
@@ -610,13 +615,18 @@ def test_cluster_labels_survive_tombstoned_label_doc(spark, tmp_path):
 def test_dedup_snapshot_read_time_travel(spark, tmp_path):
     """Dedup-index twin of the ANN snapshot test (shared genstore
     protocol): retain_generations=2 keeps the pre-compaction
-    generation servable via read_dedup_index(generation=N); cluster
-    labels live OUTSIDE the generations (clusters/ at the artifact
-    root) and are deliberately NOT versioned — documented contract."""
+    generation servable via read_dedup_index(generation=N), and since
+    r13 the cluster labels are generation-resident too —
+    read_cluster_labels(generation=N) serves the label view CONSISTENT
+    with that index snapshot (frozen deltas, frozen ledger), while the
+    current view moves on with post-compaction merges."""
     from pandas_aws_spark.operators import genstore
     from pandas_aws_spark.operators.dedup import (
         build_dedup_index,
         compact_dedup_index,
+        init_cluster_labels,
+        merge_cluster_labels,
+        read_cluster_labels,
         read_dedup_index,
         write_dedup_index,
     )
@@ -627,6 +637,9 @@ def test_dedup_snapshot_read_time_travel(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)  # gen 1
     n1 = read_dedup_index(spark, path).packs.count()
+    p0 = spark.createDataFrame([(1, 2), (2, 3), (7, 11)], "id_a long, id_b long")
+    init_cluster_labels(p0, path)
+    labels_v1 = sorted(tuple(r) for r in read_cluster_labels(spark, path).collect())
 
     compact_dedup_index(spark, path, retain_generations=2)  # gen 2
     from pandas_aws_spark.operators.dedup import append_dedup_index
@@ -634,5 +647,87 @@ def test_dedup_snapshot_read_time_travel(spark, tmp_path):
     append_dedup_index(
         build_dedup_index(batch, "doc_id", "text"), path, batch_id="b1"
     )
+    # post-compaction merge fuses {1,2,3} with {7,11} via new doc 100
+    merge_cluster_labels(
+        spark.createDataFrame([(100, 3), (100, 7)], "id_a long, id_b long"),
+        path,
+        batch_id="b1",
+    )
     assert read_dedup_index(spark, path).packs.count() == docs.count()
     assert read_dedup_index(spark, path, generation=1).packs.count() == n1
+
+    # snapshot labels: gen 1 view is frozen at the bootstrap state;
+    # gen 2 (current) reflects the post-compaction merge
+    snap = sorted(
+        tuple(r)
+        for r in read_cluster_labels(spark, path, generation=1).collect()
+    )
+    assert snap == labels_v1
+    cur = dict(_labels(spark, path))
+    assert cur[7] == 1 and cur[11] == 1 and cur[100] == 1
+    assert dict(labels_v1)[7] == 7
+
+    with pytest.raises(ValueError, match="not a committed generation"):
+        read_cluster_labels(spark, path, generation=9)
+
+
+def test_compaction_folds_cluster_labels_and_migrates_legacy(spark, tmp_path):
+    """(r13) A base rewrite folds the cluster-label delta history into
+    one generation-resident clusters/batch=base: read-before equals
+    read-after, exactly one batch dir remains, net-tombstoned docs are
+    physically dropped (their exclusion carried), and a pre-r13 legacy
+    flat {path}/clusters dir is migrated into the generation store —
+    after which snapshot label reads work."""
+    import os
+
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.dedup import (
+        compact_dedup_index,
+        delete_from_dedup_index,
+        merge_cluster_labels,
+        read_cluster_labels,
+    )
+
+    path, _ = _cluster_fixture(spark, tmp_path)
+    merge_cluster_labels(
+        spark.createDataFrame([(20, 3), (21, 22)], "id_a long, id_b long"),
+        path,
+        batch_id="m1",
+    )
+    delete_from_dedup_index(
+        spark.createDataFrame([(8,)], "doc_id long"), path, batch_id="t1"
+    )
+
+    # simulate the pre-r13 layout: labels flat beside the generations
+    root1 = genstore.current_root(spark, path)
+    os.rename(f"{root1}/clusters", f"{path}/clusters")
+    before = _labels(spark, path)  # legacy fallback read
+    assert 8 not in dict(before)
+    with pytest.raises(ValueError, match="legacy flat-layout"):
+        read_cluster_labels(spark, path, generation=1)
+    # merges keep landing in the legacy dir — never split across both
+    merge_cluster_labels(
+        spark.createDataFrame([(30, 31)], "id_a long, id_b long"),
+        path,
+        batch_id="m2",
+    )
+    assert os.path.isdir(f"{path}/clusters/batch=m2")
+    assert not os.path.isdir(f"{root1}/clusters")
+    before = _labels(spark, path)
+
+    compact_dedup_index(spark, path)
+    root2 = genstore.current_root(spark, path)
+    assert root2 != root1
+    assert _labels(spark, path) == before, "fold preserves the label view"
+    assert not os.path.isdir(f"{path}/clusters"), "legacy dir migrated"
+    batches = [
+        d for d in os.listdir(f"{root2}/clusters") if d.startswith("batch=")
+    ]
+    assert batches == ["batch=base"], "delta history collapsed"
+    # physically dropped AND still excluded (exclusion carried forward)
+    folded = spark.read.parquet(f"{root2}/clusters")
+    assert folded.filter("doc_id = 8").count() == 0
+    assert sorted(
+        tuple(r)
+        for r in read_cluster_labels(spark, path, generation=2).collect()
+    ) == before

@@ -352,8 +352,14 @@ def read_ann_index(
     )
     params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
     id_col = params["id_col"]
-    codes = spark.read.parquet(f"{root}/codes").drop("batch")
-    vectors = spark.read.parquet(f"{root}/vectors").drop("batch")
+    # mergeSchema: batches may carry EVOLVED payload columns (r13,
+    # append_ann_index payload_evolution) — pre-evolution rows surface
+    # them as NULL; the cost is per-file footer reads, which the scan
+    # lists anyway, and a base rewrite re-unifies the physical schema.
+    codes = spark.read.option("mergeSchema", "true").parquet(f"{root}/codes").drop("batch")
+    vectors = (
+        spark.read.option("mergeSchema", "true").parquet(f"{root}/vectors").drop("batch")
+    )
     genstore.warn_if_tombstones_oversized(spark, root, "ann-index")
     # exclude_tombstone_batch: the retried-ledger-op view (one batch's
     # own rows dropped from the exclusion fold — net_dead_ids docs);
@@ -380,6 +386,7 @@ def append_ann_index(
     batch_id: str,
     staleness_check: bool = False,
     staleness_threshold: float = DRIFT_TV_EXCESS_THRESHOLD,
+    payload_evolution: bool = False,
 ) -> None:
     """Ingest a batch of NEW raw vectors into a stored index — assign
     to the EXISTING cells, encode with the EXISTING codebook, no
@@ -406,7 +413,24 @@ def append_ann_index(
 
     Recipe pinning: the stored params' dim is validated against the
     incoming vectors — appending dim-128 vectors into a dim-64 index
-    would corrupt every downstream distance silently."""
+    would corrupt every downstream distance silently.
+
+    ``payload_evolution`` (r13, the r12 verdict's ask #6 — real crawls
+    add metadata columns): relaxes the payload contract for THIS batch.
+    Extra non-internal columns beyond the declared ``payload_cols``
+    become NEW payload columns (older batches read back as NULL for
+    them via the schema-merging reader), and declared columns MISSING
+    from the batch are tolerated (this batch's rows read back NULL —
+    the dropped-column direction). Every batch payload column that
+    already exists in the stored schema must keep its exact type
+    (fail-fast — a silent type widening would poison filtered-search
+    pushdown). Ordering: batch dirs land FIRST, the params update
+    (extended ``payload_cols``) LAST via write-tmp-then-swap — a crash
+    after the batch write leaves the new column present-but-undeclared,
+    which only narrows what predicates validate until the retry
+    completes; no crash point makes reads wrong, and the params swap
+    window is two metadata ops that a retry repairs loudly. The
+    default False keeps the strict recipe-mismatch fail-fast."""
     if batch_id == "base":
         raise ValueError("batch_id 'base' is reserved for the initial index write")
     validate_batch_id(batch_id)
@@ -467,18 +491,68 @@ def append_ann_index(
     )
     vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell")
     payload_cols = tuple(c for c in params.get("payload_cols", "").split(",") if c)
-    if payload_cols:
+    extras: list[str] = []
+    if payload_evolution:
+        internal = {id_col, vec_col, "cell", "codes", "batch", "sub", "code"}
+        extras = [
+            c
+            for c in new_vectors.columns
+            if c not in internal and c not in payload_cols
+        ]
+        batch_payload = [c for c in payload_cols if c in new_vectors.columns] + extras
+        # type pinning against the stored merged schema: a re-added or
+        # colliding column must keep its exact type, or filtered-search
+        # pushdown starts comparing across types silently
+        stored_types = {
+            f.name: f.dataType
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(f"{root}/codes")
+            .schema.fields
+        }
+        batch_types = {f.name: f.dataType for f in new_vectors.schema.fields}
+        for c in batch_payload:
+            if c in stored_types and batch_types[c] != stored_types[c]:
+                raise ValueError(
+                    f"payload column {c!r} type mismatch: stored "
+                    f"{stored_types[c].simpleString()} vs batch "
+                    f"{batch_types[c].simpleString()} — evolution adds "
+                    "columns, it never retypes them"
+                )
+    else:
         missing = [c for c in payload_cols if c not in new_vectors.columns]
         if missing:
             raise ValueError(
                 f"index recipe mismatch: stored payload_cols {payload_cols} "
-                f"absent from batch: {missing}"
+                f"absent from batch: {missing} (pass payload_evolution=True "
+                "to evolve the payload schema)"
             )
-        payload = new_vectors.select(F.col(id_col), *[F.col(c) for c in payload_cols])
+        batch_payload = list(payload_cols)
+    if batch_payload:
+        payload = new_vectors.select(F.col(id_col), *[F.col(c) for c in batch_payload])
         codes = codes.join(payload, id_col)
         vectors = vectors.join(payload, id_col)
     delta = AnnIndex(cents, cb, codes, vectors, params)
     write_ann_index(delta, path, batch_id=batch_id)
+    if extras:
+        _extend_payload_cols(spark, root, params, list(payload_cols) + extras)
+
+
+def _extend_payload_cols(
+    spark: SparkSession, root: str, params: dict, new_cols: list[str]
+) -> None:
+    """Republish the one-row params frame with the evolved
+    ``payload_cols`` — write-tmp-then-swap so the unreadable window is
+    two filesystem metadata ops, not a write job; runs AFTER the batch
+    dirs landed (ordering rationale in :func:`append_ann_index`). A
+    retry that crashed mid-swap finds params missing, fails loudly at
+    the read, and re-running the append repairs it."""
+    new_params = {**params, "payload_cols": ",".join(new_cols)}
+    tmp = f"{root}/params_tmp"
+    spark.createDataFrame([new_params]).write.mode("overwrite").parquet(tmp)
+    fs, pdir, jvm = genstore._fs(spark, f"{root}/params")
+    tmppath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(pdir, True)
+    fs.rename(tmppath, pdir)
 
 
 def delete_from_ann_index(

@@ -1128,3 +1128,108 @@ def q_sim_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "l2sq_fp")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Payload-schema evolution (r13, the r12 verdict's ask #6): real crawls
+# add metadata columns mid-stream. Batch 1 appends WITH a new payload
+# column (src = vec_id % 5); batch 2 appends WITHOUT the original label
+# column (the dropped direction). Filtered searches run across the
+# mixed-schema batches with SQL null semantics: search 1 (post-b1,
+# index = base + b1) filters `label = 3 OR src = 2` — base rows
+# qualify by label only (src NULL), b1 rows by either; search 2
+# (post-b2) filters `label IS NULL OR label = 3` — exactly the b2 rows
+# (whose label reads back NULL) plus label-3 rows. The oracle rewrites
+# the ingest replay's membership + filter per search; everything else
+# (frozen-quantizer encode of appended rows included) is the proven
+# ingest pipeline.
+# --------------------------------------------------------------------------
+_ANN_EVOLVED_ORACLE = _ANN_INGEST_ORACLE.replace(
+    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+    "WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v"
+    " FROM embeddings),",
+).replace(
+    f"JOIN codes c ON (srch.search = 2 OR (c.{_BASE_PRED}))",
+    f"JOIN codes c ON (srch.search = 2 OR (c.{_BASE_PRED}) OR (c.{_B1_PRED}))\n"
+    "  JOIN e0 lab ON lab.vec_id = c.vec_id AND (\n"
+    f"    (srch.search = 1 AND (lab.label = {_FILTER_LABEL}\n"
+    f"                          OR ((lab.{_B1_PRED}) AND lab.vec_id % 5 = 2)))\n"
+    f"    OR (srch.search = 2 AND ((lab.{_B2_PRED})\n"
+    f"                             OR lab.label = {_FILTER_LABEL})))",
+)
+assert _ANN_EVOLVED_ORACLE != _ANN_INGEST_ORACLE  # both replaces must land
+assert "lab.label" in _ANN_EVOLVED_ORACLE
+
+
+@query(
+    "q_sim_index_evolved",
+    oracle=_ANN_EVOLVED_ORACLE,
+    tags=("similarity", "pq", "ivf", "filtered", "evolution"),
+)
+def q_sim_index_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN across EVOLVED payload schema, end to end on disk:
+    base built with payload ``label``; batch 1 appended with
+    ``payload_evolution=True`` carrying a NEW ``src`` column (older
+    rows read back NULL); batch 2 appended WITHOUT ``label`` (its rows
+    read back NULL — the dropped direction). Search 1 (post-b1)
+    filters ``label = 3 OR src = 2``: base rows qualify by label only,
+    b1 rows by either disjunct — NULL semantics exact. Search 2
+    (post-b2) filters ``label IS NULL OR label = 3``: precisely b2's
+    null-label rows plus every label-3 row. Both predicates reach the
+    merged-schema codes scan before the ADC stage (the filtered-search
+    contract); the oracle replays membership + filter per search over
+    the frozen-quantizer ingest pipeline."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        append_ann_index,
+        build_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    b1 = emb.filter(F.expr(_B1_PRED)).withColumn(
+        "src", (F.col("vec_id") % 5).cast("long")
+    )
+    b2 = emb.filter(F.expr(_B2_PRED)).drop("label")
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_evolved_")
+    write_ann_index(
+        build_ann_index(
+            base,
+            n_centroids=_NCENT,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+            iters=_PQ_ITERS,
+            payload_cols=("label",),
+        ),
+        path,
+    )
+    append_ann_index(b1, path, batch_id="b1", payload_evolution=True)
+    s1 = (
+        ann_index_topk(
+            qdf,
+            read_ann_index(spark, path),
+            nprobe=_IVFPQ_NPROBE,
+            k=_PQ_TOPK,
+            oversample=_PQ_OVERSAMPLE,
+            where=f"label = {_FILTER_LABEL} OR src = 2",
+        )
+        .withColumn("search", F.lit(1))
+        .localCheckpoint()
+    )
+    append_ann_index(b2, path, batch_id="b2", payload_evolution=True)
+    s2 = ann_index_topk(
+        qdf,
+        read_ann_index(spark, path),
+        nprobe=_IVFPQ_NPROBE,
+        k=_PQ_TOPK,
+        oversample=_PQ_OVERSAMPLE,
+        where=f"label IS NULL OR label = {_FILTER_LABEL}",
+    ).withColumn("search", F.lit(2))
+    return (
+        s1.unionByName(s2)
+        .select("search", "query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("search", "query_id", "rank")
+    )

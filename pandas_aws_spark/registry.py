@@ -240,7 +240,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/genstore.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
-        "q_sim_index_snapshot", "q_stream_ann_ingest",
+        "q_sim_index_snapshot", "q_sim_index_evolved", "q_stream_ann_ingest",
         "q_dedup_index_ingest", "q_dedup_index_delete",
         "q_dedup_index_rebuild", "q_dedup_cluster_incremental",
         "q_dedup_cluster_snapshot", "q_stream_dedup_ingest",
@@ -248,7 +248,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/annindex.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
-        "q_sim_index_snapshot", "q_stream_ann_ingest",
+        "q_sim_index_snapshot", "q_sim_index_evolved", "q_stream_ann_ingest",
         "q_dedup_semantic_decontaminate_indexed",
     ),
     "pandas_aws_spark/operators/dedup.py": (

@@ -905,3 +905,76 @@ def test_radius_search_current_after_stream_ingest(spark, tmp_path):
         .count()
     )
     assert post > pre, "streamed appends must surface in the next probe"
+
+
+def test_payload_schema_evolution_lifecycle(spark, tmp_path):
+    """(r13, verdict ask #6) Appends may evolve the payload schema:
+    a batch carrying a NEW metadata column extends payload_cols (older
+    rows read back NULL), a batch MISSING a declared column is
+    tolerated (its rows read back NULL), filtered search works across
+    the mixed-schema batches with SQL null semantics, strict mode
+    still fail-fasts, type retyping is rejected, and a compaction
+    re-unifies the physical schema while preserving results."""
+    from pandas_aws_spark.operators.annindex import compact_ann_index
+
+    emb, base, b1, b2 = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
+    )
+
+    # strict mode: extra column ignored, missing column rejected
+    with pytest.raises(ValueError, match="payload_evolution=True"):
+        append_ann_index(b1.drop("label"), path, batch_id="x1")
+
+    # evolve: b1 adds src; b2 drops label (and lacks src)
+    b1e = b1.withColumn("src", (F.col("vec_id") % 5).cast("long"))
+    append_ann_index(b1e, path, batch_id="b1", payload_evolution=True)
+    stored = read_ann_index(spark, path)
+    assert stored.params["payload_cols"] == "label,src"
+    assert stored.codes.filter("src IS NOT NULL").count() == b1.count()
+    assert stored.codes.filter("src IS NULL").count() == base.count()
+
+    append_ann_index(b2.drop("label"), path, batch_id="b2", payload_evolution=True)
+    stored = read_ann_index(spark, path)
+    assert stored.params["payload_cols"] == "label,src"
+    assert stored.codes.filter("label IS NULL").count() == b2.count()
+
+    # retyping is rejected
+    bad = b2.withColumn("src", F.lit("two")).withColumn(
+        "vec_id", F.col("vec_id") + 900_000
+    )
+    with pytest.raises(ValueError, match="never retypes"):
+        append_ann_index(bad, path, batch_id="b3", payload_evolution=True)
+
+    # filtered search across mixed-schema batches: null semantics
+    q = emb.filter(F.col("vec_id") < 3)
+    hits = ann_index_topk(q, stored, **_SEARCH, where="label = 3 OR src = 2")
+    rows = {r.neighbor_id for r in hits.collect()}
+    assert rows, "filtered search over evolved schema returned nothing"
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    b1_ids = {r.vec_id for r in b1.select("vec_id").collect()}
+    b2_ids = {r.vec_id for r in b2.select("vec_id").collect()}
+    for nid in rows:
+        ok = (lab[nid] == 3 and nid not in b2_ids) or (
+            nid in b1_ids and nid % 5 == 2
+        )
+        assert ok, f"neighbor {nid} fails the evolved predicate"
+
+    # compaction re-unifies the schema and preserves the filtered view
+    before = sorted(
+        tuple(r)
+        for r in ann_index_topk(
+            q, stored, **_SEARCH, where="label = 3 OR src = 2"
+        ).collect()
+    )
+    compact_ann_index(spark, path)
+    after_idx = read_ann_index(spark, path)
+    after = sorted(
+        tuple(r)
+        for r in ann_index_topk(
+            q, after_idx, **_SEARCH, where="label = 3 OR src = 2"
+        ).collect()
+    )
+    assert before == after
+    assert after_idx.params["payload_cols"] == "label,src"

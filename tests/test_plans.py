@@ -164,6 +164,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_sim_index_drift_signal": 16,
     "q_sim_index_rebuild": 16,  # stored-centroid fan-out, post-retrain search
     "q_sim_index_snapshot": 16,  # same fan-out, snapshot + current searches
+    "q_sim_index_evolved": 16,  # same fan-out, evolved-payload filtered searches
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

@@ -731,3 +731,66 @@ def test_compaction_folds_cluster_labels_and_migrates_legacy(spark, tmp_path):
         tuple(r)
         for r in read_cluster_labels(spark, path, generation=2).collect()
     ) == before
+
+
+def test_pathological_merge_bridges_many_clusters(spark, tmp_path):
+    """(r13, verdict ask #7) Worst-case label churn: ONE new hub doc
+    bridges K existing clusters in a single merge. Correctness: the
+    incremental labels still equal a from-scratch CC over the union
+    pair graph. Economics: the written delta is exactly the touched
+    set — every member of the K-1 relabeled clusters plus the new
+    endpoints — and the rep-graph CC ran over K reps + 1 hub, never
+    over the corpus; untouched clusters contribute zero delta rows."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.dedup import (
+        connected_components,
+        init_cluster_labels,
+        merge_cluster_labels,
+    )
+
+    K, S, UNTOUCHED = 40, 5, 30
+    groups = []
+    for g in range(K + UNTOUCHED):
+        base = 1000 * (g + 1)
+        groups.append([base + i for i in range(S)])
+    p0 = spark.createDataFrame(
+        [(m[0], x) for m in groups for x in m[1:]], "id_a long, id_b long"
+    )
+    path = str(tmp_path / "labels")
+    init_cluster_labels(p0, path)
+
+    hub = 7
+    p1 = spark.createDataFrame(
+        [(hub, groups[g][0]) for g in range(K)], "id_a long, id_b long"
+    )
+    merge_cluster_labels(p1, path, batch_id="b1")
+
+    got = sorted(tuple(r) for r in _labels_raw(spark, path))
+    want = sorted(
+        tuple(r) for r in connected_components(p0.unionByName(p1)).collect()
+    )
+    assert got == want
+    # delta accounting: hub + all K*S members of the bridged clusters
+    # relabel (their labels all exceed the hub's id 7, the new min);
+    # untouched clusters write NOTHING
+    root = genstore.current_root(spark, path)
+    delta = spark.read.parquet(f"{root}/clusters/batch=b1")
+    assert delta.count() == K * S + 1
+    touched_ids = {hub} | {x for g in range(K) for x in groups[g]}
+    assert {r.doc_id for r in delta.collect()} == touched_ids
+
+
+def _labels_raw(spark, path):
+    """Label fold WITHOUT the index-artifact tombstone step — for
+    label-only artifacts (no params/index data), as the pathological
+    merge fixture uses."""
+    from pyspark.sql import functions as F
+
+    from pandas_aws_spark.operators.dedup import _read_raw_cluster_labels
+
+    raw = _read_raw_cluster_labels(spark, path)
+    return (
+        raw.groupBy("doc_id")
+        .agg(F.max_by("cluster_id", "seq").alias("cluster_id"))
+        .collect()
+    )

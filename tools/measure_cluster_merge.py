@@ -106,7 +106,64 @@ def measure(spark, sf_dir: str, batch_docs: int) -> dict:
     }
 
 
+def measure_pathological(spark, n_groups: int, group_size: int, population: int) -> dict:
+    """Worst-case label churn (r12 verdict ask #7): ONE merge whose hub
+    doc bridges ``n_groups`` existing clusters of ``group_size`` docs
+    each, on top of an UNTOUCHED labeled population of ``population``
+    docs. The O(batch + touched) claim predicts wall time tracks
+    n_groups * group_size (the relabeled members) and stays flat as
+    ``population`` grows — the stored labels are only ever probed by
+    broadcast joins, never shuffled."""
+    docs_per_group = group_size
+    touched = n_groups * docs_per_group
+    work = tempfile.mkdtemp(prefix="measure_pathological_merge_")
+    path = f"{work}/labels"
+    spark_range = spark.range
+    try:
+        # synthetic label artifact: groups of `group_size` consecutive ids
+        # starting at 1000, plus `population` untouched docs above 10^9
+        g = spark_range(n_groups).selectExpr("id AS grp")
+        members = g.selectExpr(
+            f"explode(sequence(1, {docs_per_group - 1})) AS i",
+            f"1000 + grp * {docs_per_group} AS head",
+        ).selectExpr("head AS id_a", "head + i AS id_b")
+        upop = spark_range(population).selectExpr(
+            "id * 2 + 1000000000 AS id_a", "id * 2 + 1000000001 AS id_b"
+        )
+        init_cluster_labels(members.unionByName(upop), path, max_iter=6)
+
+        hub = spark_range(n_groups).selectExpr(
+            "CAST(7 AS LONG) AS id_a", f"1000 + id * {docs_per_group} AS id_b"
+        )
+        t0 = time.perf_counter()
+        merge_cluster_labels(hub, path, batch_id="patho")
+        t_merge = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "n_groups": n_groups,
+        "touched_rows": touched,
+        "population": population * 2,
+        "merge_s": round(t_merge, 2),
+    }
+
+
 def main() -> int:
+    if os.environ.get("PATHOLOGICAL"):
+        # one config per PROCESS: the bootstrap CC's localCheckpoint
+        # blocks from a previous config otherwise linger in executor
+        # storage and inflate the next config's wall (observed +3x)
+        n_groups, pop = (
+            int(x) for x in os.environ["PATHOLOGICAL"].split(",")
+        )
+        spark = get_spark(app_name="measure-pathological-merge")
+        spark.range(10).count()  # warm-up
+        r = measure_pathological(spark, n_groups, 20, pop)
+        print(
+            f"groups={r['n_groups']:6d} touched={r['touched_rows']:7d} "
+            f"untouched_pop={r['population']:8d} merge={r['merge_s']:7.2f}s"
+        )
+        return 0
     small = os.environ.get("SCALE_SMALL", "/root/testdata/sf0.01")
     big = os.environ.get("SCALE_BIG", "/root/testdata/sf0.1")
     batch_docs = int(os.environ.get("BATCH_DOCS", "512"))

@@ -247,6 +247,13 @@ def build_ann_index(
         "coarse": coarse,
         "coarse_iters": coarse_iters,
         "payload_cols": ",".join(payload_cols),
+        # name:type declarations so later appends type-check payload
+        # columns with a dict lookup instead of a footer scan (r13)
+        "payload_types": ",".join(
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in corpus.schema.fields
+            if f.name in payload_cols
+        ),
         "base_coherence": base_coh,
         "base_cells": base_cells,
         "base_cell_fracs": base_fracs,
@@ -306,7 +313,14 @@ def write_ann_index(
                 carry_tombstones, root, index.params["id_col"],
                 batch_id="base", op="del",
             )
-        spark.createDataFrame([index.params]).write.mode("overwrite").parquet(
+        # a base rewrite re-unifies the physical schema (the folded
+        # frames carry every evolved column, null-filled), so the
+        # schema-merging flag resets — payload_cols/payload_types
+        # carry forward as-is
+        base_params = {
+            k: v for k, v in index.params.items() if k != "payload_evolved"
+        }
+        spark.createDataFrame([base_params]).write.mode("overwrite").parquet(
             f"{root}/params"
         )
         genstore.commit_generation(spark, path, gen)
@@ -350,16 +364,19 @@ def read_ann_index(
         if generation is None
         else genstore.snapshot_root(spark, path, generation)
     )
-    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    params = _read_params(spark, root)
     id_col = params["id_col"]
-    # mergeSchema: batches may carry EVOLVED payload columns (r13,
-    # append_ann_index payload_evolution) — pre-evolution rows surface
-    # them as NULL; the cost is per-file footer reads, which the scan
-    # lists anyway, and a base rewrite re-unifies the physical schema.
-    codes = spark.read.option("mergeSchema", "true").parquet(f"{root}/codes").drop("batch")
-    vectors = (
-        spark.read.option("mergeSchema", "true").parquet(f"{root}/vectors").drop("batch")
-    )
+    # Schema-merging reads ONLY for indexes whose payload schema
+    # actually evolved (r13, append_ann_index payload_evolution —
+    # pre-evolution rows surface new columns as NULL): mergeSchema
+    # reads every file's footer eagerly, so unconditional merging
+    # would tax every read of every never-evolved index. The flag is
+    # set BEFORE the first mixed-schema batch lands (crash ordering in
+    # _extend_payload_cols) and cleared by base rewrites, which
+    # re-unify the physical schema.
+    merge = {"mergeSchema": "true"} if params.get("payload_evolved") else {}
+    codes = spark.read.options(**merge).parquet(f"{root}/codes").drop("batch")
+    vectors = spark.read.options(**merge).parquet(f"{root}/vectors").drop("batch")
     genstore.warn_if_tombstones_oversized(spark, root, "ann-index")
     # exclude_tombstone_batch: the retried-ledger-op view (one batch's
     # own rows dropped from the exclusion fold — net_dead_ids docs);
@@ -421,16 +438,20 @@ def append_ann_index(
     become NEW payload columns (older batches read back as NULL for
     them via the schema-merging reader), and declared columns MISSING
     from the batch are tolerated (this batch's rows read back NULL —
-    the dropped-column direction). Every batch payload column that
-    already exists in the stored schema must keep its exact type
-    (fail-fast — a silent type widening would poison filtered-search
-    pushdown). Ordering: batch dirs land FIRST, the params update
-    (extended ``payload_cols``) LAST via write-tmp-then-swap — a crash
-    after the batch write leaves the new column present-but-undeclared,
-    which only narrows what predicates validate until the retry
-    completes; no crash point makes reads wrong, and the params swap
-    window is two metadata ops that a retry repairs loudly. The
-    default False keeps the strict recipe-mismatch fail-fast."""
+    the dropped-column direction). Every batch payload column must
+    keep its DECLARED type (fail-fast via the params-pinned
+    ``payload_types`` — a dict lookup, no footer scan; a silent type
+    widening would poison filtered-search pushdown). Ordering: the
+    params update (extended ``payload_cols`` + the ``payload_evolved``
+    flag that turns on schema-merging reads) lands FIRST, the batch
+    dirs SECOND — so no crash point produces mixed-schema files a
+    plain (non-merging) read could resolve nondeterministically; a
+    crash between the two leaves a declared-but-absent column, which
+    merely makes predicates on it fail loudly until the retry
+    completes. The params swap itself keeps a readable file at every
+    crash point and is rolled forward by the next read
+    (:func:`_read_params`). The default False keeps the strict
+    recipe-mismatch fail-fast."""
     if batch_id == "base":
         raise ValueError("batch_id 'base' is reserved for the initial index write")
     validate_batch_id(batch_id)
@@ -465,7 +486,7 @@ def append_ann_index(
 
     spark = new_vectors.sparkSession
     root = genstore.current_root(spark, path)
-    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    params = _read_params(spark, root)
     id_col, vec_col = params["id_col"], params["vec_col"]
     first = new_vectors.select(F.size(as_double(vec_col)).alias("n")).first()
     if first is None:
@@ -492,6 +513,23 @@ def append_ann_index(
     vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell")
     payload_cols = tuple(c for c in params.get("payload_cols", "").split(",") if c)
     extras: list[str] = []
+    batch_types = {f.name: f.dataType.simpleString() for f in new_vectors.schema.fields}
+    # type pinning: declared types live in params (name:type list,
+    # written at build, extended on evolution) — the check is a dict
+    # lookup, no footer scan. A pre-r13 index without the key skips it
+    # (its first evolution backfills the declarations it can see).
+    declared_types = dict(
+        kv.split(":", 1)
+        for kv in params.get("payload_types", "").split(",")
+        if kv
+    )
+    for c in payload_cols:
+        if c in batch_types and c in declared_types and batch_types[c] != declared_types[c]:
+            raise ValueError(
+                f"payload column {c!r} type mismatch: stored "
+                f"{declared_types[c]} vs batch {batch_types[c]} — "
+                "evolution adds columns, it never retypes them"
+            )
     if payload_evolution:
         internal = {id_col, vec_col, "cell", "codes", "batch", "sub", "code"}
         extras = [
@@ -500,24 +538,20 @@ def append_ann_index(
             if c not in internal and c not in payload_cols
         ]
         batch_payload = [c for c in payload_cols if c in new_vectors.columns] + extras
-        # type pinning against the stored merged schema: a re-added or
-        # colliding column must keep its exact type, or filtered-search
-        # pushdown starts comparing across types silently
-        stored_types = {
-            f.name: f.dataType
-            for f in spark.read.option("mergeSchema", "true")
-            .parquet(f"{root}/codes")
-            .schema.fields
-        }
-        batch_types = {f.name: f.dataType for f in new_vectors.schema.fields}
-        for c in batch_payload:
-            if c in stored_types and batch_types[c] != stored_types[c]:
-                raise ValueError(
-                    f"payload column {c!r} type mismatch: stored "
-                    f"{stored_types[c].simpleString()} vs batch "
-                    f"{batch_types[c].simpleString()} — evolution adds "
-                    "columns, it never retypes them"
-                )
+        drops_declared = set(batch_payload) - set(extras) != set(payload_cols)
+        needs_flag = drops_declared and not params.get("payload_evolved")
+        if extras or needs_flag:
+            # declare BEFORE the batch dirs land (crash ordering in
+            # _extend_payload_cols): new columns extend payload_cols;
+            # a batch that drops a declared column flips on the
+            # schema-merging flag so its null-filled rows resolve
+            # deterministically. A fully-conforming batch skips the
+            # swap entirely.
+            types = dict(declared_types)
+            types.update({c: batch_types[c] for c in batch_payload})
+            _extend_payload_cols(
+                spark, root, params, list(payload_cols) + extras, types
+            )
     else:
         missing = [c for c in payload_cols if c not in new_vectors.columns]
         if missing:
@@ -533,26 +567,70 @@ def append_ann_index(
         vectors = vectors.join(payload, id_col)
     delta = AnnIndex(cents, cb, codes, vectors, params)
     write_ann_index(delta, path, batch_id=batch_id)
-    if extras:
-        _extend_payload_cols(spark, root, params, list(payload_cols) + extras)
+
+
+def _read_params(spark: SparkSession, root: str) -> dict:
+    """One-row params read with SELF-REPAIR of an interrupted
+    evolution swap (:func:`_extend_payload_cols`): whenever ``params``
+    is missing but the in-flight ``params_tmp`` exists, the swap rolls
+    FORWARD (tmp always holds the newest declaration, and a
+    declared-but-not-yet-written payload column is benign — it only
+    narrows which predicates validate); a leftover ``params_old`` from
+    a crash after the forward rename is cleaned. Every params consumer
+    in this module reads through here, so the repair runs before any
+    op touches the artifact — no crash point leaves the index
+    unreadable past one retried call."""
+    fs, pdir, jvm = genstore._fs(spark, f"{root}/params")
+    hp = jvm.org.apache.hadoop.fs.Path
+    tmp, old = hp(f"{root}/params_tmp"), hp(f"{root}/params_old")
+    if not fs.exists(pdir):
+        if fs.exists(tmp):
+            if not fs.rename(tmp, pdir):
+                raise IOError(f"params swap repair failed: {tmp} -> {pdir}")
+        elif fs.exists(old):
+            if not fs.rename(old, pdir):
+                raise IOError(f"params swap repair failed: {old} -> {pdir}")
+    if fs.exists(pdir) and fs.exists(old):
+        fs.delete(old, True)
+    return spark.read.parquet(f"{root}/params").collect()[0].asDict()
 
 
 def _extend_payload_cols(
-    spark: SparkSession, root: str, params: dict, new_cols: list[str]
+    spark: SparkSession, root: str, params: dict, new_cols: list[str], types: dict
 ) -> None:
     """Republish the one-row params frame with the evolved
-    ``payload_cols`` — write-tmp-then-swap so the unreadable window is
-    two filesystem metadata ops, not a write job; runs AFTER the batch
-    dirs landed (ordering rationale in :func:`append_ann_index`). A
-    retry that crashed mid-swap finds params missing, fails loudly at
-    the read, and re-running the append repairs it."""
-    new_params = {**params, "payload_cols": ",".join(new_cols)}
+    ``payload_cols``/``payload_types`` and the ``payload_evolved``
+    flag (turns on schema-merging reads). Runs BEFORE the batch dirs
+    land, so no crash point produces undeclared mixed-schema files a
+    plain read could resolve nondeterministically. The swap keeps a
+    readable params at every crash point: write ``params_tmp`` →
+    rename ``params`` aside to ``params_old`` → rename tmp in → delete
+    old; a crash mid-swap is rolled forward by :func:`_read_params`
+    on the next touch of the artifact, and rename failures raise
+    instead of reporting a half-applied evolution."""
+    new_params = {
+        **params,
+        "payload_cols": ",".join(new_cols),
+        "payload_types": ",".join(
+            f"{c}:{types[c]}" for c in new_cols if c in types
+        ),
+        "payload_evolved": True,
+    }
     tmp = f"{root}/params_tmp"
     spark.createDataFrame([new_params]).write.mode("overwrite").parquet(tmp)
     fs, pdir, jvm = genstore._fs(spark, f"{root}/params")
-    tmppath = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(pdir, True)
-    fs.rename(tmppath, pdir)
+    hp = jvm.org.apache.hadoop.fs.Path
+    tmppath, old = hp(tmp), hp(f"{root}/params_old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(pdir, old):
+        raise IOError(f"params swap failed: {pdir} -> {old}")
+    if not fs.rename(tmppath, pdir):
+        raise IOError(
+            f"params swap failed: {tmp} -> {pdir} (params_old holds the "
+            "previous declaration; the next read rolls the swap forward)"
+        )
+    fs.delete(old, True)
 
 
 def delete_from_ann_index(
@@ -587,7 +665,7 @@ def delete_from_ann_index(
     validate_ledger_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
-    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    params = _read_params(spark, root)
     id_col = params["id_col"]
     if id_col not in ids.columns:
         raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
@@ -702,7 +780,7 @@ def undelete_from_ann_index(ids: DataFrame, path: str, *, batch_id: str) -> None
     validate_ledger_batch_id(batch_id)
     spark = ids.sparkSession
     root = genstore.current_root(spark, path)
-    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    params = _read_params(spark, root)
     id_col = params["id_col"]
     if id_col not in ids.columns:
         raise ValueError(f"tombstone frame must carry the index id column {id_col!r}")
@@ -859,7 +937,7 @@ def quantizer_staleness(new_vectors: DataFrame, path: str) -> dict:
 
     spark = new_vectors.sparkSession
     root = genstore.current_root(spark, path)
-    params = spark.read.parquet(f"{root}/params").collect()[0].asDict()
+    params = _read_params(spark, root)
     id_col, vec_col = params["id_col"], params["vec_col"]
     cents = spark.read.parquet(f"{root}/centroids")
     cn = l2_normalize(
@@ -1073,11 +1151,18 @@ def ann_index_radius(
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
+    # persist (not localCheckpoint): the frame feeds the cells collect
+    # AND the scoring join, and a cached plan can be RELEASED — a
+    # standing decontamination loop calls release_cached_inputs on
+    # each result (the r12 cache-release protocol; bench/oracle
+    # materialization does it unconditionally), where checkpoint
+    # blocks would linger until driver GC (the SCALE.md r13
+    # interference note).
     probes = (
         qc.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", F.col("centroid_id").alias("cell"), "qv")
-        .localCheckpoint()
+        .persist()
     )
     # <= n_centroids ints: the sanctioned driver-side scalar read (the
     # one-row-params class) that turns cell pruning into a LITERAL
@@ -1091,6 +1176,8 @@ def ann_index_radius(
     )
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    return pairs.filter(F.col("cos_sim") >= F.lit(float(threshold))).select(
+    out = pairs.filter(F.col("cos_sim") >= F.lit(float(threshold))).select(
         "query_id", "neighbor_id", "cos_sim"
     )
+    out._pandas_aws_cached = (probes,)
+    return out

@@ -1223,11 +1223,15 @@ def q_dedup_semantic_decontaminate_indexed(
     hits = ann_index_radius(
         bench, stored, threshold=_SEM_DECONTAM_THR, nprobe=_SEMIDX_NPROBE
     )
-    return (
+    out = (
         hits.groupBy(F.col("query_id").alias("vec_id"))
         .agg(F.count("*").alias("n_contaminating"), F.max("cos_sim").alias("max_cos"))
         .orderBy("vec_id")
     )
+    # carry the probe cache handle to the returned frame so the
+    # bench/oracle materialization hooks release it (r12 protocol)
+    out._pandas_aws_cached = getattr(hits, "_pandas_aws_cached", ())
+    return out
 
 
 # --------------------------------------------------------------------------

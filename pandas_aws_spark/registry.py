@@ -244,6 +244,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
         "q_dedup_index_ingest", "q_dedup_index_delete",
         "q_dedup_index_rebuild", "q_dedup_cluster_incremental",
         "q_dedup_cluster_snapshot", "q_stream_dedup_ingest",
+        "q_dedup_semantic_decontaminate_indexed",
     ),
     "pandas_aws_spark/operators/annindex.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",

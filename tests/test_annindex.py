@@ -978,3 +978,50 @@ def test_payload_schema_evolution_lifecycle(spark, tmp_path):
     )
     assert before == after
     assert after_idx.params["payload_cols"] == "label,src"
+
+
+def test_params_swap_repair_after_interrupted_evolution(spark, tmp_path):
+    """(r13 review) The evolution params swap must never brick the
+    index: simulate a crash BETWEEN the two renames (params moved
+    aside, tmp holding the new declaration) — the next read rolls the
+    swap forward and every op works; a stale params_old alongside a
+    live params is cleaned up, and a stale params_tmp next to a live
+    params is ignored (never rolled over a newer declaration)."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.annindex import _read_params
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE, payload_cols=("label",)), path)
+    root = genstore.current_root(spark, path)
+
+    # run a real evolution, then reconstruct the mid-swap crash state:
+    # params -> params_old, new declaration left in params_tmp
+    b1e = b1.withColumn("src", (F.col("vec_id") % 5).cast("long"))
+    append_ann_index(b1e, path, batch_id="b1", payload_evolution=True)
+    evolved = _read_params(spark, root)
+    assert evolved["payload_cols"] == "label,src" and evolved["payload_evolved"]
+
+    fs, pdir, jvm = genstore._fs(spark, f"{root}/params")
+    hp = jvm.org.apache.hadoop.fs.Path
+    spark.createDataFrame([evolved]).write.mode("overwrite").parquet(
+        f"{root}/params_tmp"
+    )
+    assert fs.rename(pdir, hp(f"{root}/params_old"))
+    assert not fs.exists(pdir)
+
+    # any read repairs: rolls tmp forward, cleans params_old
+    stored = read_ann_index(spark, path)
+    assert stored.params["payload_cols"] == "label,src"
+    assert fs.exists(pdir)
+    assert not fs.exists(hp(f"{root}/params_tmp"))
+    assert not fs.exists(hp(f"{root}/params_old"))
+    assert stored.codes.filter("src IS NOT NULL").count() == b1.count()
+
+    # stale tmp next to a LIVE params is never rolled forward
+    stale = dict(evolved)
+    stale["payload_cols"] = "label"
+    spark.createDataFrame([stale]).write.mode("overwrite").parquet(
+        f"{root}/params_tmp"
+    )
+    assert _read_params(spark, root)["payload_cols"] == "label,src"

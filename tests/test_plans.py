@@ -165,6 +165,11 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_sim_index_rebuild": 16,  # stored-centroid fan-out, post-retrain search
     "q_sim_index_snapshot": 16,  # same fan-out, snapshot + current searches
     "q_sim_index_evolved": 16,  # same fan-out, evolved-payload filtered searches
+    # radius-probe centroid fan-out (<= 8 centroid rows broadcast); the
+    # probes frame is persisted, so whether the BNLJ surfaces in the
+    # top-level plan depends on cache registration timing — allowlisted
+    # with the same cap either way
+    "q_dedup_semantic_decontaminate_indexed": 16,
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

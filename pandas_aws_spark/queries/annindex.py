@@ -1233,3 +1233,97 @@ def q_sim_index_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("search", "query_id", "neighbor_id", "rank", "l2sq_fp")
         .orderBy("search", "query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-adaptive rebuild (r14, the r13 verdict's missing #4): the
+# drift-triggered retrain derives its centroid count from the LIVE row
+# count (target rows/cell — the constant-occupancy recipe SCALE.md r13
+# measured as the flat-probe-cost path: 2.83 s at 10x corpus vs 6.07 s
+# with the frozen count), floored at the stored recipe's count. The
+# oracle replays the derivation as an exact integer scalar subquery
+# (`sql_recommended_n_centroids`) inside the coarse-centroid CTE — the
+# same corpus-derived-scalar pattern as `recommended_n_planes` /
+# `recommended_max_band_bucket` — so the entry's hash pins BOTH the
+# retrain and the sizing rule at every scale factor (ncent = 5 at
+# sf0.01's 500 vectors, 20 at sf0.1's 2000).
+# ---------------------------------------------------------------------------
+_ADAPT_BASE_NCENT = 2   # deliberately under-celled base recipe
+_ADAPT_TARGET = 100     # rows/cell target the rebuild restores
+
+from ..operators.annindex import sql_recommended_n_centroids  # noqa: E402
+
+_ANN_REBUILD_ADAPTIVE_ORACLE = _ANN_REBUILD_ORACLE.replace(
+    f"""cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e2 ORDER BY vec_id LIMIT {_NCENT}
+),""",
+    f"""cent AS (
+  SELECT centroid_id, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+    FROM e2)
+  WHERE centroid_id <= GREATEST({_ADAPT_BASE_NCENT},
+        {sql_recommended_n_centroids("embeddings", _ADAPT_TARGET)})
+),""",
+)
+assert _ANN_REBUILD_ADAPTIVE_ORACLE != _ANN_REBUILD_ORACLE  # replace must land
+assert "GREATEST(2," in _ANN_REBUILD_ADAPTIVE_ORACLE
+
+
+@query(
+    "q_sim_index_rebuild_adaptive",
+    oracle=_ANN_REBUILD_ADAPTIVE_ORACLE,
+    tags=("similarity", "pq", "ivf", "rebuild", "adaptive"),
+)
+def q_sim_index_rebuild_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive rebuild lifecycle: base index deliberately
+    UNDER-celled (2 centroids), two appends land under the frozen
+    quantizers, then ``rebuild_ann_index`` with a 100-rows/cell target
+    derives ``max(2, recommended_n_centroids(live_rows, 100))``
+    centroids — restoring cell occupancy as the corpus grows, the
+    production recipe SCALE.md r13 measured as the flat-probe-cost
+    path. The searched index therefore has a DIFFERENT (corpus-
+    derived) cell structure at every scale factor, and the oracle
+    replays the sizing rule as an exact integer scalar subquery plus
+    the full retrain.
+
+    Reference analogue: none — north-star extension (SURVEY §2.9)."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        append_ann_index,
+        build_ann_index,
+        read_ann_index,
+        rebuild_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    b1 = emb.filter(F.expr(_B1_PRED))
+    b2 = emb.filter(F.expr(_B2_PRED))
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_rebuild_adaptive_")
+    write_ann_index(
+        build_ann_index(
+            base,
+            n_centroids=_ADAPT_BASE_NCENT,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+            iters=_PQ_ITERS,
+        ),
+        path,
+    )
+    append_ann_index(b1, path, batch_id="b1")
+    append_ann_index(b2, path, batch_id="b2")
+    rebuild_ann_index(spark, path, target_cell_rows=_ADAPT_TARGET)
+    return (
+        ann_index_topk(
+            qdf,
+            read_ann_index(spark, path),
+            nprobe=_IVFPQ_NPROBE,
+            k=_PQ_TOPK,
+            oversample=_PQ_OVERSAMPLE,
+        )
+        .select("query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("query_id", "rank")
+    )

@@ -208,13 +208,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r13 start: the nine r12 bounded_window_key plan rewrites
-    # re-verified green in CORRECTNESS_r12.json — cleared per the
-    # self-expiry protocol; freed slots flow to the r7-evidence
-    # cohort. The git-diff-derived substrate_rewritten() below claims
-    # slots automatically for substrate changes; this map stays for
-    # optimized-plan rewrites, seeded per round from
-    # tools/diff_plans.py output.)
+    # (r13's three new surfaces re-verified green in
+    # CORRECTNESS_r13.json — cleared per the self-expiry protocol.)
+    # r14: the query-side broadcast guard on ann_index_topk /
+    # ann_index_radius (r13 verdict missing #5) adds the in-plan cap
+    # window to every stored-index search — tools/diff_plans.py
+    # r14 base->HEAD: 6 rewritten, 1 new, 232 unchanged. Values are
+    # guard-neutral below the cap; the window re-verifies them.
+    "q_dedup_semantic_decontaminate_indexed": 14,
+    "q_sim_index_evolved": 14,
+    "q_sim_index_filtered": 14,
+    "q_sim_index_ingest": 14,
+    "q_sim_index_rebuild": 14,
+    "q_sim_index_snapshot": 14,
 }
 
 # ---------------------------------------------------------------------------
@@ -240,6 +246,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/genstore.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
+        "q_sim_index_rebuild_adaptive",
         "q_sim_index_snapshot", "q_sim_index_evolved", "q_stream_ann_ingest",
         "q_dedup_index_ingest", "q_dedup_index_delete",
         "q_dedup_index_rebuild", "q_dedup_cluster_incremental",
@@ -249,6 +256,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/annindex.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
+        "q_sim_index_rebuild_adaptive",
         "q_sim_index_snapshot", "q_sim_index_evolved", "q_stream_ann_ingest",
         "q_dedup_semantic_decontaminate_indexed",
     ),

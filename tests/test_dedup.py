@@ -794,3 +794,52 @@ def _labels_raw(spark, path):
         .agg(F.max_by("cluster_id", "seq").alias("cluster_id"))
         .collect()
     )
+
+
+def test_cluster_labels_compose_with_vacuum_and_repeat_compaction(spark, tmp_path):
+    """(r14, r13 verdict ask #6) vacuum_generations composes with the
+    generation-resident cluster labels: a vacuumed generation's LABEL
+    read fails with the same clear committed-history error as its
+    index read (never a raw FileNotFound), a retained snapshot keeps
+    serving both views, and carry_labels folding survives BACK-TO-BACK
+    compactions — the fold of a fold still equals a from-scratch
+    connected-components run over the union pair graph."""
+    from pandas_aws_spark.operators import genstore
+    from pandas_aws_spark.operators.dedup import (
+        compact_dedup_index,
+        connected_components,
+        merge_cluster_labels,
+        read_cluster_labels,
+        read_dedup_index,
+    )
+
+    path, p0 = _cluster_fixture(spark, tmp_path)  # gen 1 + init labels
+    p1 = spark.createDataFrame(
+        [(20, 3), (20, 7), (21, 22)], "id_a long, id_b long"
+    )
+    merge_cluster_labels(p1, path, batch_id="b1")
+    compact_dedup_index(spark, path, retain_generations=3)  # gen 2: folds deltas
+    p2 = spark.createDataFrame([(22, 1)], "id_a long, id_b long")
+    merge_cluster_labels(p2, path, batch_id="b2")
+    compact_dedup_index(spark, path, retain_generations=3)  # gen 3: folds the fold
+
+    want = sorted(
+        tuple(r)
+        for r in connected_components(p0.unionByName(p1).unionByName(p2)).collect()
+    )
+    assert _labels(spark, path) == want, "fold-of-a-fold drifted from scratch CC"
+
+    # vacuum the oldest retained generation: BOTH reads of it must fail
+    # with the committed-history error, and the retained snapshot keeps
+    # serving a label view consistent with its index view
+    deleted = genstore.vacuum_generations(spark, path, retain=2)
+    assert 1 in deleted
+    with pytest.raises(ValueError, match="committed history"):
+        read_dedup_index(spark, path, generation=1)
+    with pytest.raises(ValueError, match="committed history"):
+        read_cluster_labels(spark, path, generation=1)
+    g2 = sorted(
+        tuple(r) for r in read_cluster_labels(spark, path, generation=2).collect()
+    )
+    assert g2 == want  # b2's delta landed in gen 2's dir before gen 3 froze it
+    assert read_dedup_index(spark, path, generation=2).packs.count() > 0

@@ -118,14 +118,50 @@ def measure(spark, sf_dir: str) -> dict:
             )
 
         t_probe = _timed(probe)
+
+        # ADAPTIVE_TARGET=<rows/cell> (r14): measure the probe AFTER the
+        # corpus-adaptive rebuild lifecycle — rebuild_ann_index derives
+        # max(stored ncent, ceil(live/target)) and retrains, so this is
+        # the drift-trigger path's post-restore probe cost, the number
+        # the constant-rows/cell recipe (SCALE.md r13) predicts stays
+        # flat vs corpus.
+        t_rebuild = ncent_adaptive = t_probe_adaptive = None
+        target = os.environ.get("ADAPTIVE_TARGET")
+        if target:
+            from pandas_aws_spark.operators.annindex import rebuild_ann_index
+
+            t0 = time.perf_counter()
+            rebuild_ann_index(spark, path, target_cell_rows=int(target))
+            t_rebuild = time.perf_counter() - t0
+            stored = read_ann_index(spark, path)
+            ncent_adaptive = int(stored.params["n_centroids"])
+
+            def probe_adaptive():
+                hits = ann_index_radius(
+                    bench, stored, threshold=THR, nprobe=NPROBE
+                )
+                _noop(
+                    hits.groupBy("query_id").agg(
+                        F.count("*").alias("n"), F.max("cos_sim").alias("m")
+                    )
+                )
+
+            t_probe_adaptive = _timed(probe_adaptive)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return {
+    out = {
         "train_rows": n_train,
         "recompute_s": round(t_recompute, 2),
         "index_build_s": round(t_build, 2),
         "probe_s": round(t_probe, 2),
     }
+    if t_probe_adaptive is not None:
+        out |= {
+            "rebuild_s": round(t_rebuild, 2),
+            "ncent_adaptive": ncent_adaptive,
+            "probe_adaptive_s": round(t_probe_adaptive, 2),
+        }
+    return out
 
 
 def _synth(spark, n_rows: int, dim: int, out: str) -> None:
@@ -161,11 +197,18 @@ def main() -> int:
                 r = measure(spark, work)
                 r["scale"] = label
                 rows.append(r)
+                extra = (
+                    f" rebuild={r['rebuild_s']:7.2f}s "
+                    f"ncent={r['ncent_adaptive']} "
+                    f"probe_adaptive={r['probe_adaptive_s']:7.2f}s"
+                    if "probe_adaptive_s" in r
+                    else ""
+                )
                 print(
                     f"{label:5s} train={r['train_rows']:8d} "
                     f"recompute={r['recompute_s']:7.2f}s "
                     f"build_once={r['index_build_s']:7.2f}s "
-                    f"probe={r['probe_s']:7.2f}s"
+                    f"probe={r['probe_s']:7.2f}s" + extra
                 )
             finally:
                 shutil.rmtree(work, ignore_errors=True)

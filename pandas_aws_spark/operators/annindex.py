@@ -1213,6 +1213,38 @@ def rebuild_ann_index(
     )
 
 
+def _probe_frame(
+    qn: DataFrame, centroids: DataFrame, vec_col: str, nprobe: int
+) -> DataFrame:
+    """The per-query probed-cell frame ``(query_id, cell, qv)`` —
+    ranking mirrors :func:`..operators.pq.ivf_pq_topk` bit-for-bit
+    (cosine form with per-row norms, centroid_id tie-break) so one
+    oracle replay serves every stored-search shape. Lazy; callers
+    persist if they consume it more than once. ``qn`` must already be
+    the L2-normalized ``(query_id, qv)`` projection."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot as _dot
+    from ..functions.vector import norm as _norm
+
+    cc = centroids.select(
+        "centroid_id", F.col(vec_col).alias("cvec_c")
+    ).withColumn("_ncc", _norm(F.col("cvec_c")))
+    qc = (
+        qn.withColumn("_nq", _norm(F.col("qv")))
+        .crossJoin(F.broadcast(cc))
+        .withColumn(
+            "_sim", _dot(F.col("qv"), F.col("cvec_c")) / (F.col("_nq") * F.col("_ncc"))
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
+    return (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"), "qv")
+    )
+
+
 def ann_index_topk(
     queries: DataFrame,
     index: AnnIndex,
@@ -1238,6 +1270,13 @@ def ann_index_topk(
     actionable cap message instead of an executor broadcast OOM.
     ``None`` opts out deliberately.
 
+    Since r14 the union of probed cells is pushed into BOTH stored
+    scans as a literal ``cell IN (...)`` PushedFilter (details at the
+    inline comment below): with the cell-clustered layout
+    (:func:`_cell_cluster`) per-search I/O reads ~nprobe/n_centroids
+    of the index's row groups instead of decoding everything and
+    letting the ADC join discard the rest.
+
     ``where``: SQL predicate over the index's ``payload_cols``
     (filtered ANN — "top-k neighbors among label=3 docs"). Applied to
     BOTH index frames BEFORE the search, so (a) the predicate reaches
@@ -1252,8 +1291,39 @@ def ann_index_topk(
         _validate_payload_predicate(codes, p, where)
         codes = codes.filter(where)
         vectors = vectors.filter(where)
+    guarded = _guarded_query_side(queries, max_query_rows, "ann_index_topk")
+    # Literal cell pruning (r14): the ADC join already restricts code
+    # rows to each query's probed cells, but a JOIN-side restriction
+    # never reaches the parquet scan — the codes (and re-rank vectors)
+    # scans read every row group. Collecting the distinct probed cells
+    # (<= n_centroids ints, the same sanctioned driver-side scalar read
+    # ann_index_radius uses) and filtering both stored frames with a
+    # literal `cell IN (...)` is semantically a no-op (every ADC pair
+    # and every shortlisted re-rank row already lies in a probed cell)
+    # but turns the restriction into a PushedFilter that skips
+    # non-probed row groups of the cell-clustered layout
+    # (:func:`_cell_cluster`) — per-search I/O tracks nprobe/n_centroids
+    # of the index instead of the full corpus. The probe ranking is the
+    # bit-exact mirror of ivf_pq_topk's internal one (:func:`_probe_frame`),
+    # so the probed set is identical and results are unchanged.
+    qn = l2_normalize(
+        guarded.select(
+            F.col(p["id_col"]).alias("query_id"),
+            as_double(p["vec_col"]).alias("qv"),
+        ),
+        vec_col="qv",
+    )
+    cells = [
+        r["cell"]
+        for r in _probe_frame(qn, index.centroids, p["vec_col"], nprobe)
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    codes = codes.filter(F.col("cell").isin(cells))
+    vectors = vectors.filter(F.col("cell").isin(cells))
     return ivf_pq_topk(
-        _guarded_query_side(queries, max_query_rows, "ann_index_topk"),
+        guarded,
         None,
         id_col=p["id_col"],
         vec_col=p["vec_col"],
@@ -1331,23 +1401,8 @@ def ann_index_radius(
         ),
         vec_col="qv",
     )
-    # probe ranking mirrors ivf_pq_topk bit-for-bit (cosine form with
-    # per-row norms, centroid_id tie-break) so one oracle replay serves
-    # both search shapes
-    from ..functions.vector import norm as _norm
-    from pyspark.sql import Window
-
-    cc = index.centroids.select(
-        "centroid_id", F.col(vec_col).alias("cvec_c")
-    ).withColumn("_ncc", _norm(F.col("cvec_c")))
-    qc = (
-        qn.withColumn("_nq", _norm(F.col("qv")))
-        .crossJoin(F.broadcast(cc))
-        .withColumn(
-            "_sim", _dot(F.col("qv"), F.col("cvec_c")) / (F.col("_nq") * F.col("_ncc"))
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
+    # probe ranking: the bit-exact ivf_pq_topk mirror, shared with
+    # ann_index_topk's cell pruning (:func:`_probe_frame`).
     # persist (not localCheckpoint): the frame feeds the cells collect
     # AND the scoring join, and a cached plan can be RELEASED — a
     # standing decontamination loop calls release_cached_inputs on
@@ -1355,12 +1410,7 @@ def ann_index_radius(
     # materialization does it unconditionally), where checkpoint
     # blocks would linger until driver GC (the SCALE.md r13
     # interference note).
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", F.col("centroid_id").alias("cell"), "qv")
-        .persist()
-    )
+    probes = _probe_frame(qn, index.centroids, vec_col, nprobe).persist()
     # <= n_centroids ints: the sanctioned driver-side scalar read (the
     # one-row-params class) that turns cell pruning into a LITERAL
     # pushed filter on the vectors scan instead of a join-side prune

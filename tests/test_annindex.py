@@ -1271,3 +1271,45 @@ def test_rebuild_adaptive_centroids(spark, tmp_path):
     assert idx.centroids.count() == 3
     q = emb.filter(F.col("vec_id") < 3)
     assert ann_index_topk(q, idx, **_SEARCH).count() > 0
+
+
+def test_topk_search_prunes_scans_to_probed_cells(spark, tmp_path):
+    """(r14) ann_index_topk collects the union of probed cells and
+    pushes it into BOTH stored scans (codes for ADC, vectors for the
+    exact re-rank) as a literal cell IN (...) PushedFilter — with the
+    cell-clustered layout the per-search I/O tracks nprobe/n_centroids
+    of the index. Results must equal the unpruned delegate search
+    bit-for-bit (the ADC join already restricted pairs to probed
+    cells, so the pruning is semantically a no-op)."""
+    from pandas_aws_spark.operators.pq import ivf_pq_topk
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    append_ann_index(b1, path, batch_id="b1")
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    hits = ann_index_topk(q, stored, **_SEARCH)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    n_pushed = plan.count("In(cell")
+    assert n_pushed >= 2, f"expected cell IN pushed to codes+vectors scans:\n{plan}"
+
+    p = stored.params
+    want = ivf_pq_topk(
+        q,
+        None,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        n_centroids=p["n_centroids"],
+        nprobe=_SEARCH["nprobe"],
+        m=p["m"],
+        k_codes=p["k_codes"],
+        iters=p["iters"],
+        k=_SEARCH["k"],
+        oversample=_SEARCH["oversample"],
+        centroids=stored.centroids,
+        codebook=stored.codebook,
+        codes=stored.codes,
+        vectors=stored.vectors,
+    )
+    assert _rows(hits) == _rows(want)

@@ -99,7 +99,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import as_double
 from . import genstore
 from .dedup import validate_batch_id, validate_ledger_batch_id
-from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode
+from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode, probe_frame
 from .similarity import MAX_QUERY_SIDE_ROWS, _guarded_query_side
 
 # Calibrated re-train trigger (SCALE.md r10, tools/measure_quantizer_
@@ -148,6 +148,8 @@ def sql_recommended_n_centroids(
     subquery — integer ceiling division only (``//`` on BIGINT), no
     float round-trip, so it agrees with the Python side at every
     count."""
+    if int(target_cell_rows) <= 0:
+        raise ValueError("target_cell_rows must be positive")
     pred = f" WHERE {where}" if where else ""
     t = int(target_cell_rows)
     return (
@@ -1213,38 +1215,6 @@ def rebuild_ann_index(
     )
 
 
-def _probe_frame(
-    qn: DataFrame, centroids: DataFrame, vec_col: str, nprobe: int
-) -> DataFrame:
-    """The per-query probed-cell frame ``(query_id, cell, qv)`` —
-    ranking mirrors :func:`..operators.pq.ivf_pq_topk` bit-for-bit
-    (cosine form with per-row norms, centroid_id tie-break) so one
-    oracle replay serves every stored-search shape. Lazy; callers
-    persist if they consume it more than once. ``qn`` must already be
-    the L2-normalized ``(query_id, qv)`` projection."""
-    from pyspark.sql import Window
-
-    from ..functions.vector import dot as _dot
-    from ..functions.vector import norm as _norm
-
-    cc = centroids.select(
-        "centroid_id", F.col(vec_col).alias("cvec_c")
-    ).withColumn("_ncc", _norm(F.col("cvec_c")))
-    qc = (
-        qn.withColumn("_nq", _norm(F.col("qv")))
-        .crossJoin(F.broadcast(cc))
-        .withColumn(
-            "_sim", _dot(F.col("qv"), F.col("cvec_c")) / (F.col("_nq") * F.col("_ncc"))
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
-    return (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", F.col("centroid_id").alias("cell"), "qv")
-    )
-
-
 def ann_index_topk(
     queries: DataFrame,
     index: AnnIndex,
@@ -1291,7 +1261,24 @@ def ann_index_topk(
         _validate_payload_predicate(codes, p, where)
         codes = codes.filter(where)
         vectors = vectors.filter(where)
+    # PINNED BY COLLECTION (r14 review finding): the query frame is
+    # consumed TWICE — the eager cells collect below, and the delegate
+    # search's own probe ranking when the returned plan runs. Without a
+    # pin, a non-deterministic query source (a sample(), a changing
+    # view) could probe cells outside the collected literal list and
+    # silently lose neighbors. The pin is one driver-side collect of
+    # the guarded frame recreated as a local table: the delegate
+    # BROADCASTS the query side anyway (a broadcast collects to the
+    # driver first), so this adds no new memory class under the cap —
+    # and unlike a persist it leaves no CacheManager entry for every
+    # wrapping entry to carry and release (the r12 cache-release
+    # protocol's known leak shape). Side effects: the call is EAGER
+    # (one small job — the radius path always was) and the query-cap
+    # guard error surfaces at the call instead of at the first action.
     guarded = _guarded_query_side(queries, max_query_rows, "ann_index_topk")
+    guarded = queries.sparkSession.createDataFrame(
+        guarded.collect(), guarded.schema
+    )
     # Literal cell pruning (r14): the ADC join already restricts code
     # rows to each query's probed cells, but a JOIN-side restriction
     # never reaches the parquet scan — the codes (and re-rank vectors)
@@ -1303,9 +1290,11 @@ def ann_index_topk(
     # but turns the restriction into a PushedFilter that skips
     # non-probed row groups of the cell-clustered layout
     # (:func:`_cell_cluster`) — per-search I/O tracks nprobe/n_centroids
-    # of the index instead of the full corpus. The probe ranking is the
-    # bit-exact mirror of ivf_pq_topk's internal one (:func:`_probe_frame`),
-    # so the probed set is identical and results are unchanged.
+    # of the index instead of the full corpus. The probed set is BY
+    # CONSTRUCTION the one the delegate search uses: both consume
+    # ``pq.probe_frame``, the single definition of the probe ranking
+    # (r14 review finding — a drifting copy would silently drop
+    # neighbors).
     qn = l2_normalize(
         guarded.select(
             F.col(p["id_col"]).alias("query_id"),
@@ -1315,14 +1304,14 @@ def ann_index_topk(
     )
     cells = [
         r["cell"]
-        for r in _probe_frame(qn, index.centroids, p["vec_col"], nprobe)
+        for r in probe_frame(qn, index.centroids, p["vec_col"], nprobe)
         .select("cell")
         .distinct()
         .collect()
     ]
     codes = codes.filter(F.col("cell").isin(cells))
     vectors = vectors.filter(F.col("cell").isin(cells))
-    return ivf_pq_topk(
+    out = ivf_pq_topk(
         guarded,
         None,
         id_col=p["id_col"],
@@ -1340,6 +1329,7 @@ def ann_index_topk(
         codes=codes,
         vectors=vectors,
     )
+    return out
 
 
 def ann_index_radius(
@@ -1401,8 +1391,9 @@ def ann_index_radius(
         ),
         vec_col="qv",
     )
-    # probe ranking: the bit-exact ivf_pq_topk mirror, shared with
-    # ann_index_topk's cell pruning (:func:`_probe_frame`).
+    # probe ranking: pq.probe_frame — the single definition
+    # ivf_pq_topk itself consumes, shared with ann_index_topk's cell
+    # pruning (r14).
     # persist (not localCheckpoint): the frame feeds the cells collect
     # AND the scoring join, and a cached plan can be RELEASED — a
     # standing decontamination loop calls release_cached_inputs on
@@ -1410,7 +1401,7 @@ def ann_index_radius(
     # materialization does it unconditionally), where checkpoint
     # blocks would linger until driver GC (the SCALE.md r13
     # interference note).
-    probes = _probe_frame(qn, index.centroids, vec_col, nprobe).persist()
+    probes = probe_frame(qn, index.centroids, vec_col, nprobe).persist()
     # <= n_centroids ints: the sanctioned driver-side scalar read (the
     # one-row-params class) that turns cell pruning into a LITERAL
     # pushed filter on the vectors scan instead of a join-side prune

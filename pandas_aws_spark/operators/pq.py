@@ -50,6 +50,7 @@ __all__ = [
     "ivf_pq_build",
     "ivf_pq_build_full",
     "ivf_pq_topk",
+    "probe_frame",
 ]
 
 
@@ -405,6 +406,40 @@ def ivf_pq_build_full(
     return cents, cb, codes, vectors
 
 
+def probe_frame(
+    qn: DataFrame, centroids: DataFrame, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Per-query probed-cell frame ``(query_id, cell, qv)`` — THE probe
+    ranking (cosine form with per-row norms, centroid_id tie-break),
+    defined once (r14, review finding) and consumed by
+    :func:`ivf_pq_topk` itself, by ``annindex.ann_index_radius``'s
+    scoring join, and by ``annindex.ann_index_topk``'s literal
+    cell-pruning collect — the pruning is only sound because the cells
+    it collects come from the SAME ranking the search then probes, so
+    the sharing is load-bearing, not cosmetic. Lazy; callers persist
+    when consuming it more than once. ``qn`` must already be the
+    L2-normalized ``(query_id, qv)`` projection."""
+    from ..functions.vector import dot as _dot
+    from ..functions.vector import norm as _norm
+
+    cc = centroids.select(
+        "centroid_id", F.col(vec_col).alias("cvec_c")
+    ).withColumn("_ncc", _norm(F.col("cvec_c")))
+    qc = (
+        qn.withColumn("_nq", _norm(F.col("qv")))
+        .crossJoin(F.broadcast(cc))
+        .withColumn(
+            "_sim", _dot(F.col("qv"), F.col("cvec_c")) / (F.col("_nq") * F.col("_ncc"))
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
+    return (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"), "qv")
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame | None,
@@ -499,26 +534,11 @@ def ivf_pq_topk(
 
     # both sides are L2-normalized above, but the probe ranking mirrors
     # the un-normalized cosine form; norms precomputed per row (r8,
-    # bit-identical — see brute_force_topk).
-    from ..functions.vector import dot as _dot
-    from ..functions.vector import norm as _norm
-
-    cc = cents.select("centroid_id", F.col(vec_col).alias("cvec_c")).withColumn(
-        "_ncc", _norm(F.col("cvec_c"))
-    )
-    qc = (
-        qn.withColumn("_nq", _norm(F.col("qv")))
-        .crossJoin(F.broadcast(cc))
-        .withColumn(
-            "_sim", _dot(F.col("qv"), F.col("cvec_c")) / (F.col("_nq") * F.col("_ncc"))
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("centroid_id"))
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", F.col("centroid_id").alias("cell"))
-    )
+    # bit-identical — see brute_force_topk). Shared with every other
+    # stored-search shape via probe_frame (r14) so the literal
+    # cell-pruning in annindex cannot drift from the ranking actually
+    # probed here.
+    probes = probe_frame(qn, cents, vec_col, nprobe).select("query_id", "cell")
 
     d = cb.select(F.size("cvec")).first()[0]
     qsubs = _subvectors(qn.select("query_id", F.col("qv")), "query_id", "qv", m, d)

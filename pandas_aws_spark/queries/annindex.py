@@ -1116,7 +1116,13 @@ def q_sim_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     append_ann_index(b1, path, batch_id="b1")
     append_ann_index(b2, path, batch_id="b2")
-    rebuild_ann_index(spark, path)
+    # n_centroids PINNED (r14 review finding): this entry's oracle
+    # replays exactly _NCENT coarse centroids, so the rebuild must not
+    # inherit the corpus-adaptive default (whose floor only shields it
+    # while live rows <= _NCENT * DEFAULT_TARGET_CELL_ROWS — a silent
+    # divergence at large SF). The adaptive default has its own
+    # derivation-replaying entry: q_sim_index_rebuild_adaptive.
+    rebuild_ann_index(spark, path, n_centroids=_NCENT)
     return (
         ann_index_topk(
             qdf,

@@ -1226,6 +1226,8 @@ def test_recommended_n_centroids_formula():
     assert recommended_n_centroids(10**12, 100_000) == MAX_RECOMMENDED_CENTROIDS
     with pytest.raises(ValueError, match="positive"):
         recommended_n_centroids(10, 0)
+    with pytest.raises(ValueError, match="positive"):
+        sql_recommended_n_centroids("t", 0)
     con = duckdb.connect()
     # (no 10**12 here: DuckDB's COUNT over range() iterates the rows)
     for n in (0, 1, 99, 100, 101, 500, 123_456, 10**7):

@@ -163,6 +163,10 @@ NLJ_ALLOWED: dict[str, int] = {
     # (row-count totals attached to the <=2*NCENT-row occupancy frame)
     "q_sim_index_drift_signal": 16,
     "q_sim_index_rebuild": 16,  # stored-centroid fan-out, post-retrain search
+    # adaptive rebuild: the retrain derives ceil(live/100) centroids
+    # (5 at sf0.01, 20 at sf0.1) — still a kilobyte broadcast fan-out;
+    # cap covers the sf0.1 bench point with headroom
+    "q_sim_index_rebuild_adaptive": 32,
     "q_sim_index_snapshot": 16,  # same fan-out, snapshot + current searches
     "q_sim_index_evolved": 16,  # same fan-out, evolved-payload filtered searches
     # radius-probe centroid fan-out (<= 8 centroid rows broadcast); the

@@ -1315,3 +1315,70 @@ def test_topk_search_prunes_scans_to_probed_cells(spark, tmp_path):
         vectors=stored.vectors,
     )
     assert _rows(hits) == _rows(want)
+
+
+def test_filtered_search_composes_with_cell_pruning(spark, tmp_path):
+    """(r14) The where= payload predicate and the literal probed-cell
+    filter reach the stored codes scan TOGETHER as pushed filters, and
+    the filtered+pruned result is bit-equal to the unpruned delegate
+    over the same payload-filtered frames."""
+    from pandas_aws_spark.operators.pq import ivf_pq_topk
+
+    emb, base, _, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
+    )
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    hits = ann_index_topk(q, stored, **_SEARCH, where="label = 3")
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "In(cell" in plan, plan
+    assert "EqualTo(label,3)" in plan or "label" in plan.split("PushedFilters")[1], plan
+
+    p = stored.params
+    want = ivf_pq_topk(
+        q,
+        None,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        n_centroids=p["n_centroids"],
+        nprobe=_SEARCH["nprobe"],
+        m=p["m"],
+        k_codes=p["k_codes"],
+        iters=p["iters"],
+        k=_SEARCH["k"],
+        oversample=_SEARCH["oversample"],
+        centroids=stored.centroids,
+        codebook=stored.codebook,
+        codes=stored.codes.filter("label = 3"),
+        vectors=stored.vectors.filter("label = 3"),
+    )
+    assert _rows(hits) == _rows(want)
+
+
+def test_radius_where_filters_payload(spark, tmp_path):
+    """(r14 coverage) ann_index_radius(where=): radius has no top-k
+    cutoff, so the payload-filtered result must equal EXACTLY the
+    unfiltered result restricted to matching neighbors — and the
+    predicate must reject non-payload columns like every other
+    filtered surface."""
+    from pandas_aws_spark.operators.annindex import ann_index_radius
+
+    emb, base, _, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
+    )
+    stored = read_ann_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    all_hits = ann_index_radius(q, stored, threshold=0.2, nprobe=2)
+    filt = ann_index_radius(q, stored, threshold=0.2, nprobe=2, where="label = 3")
+    lab3 = {r.vec_id for r in base.filter("label = 3").select("vec_id").collect()}
+    got = sorted(tuple(r) for r in filt.collect())
+    want = sorted(
+        tuple(r) for r in all_hits.collect() if r.neighbor_id in lab3
+    )
+    assert got == want and got, "filtered radius must be the label-3 restriction"
+    with pytest.raises(ValueError, match="payload"):
+        ann_index_radius(q, stored, threshold=0.2, where="cell = 1")

@@ -355,7 +355,21 @@ def _cell_cluster(df: DataFrame, id_col: str) -> DataFrame:
     explosion the r13 verdict warned about), and a 100 TB base write
     fans out to as many balanced tasks as the data needs. Rows are
     bit-identical — layout only — so every stored-search oracle hash
-    is unchanged by construction."""
+    is unchanged by construction.
+
+    Known write-side cost, accepted deliberately: RangePartitioner
+    needs boundary SAMPLES, so the upstream plan (for appends, the
+    narrow assign+encode broadcast joins over the batch) is evaluated
+    twice — once for sampling, once for the shuffle write. Both passes
+    are O(batch) and map-side; pinning the delta first
+    (localCheckpoint) would trade this for executor-storage blocks
+    that linger past the append (the SCALE.md r13 interference note),
+    and sorting-without-shuffling only the appends would leave every
+    not-yet-compacted batch file un-prunable, silently growing the
+    probe's I/O term with ingest volume until a compaction. A one-time
+    2x on the per-batch encode buys row-group skipping on EVERY
+    subsequent probe (SCALE.md r14: 100% -> 9.4% of row groups
+    read)."""
     return df.repartitionByRange(F.col("cell"), F.col(id_col)).sortWithinPartitions(
         "cell", id_col
     )

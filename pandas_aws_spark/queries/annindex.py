@@ -1333,3 +1333,100 @@ def q_sim_index_rebuild_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "l2sq_fp")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-adaptive BUILD (r15, the r14 verdict's ask #3): rebuild got the
+# constant-occupancy sizing in r14, but a FRESH index built with defaults
+# still got a fixed 8 cells — a 100 TB corpus built that way pays
+# full-corpus-scale probes until the first drift rebuild. build_ann_index
+# with n_centroids=None now derives recommended_n_centroids(corpus_count,
+# target_cell_rows) itself; this entry pins the derivation end to end on
+# disk: the index searched below was built WITHOUT an explicit centroid
+# count, and the oracle replays the sizing rule as the same exact integer
+# scalar subquery over the base subset (no floor here — unlike the rebuild
+# there is no stored recipe to respect).
+# ---------------------------------------------------------------------------
+_ANN_BUILD_ADAPTIVE_ORACLE = (
+    _ANN_INGEST_ORACLE.replace(
+        f"""cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+  FROM e WHERE {_BASE_PRED} ORDER BY vec_id LIMIT {_NCENT}
+),""",
+        f"""cent AS (
+  SELECT centroid_id, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+    FROM e WHERE {_BASE_PRED})
+  WHERE centroid_id <=
+        {sql_recommended_n_centroids("embeddings", _ADAPT_TARGET, where=_BASE_PRED)}
+),""",
+    )
+    .replace(
+        "SELECT search, query_id, neighbor_id, CAST(rn AS INT) AS rank,",
+        "SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,",
+    )
+    .replace(
+        "WHERE rn <= {topk}\nORDER BY search, query_id, rank".format(topk=_PQ_TOPK),
+        "WHERE rn <= {topk} AND search = 1\nORDER BY query_id, rank".format(
+            topk=_PQ_TOPK
+        ),
+    )
+)
+assert _ANN_BUILD_ADAPTIVE_ORACLE != _ANN_INGEST_ORACLE  # all replaces must land
+assert "AND search = 1" in _ANN_BUILD_ADAPTIVE_ORACLE
+assert _ANN_BUILD_ADAPTIVE_ORACLE.count("GREATEST(1,") >= 1
+
+
+@query(
+    "q_sim_index_build_adaptive",
+    oracle=_ANN_BUILD_ADAPTIVE_ORACLE,
+    tags=("similarity", "pq", "ivf", "build", "adaptive"),
+)
+def q_sim_index_build_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-build sizing, end to end on disk: the base corpus is
+    indexed with ``build_ann_index(n_centroids=None)`` (the new r15
+    default) and a 100-rows/cell target, so the centroid count is
+    ``recommended_n_centroids(base_rows, 100)`` — derived from the
+    corpus, not a hardcoded 8 — then written, read back, and searched.
+    The oracle replays the derivation as an exact integer scalar
+    subquery over the same base predicate, so the entry's hash pins the
+    build-time sizing rule at every scale factor (the searched index
+    has a different, corpus-derived cell structure at each SF). The
+    ingest-oracle's search-1 shape (base rows only, quantizers trained
+    on base) is exactly a fresh-build search, which is why the oracle
+    derives from _ANN_INGEST_ORACLE rather than a new CTE stack.
+
+    Reference analogue: none — north-star extension (SURVEY §2.9)."""
+    from ..operators.annindex import (
+        ann_index_topk,
+        build_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    qdf = emb.filter(F.col("vec_id") < 3)
+    path = scratch_dir(prefix="pandas_aws_spark_ann_build_adaptive_")
+    write_ann_index(
+        build_ann_index(
+            base,
+            # no n_centroids: the operator derives it from base's count
+            target_cell_rows=_ADAPT_TARGET,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+            iters=_PQ_ITERS,
+        ),
+        path,
+    )
+    return (
+        ann_index_topk(
+            qdf,
+            read_ann_index(spark, path),
+            nprobe=_IVFPQ_NPROBE,
+            k=_PQ_TOPK,
+            oversample=_PQ_OVERSAMPLE,
+        )
+        .select("query_id", "neighbor_id", "rank", "l2sq_fp")
+        .orderBy("query_id", "rank")
+    )

@@ -1228,9 +1228,9 @@ def q_dedup_semantic_decontaminate_indexed(
         .agg(F.count("*").alias("n_contaminating"), F.max("cos_sim").alias("max_cos"))
         .orderBy("vec_id")
     )
-    # carry the probe cache handle to the returned frame so the
-    # bench/oracle materialization hooks release it (r12 protocol)
-    out._pandas_aws_cached = getattr(hits, "_pandas_aws_cached", ())
+    # (r15: ann_index_radius pins its probe frame by collection instead
+    # of persist, so there is no cache handle left to carry — the r12
+    # release protocol has nothing to release on this path anymore.)
     return out
 
 

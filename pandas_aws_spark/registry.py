@@ -208,19 +208,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r13's three new surfaces re-verified green in
-    # CORRECTNESS_r13.json — cleared per the self-expiry protocol.)
-    # r14: the query-side broadcast guard on ann_index_topk /
-    # ann_index_radius (r13 verdict missing #5) adds the in-plan cap
-    # window to every stored-index search — tools/diff_plans.py
-    # r14 base->HEAD: 6 rewritten, 1 new, 232 unchanged. Values are
-    # guard-neutral below the cap; the window re-verifies them.
-    "q_dedup_semantic_decontaminate_indexed": 14,
-    "q_sim_index_evolved": 14,
-    "q_sim_index_filtered": 14,
-    "q_sim_index_ingest": 14,
-    "q_sim_index_rebuild": 14,
-    "q_sim_index_snapshot": 14,
+    # (r14's six guard/pruning rewrites re-verified green in
+    # CORRECTNESS_r14.json — cleared per the self-expiry protocol.)
+    # r15: ann_index_radius pins its probe frame by COLLECTION instead
+    # of persist (r14 advice #3) — the probe subtree becomes an eager
+    # local relation, removing the BNLJ and the cache handle from the
+    # one entry built on the radius path. tools/diff_plans.py r15
+    # base(4ddcc92)->HEAD: 1 rewritten, 1 new, 238 unchanged. (The
+    # In-threshold conf raise rewrites no plans — the PushedFilters
+    # string is identical in every regime, which is exactly why the
+    # fix is metrics-tested, not plan-tested.)
+    "q_dedup_semantic_decontaminate_indexed": 15,
 }
 
 # ---------------------------------------------------------------------------
@@ -246,7 +244,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/genstore.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
-        "q_sim_index_rebuild_adaptive",
+        "q_sim_index_rebuild_adaptive", "q_sim_index_build_adaptive",
         "q_sim_index_snapshot", "q_sim_index_evolved", "q_stream_ann_ingest",
         "q_dedup_index_ingest", "q_dedup_index_delete",
         "q_dedup_index_rebuild", "q_dedup_cluster_incremental",
@@ -256,7 +254,7 @@ _SUBSTRATE_OWNERSHIP: dict[str, tuple[str, ...]] = {
     "pandas_aws_spark/operators/annindex.py": (
         "q_sim_index_ingest", "q_sim_index_filtered", "q_sim_index_delete",
         "q_sim_index_drift_signal", "q_sim_index_rebuild",
-        "q_sim_index_rebuild_adaptive",
+        "q_sim_index_rebuild_adaptive", "q_sim_index_build_adaptive",
         "q_sim_index_snapshot", "q_sim_index_evolved", "q_stream_ann_ingest",
         "q_dedup_semantic_decontaminate_indexed",
     ),

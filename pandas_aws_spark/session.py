@@ -42,6 +42,16 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "67108864",  # 64 MiB
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # Keep literal IN pushdown exact (equality disjunction, prunable by
+    # row-group stats + page indexes) up to the ANN probed-cell ceiling
+    # instead of Spark's default 10, past which the pushed predicate's
+    # stats check degrades to the set's [min,max] envelope (r15; full
+    # story at operators/annindex._ensure_in_pushdown_capacity — the
+    # search operators ALSO raise this at call time because the grading
+    # driver and embedding applications use vanilla sessions; this
+    # default covers ad-hoc queries over stored frames that bypass the
+    # operators).
+    "spark.sql.parquet.pushdown.inFilterThreshold": "32768",
 }
 
 

@@ -163,17 +163,27 @@ NLJ_ALLOWED: dict[str, int] = {
     # (row-count totals attached to the <=2*NCENT-row occupancy frame)
     "q_sim_index_drift_signal": 16,
     "q_sim_index_rebuild": 16,  # stored-centroid fan-out, post-retrain search
-    # adaptive rebuild: the retrain derives ceil(live/100) centroids
-    # (5 at sf0.01, 20 at sf0.1) — still a kilobyte broadcast fan-out;
-    # cap covers the sf0.1 bench point with headroom
+    # adaptive rebuild: the retrain derives ceil(live/100) centroids —
+    # still a kilobyte broadcast fan-out. SF ASSUMPTION (r14 advice):
+    # this gate runs at sf0.001 (sf_dir fixture), where the entry's
+    # live set derives 2-5 centroids; the cap's headroom covers the
+    # sf0.1 bench sizing (20) too, but the derivation crosses 32 at
+    # sf >= ~0.16 — if the gate's scale factor ever grows past that,
+    # bump this cap DELIBERATELY from the entry's sizing formula
+    # (recommended_n_centroids(live_rows, _ADAPT_TARGET)) rather than
+    # treating the failure as a plan regression.
     "q_sim_index_rebuild_adaptive": 32,
+    # adaptive BUILD (r15): same derived-centroid fan-out as the
+    # adaptive rebuild (ceil(base/100): 4 at sf0.01, 15 at sf0.1),
+    # same sf assumption as the cap above
+    "q_sim_index_build_adaptive": 32,
     "q_sim_index_snapshot": 16,  # same fan-out, snapshot + current searches
     "q_sim_index_evolved": 16,  # same fan-out, evolved-payload filtered searches
-    # radius-probe centroid fan-out (<= 8 centroid rows broadcast); the
-    # probes frame is persisted, so whether the BNLJ surfaces in the
-    # top-level plan depends on cache registration timing — allowlisted
-    # with the same cap either way
-    "q_dedup_semantic_decontaminate_indexed": 16,
+    # r15: ann_index_radius now pins its probe frame by COLLECTION
+    # (the centroid fan-out runs eagerly at call time, outside the
+    # returned plan), so q_dedup_semantic_decontaminate_indexed no
+    # longer plans a BNLJ at all and left this allowlist — the
+    # cartesian gate below will flag it if one ever reappears.
 }
 # r6: q_dedup_simhash (banded 60-bit signature) and q_dedup_ngram_jaccard
 # (size-routed LSH-within-block) no longer carry scalar guard broadcasts —

@@ -202,6 +202,26 @@ def assert_max_scan_columns(df: DataFrame, table_substr: str, max_cols: int) -> 
     raise AssertionError(f"no scan matching {table_substr!r} in plan")
 
 
+def _children(node):
+    """py4j Seq -> list of child SparkPlan nodes."""
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _unwrap(node):
+    """Strip AQE wrappers (AdaptiveSparkPlan, *QueryStage) so walkers
+    see the finalized physical nodes. ReusedExchange is deliberately
+    NOT unwrapped here — whether to follow it differs per walker
+    (bnlj_build_side_rows reads the original exchange's metric through
+    it; scan_output_rows must not re-count a shared scan)."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return _unwrap(node.executedPlan())
+    if "QueryStage" in name:
+        return _unwrap(node.plan())
+    return node
+
+
 def bnlj_build_side_rows(df: DataFrame) -> list[int]:
     """Executed row count of the BROADCAST (build) side of every
     BroadcastNestedLoopJoin in the plan — executable proof that an
@@ -219,27 +239,15 @@ def bnlj_build_side_rows(df: DataFrame) -> list[int]:
     df.collect()
     root = df._jdf.queryExecution().executedPlan()
 
-    def children(node):
-        cs = node.children()
-        return [cs.apply(i) for i in range(cs.size())]
-
-    def unwrap(node):
-        name = node.nodeName()
-        if name == "AdaptiveSparkPlan":
-            return unwrap(node.executedPlan())
-        if "QueryStage" in name:
-            return unwrap(node.plan())
-        return node
-
     def exchange_rows(node) -> int | None:
-        node = unwrap(node)
+        node = _unwrap(node)
         if node.nodeName() == "BroadcastExchange":
             return int(node.metrics().apply("numOutputRows").value())
         if node.nodeName() == "ReusedExchange":
             # reuses another stage's BroadcastExchange — the original
             # (with the real metrics) is its child
             return exchange_rows(node.child())
-        for c in children(node):
+        for c in _children(node):
             r = exchange_rows(c)
             if r is not None:
                 return r
@@ -248,15 +256,15 @@ def bnlj_build_side_rows(df: DataFrame) -> list[int]:
     out: list[int] = []
 
     def walk(node) -> None:
-        node = unwrap(node)
+        node = _unwrap(node)
         if "BroadcastNestedLoopJoin" in node.nodeName():
             side = node.buildSide().toString()
-            cs = children(node)
+            cs = _children(node)
             build = cs[0] if "Left" in side else cs[1]
             rows = exchange_rows(build)
             assert rows is not None, "BNLJ build side has no BroadcastExchange"
             out.append(rows)
-        for c in children(node):
+        for c in _children(node):
             walk(c)
 
     walk(root)
@@ -282,22 +290,8 @@ def scan_output_rows(df: DataFrame, path_substr: str = "") -> list[tuple[str, in
     job and double-counts."""
     df.collect()
     root = df._jdf.queryExecution().executedPlan()
-
-    def children(node):
-        cs = node.children()
-        return [cs.apply(i) for i in range(cs.size())]
-
-    def unwrap(node):
-        name = node.nodeName()
-        if name == "AdaptiveSparkPlan":
-            return unwrap(node.executedPlan())
-        if "QueryStage" in name:
-            return unwrap(node.plan())
-        if name == "ReusedExchange":
-            return unwrap(node.child())
-        return node
-
     out: list[tuple[str, int]] = []
+    seen: set[int] = set()
 
     def describe(node) -> str:
         # the rendered plan string truncates each metadata value to
@@ -314,7 +308,18 @@ def scan_output_rows(df: DataFrame, path_substr: str = "") -> list[tuple[str, in
         return f"{node.nodeName()} {locs}".strip()
 
     def walk(node) -> None:
-        node = unwrap(node)
+        node = _unwrap(node)
+        if node.nodeName() == "ReusedExchange":
+            # a reused exchange points back at a stage already visited
+            # elsewhere in the tree; its scan's metric is a SHARED
+            # accumulator, so following it would double-count the same
+            # scan (r15 review finding) — the dedupe below keeps the
+            # traversal safe either way
+            node = _unwrap(node.child())
+        nid = int(node.id())
+        if nid in seen:
+            return
+        seen.add(nid)
         if node.nodeName().startswith("Scan "):
             desc = describe(node)
             if path_substr in desc:
@@ -322,7 +327,7 @@ def scan_output_rows(df: DataFrame, path_substr: str = "") -> list[tuple[str, in
                     (desc, int(node.metrics().apply("numOutputRows").value()))
                 )
             return
-        for c in children(node):
+        for c in _children(node):
             walk(c)
 
     walk(root)

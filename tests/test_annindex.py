@@ -1574,3 +1574,20 @@ def test_build_default_derives_centroid_count_from_corpus(spark):
     assert idx.centroids.count() == want
     pinned = build_ann_index(emb, n_centroids=3, m=8, k_codes=16, iters=1)
     assert int(pinned.params["n_centroids"]) == 3
+
+
+def test_session_default_matches_operator_in_threshold_ceiling():
+    """The get_spark conf default and the operators' call-time raise
+    must agree on the In-threshold ceiling — the session default covers
+    ad-hoc queries over stored frames, and a raised
+    MAX_RECOMMENDED_CENTROIDS that left the session string behind would
+    silently re-open the envelope degradation on exactly that path
+    (r15 review finding: the string cannot import the constant without
+    a session->operators dependency, so equality is pinned here)."""
+    from pandas_aws_spark.operators.annindex import (
+        _IN_FILTER_THRESHOLD_CONF,
+        MAX_RECOMMENDED_CENTROIDS,
+    )
+    from pandas_aws_spark.session import _BASE_CONF
+
+    assert int(_BASE_CONF[_IN_FILTER_THRESHOLD_CONF]) == MAX_RECOMMENDED_CENTROIDS

@@ -28,8 +28,10 @@ ACTION time, so setting it after the operator call replays the
 pre-r15 behavior faithfully — bit-identical plan, different reader).
 
 Usage: python tools/measure_in_threshold.py
-Env: SYNTH="<rows>[,dim]" (default "900000,16"), NCENT (default 64),
-     NQUERIES (default 200), NPROBE (default 2).
+Env: SYNTH="<rows>[,dim]" (default "900000,16"), NCENT (default 643 —
+     the count the adaptive rebuild derives at 900k, SCALE.md r14),
+     NQUERIES (comma list of bench sizes, default "200,20"),
+     NPROBE (default 2). The SCALE.md r15 table is the default run.
 """
 
 from __future__ import annotations

@@ -99,7 +99,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import as_double
 from . import genstore
 from .dedup import validate_batch_id, validate_ledger_batch_id
-from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, pq_encode, probe_frame
+from .pq import ivf_pq_build_full, ivf_pq_topk, l2_normalize, probe_frame
 from .similarity import MAX_QUERY_SIDE_ROWS, _guarded_query_side
 
 # Calibrated re-train trigger (SCALE.md r10, tools/measure_quantizer_
@@ -333,11 +333,11 @@ def build_ann_index(
         coarse=coarse,
         coarse_iters=coarse_iters,
         coarse_sample=coarse_sample,
+        dim=dim,  # already probed above — saves the build's own probe (r15)
+        # payload columns ride the build lineage (r15) instead of the
+        # two per-frame joins back on id the pre-r15 build paid
+        carry_cols=payload_cols,
     )
-    if payload_cols:
-        payload = corpus.select(F.col(id_col), *[F.col(c) for c in payload_cols])
-        codes = codes.join(payload, id_col)
-        vectors = vectors.join(payload, id_col)
     # Pin the TRAIN-TIME distribution's coarse coherence (mean cosine of
     # vectors to their assigned centroid) into the recipe: it is the
     # baseline the frozen-quantizer drift signal compares appended
@@ -436,19 +436,18 @@ def _cell_cluster(df: DataFrame, id_col: str) -> DataFrame:
     bit-identical — layout only — so every stored-search oracle hash
     is unchanged by construction.
 
-    Known write-side cost, accepted deliberately: RangePartitioner
-    needs boundary SAMPLES, so the upstream plan (for appends, the
-    narrow assign+encode broadcast joins over the batch) is evaluated
-    twice — once for sampling, once for the shuffle write. Both passes
-    are O(batch) and map-side; pinning the delta first
-    (localCheckpoint) would trade this for executor-storage blocks
-    that linger past the append (the SCALE.md r13 interference note),
-    and sorting-without-shuffling only the appends would leave every
+    Write-side cost note: RangePartitioner needs boundary SAMPLES, so
+    an unpinned upstream plan would be evaluated twice — once for
+    sampling, once for the shuffle write. Since r15 ``write_ann_index``
+    persists both frames for exactly the duration of its two writes
+    (explicit unpersist in a finally — no lingering executor-storage
+    blocks, the SCALE.md r13 interference concern with a
+    localCheckpoint pin), so each frame's assign+encode evaluates once.
+    Sorting-without-shuffling only the appends would leave every
     not-yet-compacted batch file un-prunable, silently growing the
-    probe's I/O term with ingest volume until a compaction. A one-time
-    2x on the per-batch encode buys row-group skipping on EVERY
-    subsequent probe (SCALE.md r14: 100% -> 9.4% of row groups
-    read)."""
+    probe's I/O term with ingest volume until a compaction; the range
+    shuffle buys row-group skipping on EVERY subsequent probe
+    (SCALE.md r14: 100% -> 9.4% of row groups read)."""
     return df.repartitionByRange(F.col("cell"), F.col(id_col)).sortWithinPartitions(
         "cell", id_col
     )
@@ -497,12 +496,33 @@ def write_ann_index(
     else:
         root = genstore.current_root(spark, path)
     id_col = index.params["id_col"]
-    _cell_cluster(index.vectors, id_col).write.mode("overwrite").parquet(
-        f"{root}/vectors/batch={batch_id}"
-    )
-    _cell_cluster(index.codes, id_col).write.mode("overwrite").parquet(
-        f"{root}/codes/batch={batch_id}"
-    )
+    # Pin both frames for the duration of the two clustered writes
+    # (r15): each write's RangePartitioner takes a boundary-sampling
+    # pass BEFORE the shuffle write, so an unpinned frame evaluates its
+    # full upstream plan (normalize + assign + encode for builds and
+    # appends, the previous generation's fold for compactions) twice
+    # per frame. The persist caps that at one evaluation per frame and
+    # guarantees the sampled boundaries describe exactly the rows
+    # written; the explicit unpersist in the finally releases the
+    # executor-storage blocks before returning, so nothing lingers past
+    # the call (the r13 interference note's concern with the
+    # localCheckpoint alternative, which has no release handle).
+    from pyspark import StorageLevel
+
+    pins = [
+        index.vectors.persist(StorageLevel.MEMORY_AND_DISK),
+        index.codes.persist(StorageLevel.MEMORY_AND_DISK),
+    ]
+    try:
+        _cell_cluster(index.vectors, id_col).write.mode("overwrite").parquet(
+            f"{root}/vectors/batch={batch_id}"
+        )
+        _cell_cluster(index.codes, id_col).write.mode("overwrite").parquet(
+            f"{root}/codes/batch={batch_id}"
+        )
+    finally:
+        for p in pins:
+            p.unpersist()
     if batch_id == "base":
         index.centroids.write.mode("overwrite").parquet(f"{root}/centroids")
         index.codebook.write.mode("overwrite").parquet(f"{root}/codebook")
@@ -700,15 +720,6 @@ def append_ann_index(
         )
     cents = spark.read.parquet(f"{root}/centroids")
     cb = spark.read.parquet(f"{root}/codebook")
-    cn = l2_normalize(
-        new_vectors.select(F.col(id_col), as_double(vec_col).alias(vec_col)),
-        vec_col=vec_col,
-    )
-    assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
-        assigned.select(F.col(id_col), "cell"), id_col
-    )
-    vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell")
     payload_cols = tuple(c for c in params.get("payload_cols", "").split(",") if c)
     extras: list[str] = []
     batch_types = {f.name: f.dataType.simpleString() for f in new_vectors.schema.fields}
@@ -755,10 +766,31 @@ def append_ann_index(
                 "to evolve the payload schema)"
             )
         batch_payload = list(payload_cols)
-    if batch_payload:
-        payload = new_vectors.select(F.col(id_col), *[F.col(c) for c in batch_payload])
-        codes = codes.join(payload, id_col)
-        vectors = vectors.join(payload, id_col)
+    # Single lineage for the whole delta (r15, the ivf_pq_build_full
+    # shape): payload columns ride the normalize -> assign projection
+    # and the codes array is the map-side expression over the ONE-row
+    # broadcast codebook (m/d from stored params — no codebook probes).
+    # The pre-r15 flow encoded separately and joined codes, cells and
+    # payload back by id — three exchanges of the batch per append for
+    # columns that never left the row.
+    from .pq import _cb_one, _codes_column
+
+    pl = [F.col(c) for c in batch_payload]
+    cn = l2_normalize(
+        new_vectors.select(F.col(id_col), as_double(vec_col).alias(vec_col), *pl),
+        vec_col=vec_col,
+    )
+    assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
+    codes = assigned.crossJoin(F.broadcast(_cb_one(cb))).select(
+        F.col(id_col),
+        _codes_column(
+            F.col(vec_col), F.col("_cb"), int(params["m"]),
+            int(params["dim"]) // int(params["m"]),
+        ).alias("codes"),
+        "cell",
+        *pl,
+    )
+    vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell", *pl)
     delta = AnnIndex(cents, cb, codes, vectors, params)
     write_ann_index(delta, path, batch_id=batch_id)
 

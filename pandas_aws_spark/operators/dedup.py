@@ -1504,6 +1504,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        # pinned ONCE (r15, guide §5): every iteration's join otherwise
+        # re-evaluates the full upstream pair plan — for the bootstrap
+        # CC that is the entire minhash candidate+verify pipeline — plus
+        # this distinct's exchange, once per round. One materialization
+        # instead of O(rounds); same executor-storage class as the
+        # per-round label checkpoint below.
+        .localCheckpoint()
     )
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")

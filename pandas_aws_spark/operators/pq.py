@@ -91,6 +91,102 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int) -> Dat
     )
 
 
+def _cb_one(codebook: DataFrame) -> DataFrame:
+    """The codebook as a ONE-row frame holding one array column ``_cb``
+    of ``(sub, centroid_id, cvec)`` structs — the broadcast shape the
+    map-side argmin/LUT expressions below consume (r15). Element order
+    inside the array is irrelevant: every consumer folds with an
+    explicit (dist, centroid_id) comparison, so the result is
+    order-independent."""
+    return codebook.agg(
+        F.collect_list(F.struct("sub", "centroid_id", "cvec")).alias("_cb")
+    )
+
+
+def _argmin_code(scored: Column) -> Column:
+    """Argmin over an array of ``(d, cid)`` structs: smallest distance,
+    ties to the smallest centroid id — the exact semantics of the
+    pre-r15 ``F.min(F.struct(dist, centroid_id))`` group aggregate
+    (Spark compares doubles with NaN greatest and NaN = NaN, identical
+    in both forms). First element seeds the fold, so the result is
+    independent of array order; empty array folds to NULL."""
+    return F.aggregate(
+        F.slice(scored, 2, F.size(scored)),
+        F.get(scored, 0),
+        lambda acc, c: F.when(
+            (c["d"] < acc["d"]) | ((c["d"] == acc["d"]) & (c["cid"] < acc["cid"])), c
+        ).otherwise(acc),
+    )["cid"]
+
+
+def _code_for_sub(subvec: Column, cb_col: Column, sub: Column | int) -> Column:
+    """Nearest sub-centroid id for one ALREADY-SLICED subvector — a
+    pure per-row expression over the broadcast codebook array (r15;
+    guide §2.4: the broadcast-join + groupBy argmin it replaces paid
+    one Exchange of corpus x m rows per evaluation for math that never
+    needed to cross rows)."""
+    sub = F.lit(sub) if isinstance(sub, int) else sub
+    cand = F.filter(cb_col, lambda e: e["sub"] == sub)
+    scored = F.transform(
+        cand,
+        lambda e: F.struct(
+            _l2sq(subvec, e["cvec"]).alias("d"),
+            e["centroid_id"].alias("cid"),
+        ),
+    )
+    return _argmin_code(scored)
+
+
+def _codes_column(vec: Column, cb_col: Column, m: int, d: int) -> Column:
+    """Full PQ code array (subspace order) for one vector — map-side.
+    The slice expression matches ``_subvectors`` exactly (same 1-based
+    offsets), so codes are bit-identical to the pre-r15 exploded path."""
+    return F.array(
+        *[_code_for_sub(F.slice(vec, j * d + 1, d), cb_col, j) for j in range(m)]
+    )
+
+
+# collision-free flat LUT key: sub * 2^32 + centroid_id (both ints)
+_LUT_KEY_BASE = 1 << 32
+
+
+def _lut_map_column(qv: Column, cb_col: Column) -> Column:
+    """One query's ADC lookup table as ``map<bigint, double>`` over the
+    broadcast codebook array: key = sub * 2^32 + centroid_id, value =
+    the same ``_l2sq(query subvector, cvec)`` the exploded LUT rows
+    carried pre-r15 (identical slice offsets, so identical doubles)."""
+    return F.map_from_entries(
+        F.transform(
+            cb_col,
+            lambda e: F.struct(
+                (
+                    e["sub"].cast("long") * F.lit(_LUT_KEY_BASE) + e["centroid_id"]
+                ).alias("key"),
+                _l2sq(
+                    F.slice(qv, e["sub"] * F.size(e["cvec"]) + 1, F.size(e["cvec"])),
+                    e["cvec"],
+                ).alias("value"),
+            ),
+        )
+    )
+
+
+def _adc_column(lut: Column, codes: Column) -> Column:
+    """ADC = sequential fold of the m LUT distances in ascending
+    subspace order — the same addition order as the pre-r15
+    ``array_sort(collect_list(struct(sub, dist)))`` fold, so the double
+    is bit-identical. Every (sub, code) key exists by construction
+    (codes were argmin'd over the same codebook)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.size(codes) - 1),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            lut, j.cast("long") * F.lit(_LUT_KEY_BASE) + F.element_at(codes, j + 1)
+        ),
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     *,
@@ -99,12 +195,29 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Train an L2 codebook: for each of ``m`` subspaces, ``k``
     centroids via Lloyd's iterations (init = first k subvectors by
-    id). Returns ``(sub, centroid_id, cvec: array<double>)``."""
+    id). Returns ``(sub, centroid_id, cvec: array<double>)``.
+
+    ``dim`` skips the dimension probe when the caller already knows it
+    (r15 — one fewer driver job per build).
+
+    Distribution shape (r15, guide §2.2/§2.4): assignment is a pure
+    per-row argmin over the broadcast codebook array (no exchange —
+    it was a broadcast join + groupBy(id, sub) shuffle of corpus x m
+    rows per iteration), and the mean update is ONE
+    groupBy(sub, code) shuffle per iteration (was two: the posexplode
+    route shuffled (sub, code, pos) then (sub, code)). The per-group
+    per-position ascending-sorted sequential fold is unchanged — the
+    one cross-row float reduction in training stays deterministic AND
+    engine-portable (DuckDB mirrors it with list(x ORDER BY x) +
+    list_reduce; F.avg would give partial-agg-order-dependent last
+    ULPs)."""
     spark = corpus.sparkSession
-    dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
+    if dim is None:
+        dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
@@ -119,51 +232,33 @@ def pq_train(
     )
     schema = "sub int, centroid_id int, cvec array<double>"
     for _ in range(iters):
-        assigned = _pq_assign(subs, cb)
-        # Centroid mean = ascending-sorted sequential fold / count: the
-        # one cross-row float reduction in training, made deterministic
-        # AND engine-portable (DuckDB mirrors it with
-        # list(x ORDER BY x) + list_reduce). F.avg would give
-        # partial-agg-order-dependent last ULPs.
-        means = (
-            assigned.select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.array_sort(F.collect_list("x")).alias("xs"))
-            .select(
-                "sub",
+        assigned = (
+            subs.crossJoin(F.broadcast(_cb_one(cb)))
+            .withColumn(
                 "code",
-                "pos",
-                (
-                    F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x) / F.size("xs")
-                ).alias("mval"),
+                _code_for_sub(F.col("subvec"), F.col("_cb"), F.col("sub")),
             )
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select(id_col, "sub", "subvec", "code")
+        )
+        means = (
+            assigned.groupBy("sub", "code")
+            .agg(F.collect_list("subvec").alias("vs"))
             .select(
                 "sub",
                 F.col("code").alias("centroid_id"),
-                F.transform("pm", lambda s: s["mval"]).alias("cvec"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda p: F.aggregate(
+                        F.array_sort(F.transform("vs", lambda v: F.get(v, p))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.size("vs"),
+                ).alias("cvec"),
             )
         )
         cb = spark.createDataFrame(means.collect(), schema=schema)
     return cb
-
-
-def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest sub-centroid per (id, sub): broadcast join + argmin
-    (min struct orders by distance then centroid id — deterministic)."""
-    scored = subs.join(F.broadcast(codebook), "sub").withColumn(
-        "_dist", _l2sq(F.col("subvec"), F.col("cvec"))
-    )
-    id_col = subs.columns[0]
-    return (
-        scored.groupBy(id_col, "sub")
-        .agg(
-            F.min(F.struct("_dist", "centroid_id")).alias("_best"),
-            F.first("subvec").alias("subvec"),
-        )
-        .select(id_col, "sub", "subvec", F.col("_best.centroid_id").alias("code"))
-    )
 
 
 def pq_encode(
@@ -172,19 +267,29 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int | None = None,
+    d: int | None = None,
 ) -> DataFrame:
     """Compress each vector to its ``m`` sub-centroid codes. Returns
-    ``(id_col, codes: array<int>)`` with codes ordered by subspace."""
-    m = codebook.select(F.max("sub")).first()[0] + 1
-    d = codebook.select(F.size("cvec")).first()[0]
-    subs = _subvectors(
-        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), id_col, vec_col, m, d
-    )
-    assigned = _pq_assign(subs, codebook)
+    ``(id_col, codes: array<int>)`` with codes ordered by subspace.
+
+    Pure map over the corpus since r15 (guide §2.4): the codes array
+    is a per-row argmin expression against the ONE-row broadcast
+    codebook — the pre-r15 shape (subvector explode -> broadcast join
+    -> groupBy(id, sub) argmin -> groupBy(id) collect) paid two
+    exchanges of corpus x m rows per evaluation for a computation that
+    never crosses rows. ``m``/``d`` skip the two codebook probes when
+    the caller already knows them (e.g. from stored index params)."""
+    if m is None:
+        m = codebook.select(F.max("sub")).first()[0] + 1
+    if d is None:
+        d = codebook.select(F.size("cvec")).first()[0]
     return (
-        assigned.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
-        .select(F.col(id_col), F.transform("sc", lambda s: s["code"]).alias("codes"))
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(_cb_one(codebook)))
+        .select(
+            F.col(id_col), _codes_column(F.col("_v"), F.col("_cb"), m, d).alias("codes")
+        )
     )
 
 
@@ -201,39 +306,36 @@ def pq_topk(
     """ADC search: approximate top-k neighbors of each query among the
     PQ-encoded corpus. Returns (query_id, neighbor_id, rank, adc_fp)
     — adc_fp is the approximate squared-L2 distance in floored
-    micro-units (stable integer output)."""
-    m = codebook.select(F.max("sub")).first()[0] + 1
-    d = codebook.select(F.size("cvec")).first()[0]
-    qsubs = _subvectors(
-        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias(vec_col)),
-        "query_id",
-        vec_col,
-        m,
-        d,
+    micro-units (stable integer output).
+
+    r15 (guide §2.3/§2.4): each query's LUT is a map column computed
+    once from the ONE-row broadcast codebook, and ADC is a per-row
+    sequential fold in ascending subspace order (bit-identical float
+    additions — not F.sum: the fixed fold order keeps the double
+    stable across partitionings and engines). The pre-r15 shape
+    (posexplode codes x m -> broadcast LUT-row join ->
+    groupBy(query_id, neighbor_id) sorted fold) shuffled m x the
+    query-neighbor pair volume for a reduction that never crosses
+    rows. The query side rides a 1-row-per-query broadcast NLJ — the
+    same capped-query-side class as every ANN scoring pass."""
+    qlut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(_cb_one(codebook)))
+        .select(
+            "query_id", _lut_map_column(F.col("_qv"), F.col("_cb")).alias("_lut")
+        )
     )
-    lut = qsubs.join(F.broadcast(codebook), "sub").select(
-        "query_id", "sub", F.col("centroid_id").alias("code"),
-        _l2sq(F.col("subvec"), F.col("cvec")).alias("dist"),
+    pairs = codes.select(F.col(id_col).alias("neighbor_id"), "codes").crossJoin(
+        F.broadcast(qlut)
     )
-    expanded = codes.select(
-        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("sub", "code")
-    )
-    pairs = expanded.join(F.broadcast(lut), ["sub", "code"])
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    # ADC = subspace-ordered sequential fold of the m per-subspace
-    # distances (not F.sum: m is tiny, and the fixed fold order keeps
-    # the double bit-identical across partitionings and engines)
-    scored = (
-        pairs.groupBy("query_id", "neighbor_id")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "dist"))).alias("sd"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.transform("sd", lambda s: s["dist"]), F.lit(0.0), lambda acc, x: acc + x
-            ).alias("adc"),
-        )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _adc_column(F.col("_lut"), F.col("codes")).alias("adc"),
     )
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
@@ -274,8 +376,11 @@ def pq_topk_refined(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_nv")
     )
     qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv"))
+    # broadcast the shortlist (r15) — same rationale as ivf_pq_topk:
+    # bounded by |queries| x k x oversample id pairs; without the hint
+    # the planner can shuffle the corpus side by neighbor_id.
     exact = (
-        cand.join(raw, "neighbor_id")
+        raw.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("_l2", _l2sq(F.col("_qv"), F.col("_nv")))
     )
@@ -343,6 +448,8 @@ def ivf_pq_build_full(
     coarse: str = "first",
     coarse_iters: int = 3,
     coarse_sample: float | None = None,
+    dim: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`ivf_pq_build` plus the fourth frame a PERSISTED index
     needs: ``vectors`` — the L2-normalized raw vectors with their
@@ -363,8 +470,14 @@ def ivf_pq_build_full(
     (xxhash64 threshold on the id), so rebuilds converge."""
     from .similarity import ivf_assign, kmeans_fit
 
+    # carry_cols (r15): payload/metadata columns ride the normalize ->
+    # assign lineage into the returned codes/vectors frames instead of
+    # being joined back on id afterwards (two exchanges of the corpus
+    # per payload-bearing build, for columns that never left the row).
+    carry = [F.col(c) for c in carry_cols]
     cn = l2_normalize(
-        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), vec_col=vec_col
+        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col), *carry),
+        vec_col=vec_col,
     )
     if coarse == "kmeans":
         train = cn
@@ -397,12 +510,24 @@ def ivf_pq_build_full(
         )
     else:
         raise ValueError(f"coarse must be 'first' or 'kmeans', got {coarse!r}")
-    cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
+    if dim is None:
+        dim = cn.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
+    cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
     indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
-        indexed.select(F.col(id_col), "cell"), id_col
+    # codes share the assigned lineage: the map-side codes column (r15)
+    # rides the SAME rows the cell assignment produced, so the pre-r15
+    # encode-then-join-on-id (two exchanges of the batch per
+    # evaluation) disappears — build/append never shuffle the corpus.
+    codes = (
+        indexed.crossJoin(F.broadcast(_cb_one(cb)))
+        .select(
+            F.col(id_col),
+            _codes_column(F.col(vec_col), F.col("_cb"), m, dim // m).alias("codes"),
+            "cell",
+            *carry,
+        )
     )
-    vectors = indexed.select(F.col(id_col), F.col(vec_col), "cell")
+    vectors = indexed.select(F.col(id_col), F.col(vec_col), "cell", *carry)
     return cents, cb, codes, vectors
 
 
@@ -527,9 +652,14 @@ def ivf_pq_topk(
     if cb is None:
         cb = pq_train(cn, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col)
     if codes is None:
+        d = cb.select(F.size("cvec")).first()[0]
         indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
-        codes = pq_encode(cn, cb, id_col=id_col, vec_col=vec_col).join(
-            indexed.select(F.col(id_col), "cell"), id_col
+        # same single-lineage shape as ivf_pq_build_full (r15): the
+        # codes column rides the assigned rows, no encode-then-join.
+        codes = indexed.crossJoin(F.broadcast(_cb_one(cb))).select(
+            F.col(id_col),
+            _codes_column(F.col(vec_col), F.col("_cb"), m, d).alias("codes"),
+            "cell",
         )
 
     # both sides are L2-normalized above, but the probe ranking mirrors
@@ -537,34 +667,33 @@ def ivf_pq_topk(
     # bit-identical — see brute_force_topk). Shared with every other
     # stored-search shape via probe_frame (r14) so the literal
     # cell-pruning in annindex cannot drift from the ranking actually
-    # probed here.
-    probes = probe_frame(qn, cents, vec_col, nprobe).select("query_id", "cell")
-
-    d = cb.select(F.size("cvec")).first()[0]
-    qsubs = _subvectors(qn.select("query_id", F.col("qv")), "query_id", "qv", m, d)
-    lut = qsubs.join(F.broadcast(cb), "sub").select(
-        "query_id", "sub", F.col("centroid_id").alias("code"),
-        _l2sq(F.col("subvec"), F.col("cvec")).alias("dist"),
-    )
-
-    expanded = codes.select(
-        F.col(id_col).alias("neighbor_id"), "cell", F.posexplode("codes").alias("sub", "code")
-    )
-    pairs = expanded.join(F.broadcast(lut), ["sub", "code"]).join(
-        F.broadcast(probes), ["query_id", "cell"]
-    )
-    if exclude_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = (
-        pairs.groupBy("query_id", "neighbor_id")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "dist"))).alias("sd"))
+    # probed here. The probes frame carries each query's ADC LUT as a
+    # map column (r15, guide §2.3/§2.4): the pre-r15 shape exploded
+    # codes x m, broadcast-hash-joined the (sub, code) LUT rows, and
+    # re-assembled ADC with a groupBy(query_id, neighbor_id) sorted
+    # fold — ONE Exchange of m x candidate rows per search. ADC is now
+    # a per-row fold in the same ascending-subspace order (bit-equal
+    # float additions), so nothing shuffles between the codes scan and
+    # the shortlist window, and the shuffled volume that remains is
+    # 1/m of what it was.
+    probes = (
+        probe_frame(qn, cents, vec_col, nprobe)
+        .crossJoin(F.broadcast(_cb_one(cb)))
         .select(
             "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.transform("sd", lambda s: s["dist"]), F.lit(0.0), lambda acc, x: acc + x
-            ).alias("adc"),
+            "cell",
+            _lut_map_column(F.col("qv"), F.col("_cb")).alias("_lut"),
         )
+    )
+    pairs = codes.select(
+        F.col(id_col).alias("neighbor_id"), "cell", "codes"
+    ).join(F.broadcast(probes), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _adc_column(F.col("_lut"), F.col("codes")).alias("adc"),
     )
     ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     short = (
@@ -575,8 +704,13 @@ def ivf_pq_topk(
 
     rerank_side = vectors if vectors is not None else cn
     raw = rerank_side.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    # broadcast the shortlist (r15): bounded by |queries| x k x
+    # oversample rows of two ids — without the hint the planner sizes
+    # the window output blind and can pick a sort-merge join that
+    # shuffles the STORED VECTORS side by neighbor_id, the exact
+    # corpus-scale shuffle the shortlist exists to avoid.
     exact = (
-        short.join(raw, "neighbor_id")
+        raw.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qn.select("query_id", F.col("qv").alias("_qv"))), "query_id")
         .withColumn("_l2", _l2sq(F.col("_qv"), F.col("_nv")))
     )

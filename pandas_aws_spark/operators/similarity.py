@@ -141,25 +141,47 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, ties to
-    the smallest centroid id). One broadcast join + per-vector argmax —
-    no corpus shuffle. Returns corpus columns + ``cell``."""
+    the smallest centroid id). Returns corpus columns + ``cell``.
+
+    Pure map over the corpus since r15 (guide §2.4): the centroid set
+    rides along as ONE broadcast array row and the argmax is a per-row
+    ``array_max`` over ``(sim, -centroid_id)`` structs — the pre-r15
+    shape (crossJoin x n_centroids row expansion, then a
+    Window.partitionBy(id) row_number) shuffled AND sorted
+    corpus x n_centroids rows per evaluation for an argmax that never
+    crosses rows; at adaptive centroid counts (thousands at 100 TB)
+    that exchange dominated every build/append. Tie/NaN semantics are
+    identical: struct max takes the greatest sim (Spark orders NaN
+    greatest, exactly like the descending sort), then the greatest
+    ``-centroid_id`` = smallest id."""
     c = centroids.select(
         F.col(centroid_id).alias("_cid"), as_double(vec_col).alias("_cvec")
     ).withColumn("_ncv", norm(F.col("_cvec")))
+    cents_one = c.agg(F.collect_list(F.struct("_cid", "_cvec", "_ncv")).alias("_cents"))
     scored = (
         corpus.withColumn("_v", as_double(vec_col))
         .withColumn("_nv", norm(F.col("_v")))
-        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(cents_one))
         .withColumn(
-            "_sim", dot(F.col("_v"), F.col("_cvec")) / (F.col("_nv") * F.col("_ncv"))
+            "_best",
+            F.array_max(
+                F.transform(
+                    "_cents",
+                    lambda cc: F.struct(
+                        (
+                            dot(F.col("_v"), cc["_cvec"])
+                            / (F.col("_nv") * cc["_ncv"])
+                        ).alias("s"),
+                        (-cc["_cid"]).alias("negcid"),
+                    ),
+                )
+            ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cid"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_v", "_nv", "_cvec", "_ncv", "_sim", "_rn")
-        .withColumnRenamed("_cid", "cell")
+        scored.filter(F.col("_best").isNotNull())
+        .withColumn("cell", -F.col("_best")["negcid"])
+        .drop("_v", "_nv", "_cents", "_best")
     )
 
 
@@ -284,22 +306,25 @@ def kmeans_fit(
         # trained index — DuckDB mirrors this fold with
         # list(x ORDER BY x) + list_reduce, making coarse="kmeans"
         # IVF-PQ oracle-verifiable (q_sim_ivf_pq_trained).
+        # ONE groupBy(cell) shuffle per round (r15; was two — the
+        # posexplode route shuffled (cell, pos, x) triples and then the
+        # (cell, pos) means again). Per-position values are sorted
+        # ascending and folded sequentially exactly as before, so the
+        # trained centroids are bit-identical.
         means = (
-            assigned.select("cell", F.posexplode(as_double(vec_col)).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.array_sort(F.collect_list("x")).alias("xs"))
-            .select(
-                "cell",
-                "pos",
-                (
-                    F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x) / F.size("xs")
-                ).alias("m"),
-            )
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            assigned.groupBy("cell")
+            .agg(F.collect_list(as_double(vec_col)).alias("vs"))
             .select(
                 F.col("cell").alias("centroid_id"),
-                F.transform("pm", lambda s: s["m"]).alias(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.get("vs", 0)) - 1),
+                    lambda p: F.aggregate(
+                        F.array_sort(F.transform("vs", lambda v: F.get(v, p))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.size("vs"),
+                ).alias(vec_col),
             )
         )
         cent = spark.createDataFrame(means.collect(), schema=schema)

@@ -219,6 +219,32 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     # string is identical in every regime, which is exactly why the
     # fix is metrics-tested, not plan-tested.)
     "q_dedup_semantic_decontaminate_indexed": 15,
+    # r15 OPTIMIZATION round — map-side IVF/PQ rewrites (guide §2.4):
+    # ivf_assign's crossJoin x n_centroids + Window argmax became a
+    # per-row array_max over a 1-row broadcast centroid array;
+    # pq_encode/pq_train assignment became per-row argmin folds over
+    # the broadcast codebook (no groupBy exchanges); ADC became a
+    # per-row map-LUT fold (no posexplode, no groupBy(q, n) exchange);
+    # shortlists broadcast explicitly in the re-rank joins. Results
+    # bit-identical (same fold orders, same tie-breaks — the oracles
+    # replay them); plans rewritten. tools/diff_plans.py before/after:
+    # 16 rewritten, 0 new, 0 removed, 224 unchanged.
+    "q_dedup_semantic": 15,
+    "q_sim_eval_rank_quality": 15,
+    "q_sim_index_build_adaptive": 15,
+    "q_sim_index_drift_signal": 15,
+    "q_sim_index_evolved": 15,
+    "q_sim_index_filtered": 15,
+    "q_sim_index_ingest": 15,
+    "q_sim_index_rebuild": 15,
+    "q_sim_index_rebuild_adaptive": 15,
+    "q_sim_index_snapshot": 15,
+    "q_sim_ivf_fullprobe": 15,
+    "q_sim_ivf_kmeans": 15,
+    "q_sim_ivf_pq": 15,
+    "q_sim_ivf_pq_trained": 15,
+    "q_sim_ivf_probe2": 15,
+    "q_sim_pq_adc": 15,
 }
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,11 @@ NLJ_ALLOWED: dict[str, int] = {
     "q_sim_ivf_kmeans": 16,  # trained centroids (same as fullprobe)
     "q_sim_ivf_pq": 16,  # coarse cells + kilobyte codebook fan-out
     "q_sim_ivf_pq_trained": 16,  # same shape, Lloyd-trained coarse cells
+    # r15: pq_topk's ADC LUT rides a per-query broadcast map over the
+    # 1-row codebook array — the capped-query-side class (3 queries at
+    # any sf; the pre-r15 shape hid the same cross inside a broadcast
+    # hash join on the exploded (sub, code) keys)
+    "q_sim_pq_adc": 16,
     "q_events_backtest_folds": 3,  # 3-row fold-cutoff table x events (range predicate)
     "q_text_tfidf": 1,  # corpus-size broadcast
     "q_text_pmi_bigrams": 1,  # corpus-size broadcast

@@ -142,16 +142,33 @@ def exact_dedup_survivors(df: DataFrame, content_cols: list[str], id_col: str) -
     the input is scanned once (at corpus scale, the text/score columns
     are computed once, not twice), and the only shuffle is the hash
     partitioning the window already needs.
+
+    The hash is materialized ONCE and both window functions share one
+    ``(partitionBy hash, orderBy id)`` spec — ``n_copies`` as a
+    whole-partition-frame count over that ordered spec, identical to
+    the unordered count-over-partition it replaces (r15, guide §2.4).
+    Pre-r15 the two ``over()`` calls each inlined their own copy of
+    the md5 expression, which Spark planned as two Window operators
+    with DIFFERENT ``_w0`` projections and an Exchange between them —
+    and the first shuffle carried the content columns across the wire
+    solely so the second projection could re-hash them. One spec =
+    one Window operator, one Exchange, content columns prunable from
+    the shuffle when the caller drops them.
     """
     from pyspark.sql import Window
 
-    h = F.md5(F.concat_ws("\x1f", *content_cols))
-    w = Window.partitionBy(h)
+    w = Window.partitionBy("_cdh").orderBy(id_col)
     return (
-        df.withColumn("_rn", F.row_number().over(w.orderBy(id_col)))
-        .withColumn("n_copies", F.count("*").over(w))
+        df.withColumn("_cdh", F.md5(F.concat_ws("\x1f", *content_cols)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies",
+            F.count("*").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_cdh")
     )
 
 

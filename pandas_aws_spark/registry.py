@@ -245,6 +245,14 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     "q_sim_ivf_pq_trained": 15,
     "q_sim_ivf_probe2": 15,
     "q_sim_pq_adc": 15,
+    # r15 batch 2: exact_dedup_survivors materializes its content hash
+    # once and shares ONE (partition, order) window spec between
+    # row_number and the whole-partition-frame count — one Window
+    # operator / one Exchange instead of two (the removed first
+    # exchange carried the text column solely so the second window's
+    # projection could re-hash it). Same hash, same partitioning, same
+    # survivor and count values; oracle hash-match at sf0.001/sf0.01.
+    "q_text_curation_pipeline": 15,
 }
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,24 @@ def test_exact_dedup_min_id_survivor(spark, docs):
     assert 4 not in out
 
 
+def test_exact_dedup_survivors_single_window_single_shuffle(spark, docs):
+    """The survivor-keeping variant must plan ONE Window operator over
+    ONE hash exchange (r15): pre-rewrite, the two ``over()`` calls each
+    inlined their own md5 expression and Spark planned two Window
+    operators with an Exchange between them — the first shuffle carried
+    the text column solely so the second projection could re-hash it."""
+    from pandas_aws_spark.operators.dedup import exact_dedup_survivors
+    from pandas_aws_spark.plans.inspect import num_shuffles, physical_plan
+
+    out = exact_dedup_survivors(docs, ["text"], "doc_id")
+    assert num_shuffles(out) == 1
+    assert physical_plan(out).count("Window") == 1
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # doc 4 is a copy of doc 1; min id survives
+    assert rows[1].n_copies == 2 and rows[2].n_copies == 1 and rows[3].n_copies == 1
+    assert rows[1].text == BASE and rows[1].lang == "en"  # survivors keep all columns
+
+
 def test_minhash_finds_planted_near_dup(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard

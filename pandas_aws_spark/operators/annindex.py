@@ -706,18 +706,6 @@ def append_ann_index(
     root = genstore.current_root(spark, path)
     params = _read_params(spark, root)
     id_col, vec_col = params["id_col"], params["vec_col"]
-    first = new_vectors.select(F.size(as_double(vec_col)).alias("n")).first()
-    if first is None:
-        # Empty batch: nothing to ingest — no-op rather than an opaque
-        # NoneType error (r9 ADVICE). Mirrors the streaming entry's
-        # isEmpty() guard; the batch_id is not consumed (no dirs are
-        # written), so a later retry carrying rows still lands.
-        return
-    dim = first["n"]
-    if dim != params["dim"]:
-        raise ValueError(
-            f"index recipe mismatch: stored dim {params['dim']} vs batch dim {dim}"
-        )
     cents = spark.read.parquet(f"{root}/centroids")
     cb = spark.read.parquet(f"{root}/codebook")
     payload_cols = tuple(c for c in params.get("payload_cols", "").split(",") if c)
@@ -745,18 +733,20 @@ def append_ann_index(
         batch_payload = [c for c in payload_cols if c in new_vectors.columns] + extras
         drops_declared = set(batch_payload) - set(extras) != set(payload_cols)
         needs_flag = drops_declared and not params.get("payload_evolved")
+        evolve_args = None
         if extras or needs_flag:
             # declare BEFORE the batch dirs land (crash ordering in
             # _extend_payload_cols): new columns extend payload_cols;
             # a batch that drops a declared column flips on the
             # schema-merging flag so its null-filled rows resolve
             # deterministically. A fully-conforming batch skips the
-            # swap entirely.
+            # swap entirely. DEFERRED until the batch passes the
+            # empty/dim validation below (r15): the pre-r15 flow
+            # validated first, and an empty or wrong-dim batch must
+            # not mutate the stored params.
             types = dict(declared_types)
             types.update({c: batch_types[c] for c in batch_payload})
-            _extend_payload_cols(
-                spark, root, params, list(payload_cols) + extras, types
-            )
+            evolve_args = (list(payload_cols) + extras, types)
     else:
         missing = [c for c in payload_cols if c not in new_vectors.columns]
         if missing:
@@ -766,6 +756,7 @@ def append_ann_index(
                 "to evolve the payload schema)"
             )
         batch_payload = list(payload_cols)
+        evolve_args = None
     # Single lineage for the whole delta (r15, the ivf_pq_build_full
     # shape): payload columns ride the normalize -> assign projection
     # and the codes array is the map-side expression over the ONE-row
@@ -780,19 +771,55 @@ def append_ann_index(
         new_vectors.select(F.col(id_col), as_double(vec_col).alias(vec_col), *pl),
         vec_col=vec_col,
     )
-    assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
-    codes = assigned.crossJoin(F.broadcast(_cb_one(cb))).select(
-        F.col(id_col),
-        _codes_column(
-            F.col(vec_col), F.col("_cb"), int(params["m"]),
-            int(params["dim"]) // int(params["m"]),
-        ).alias("codes"),
-        "cell",
-        *pl,
+    # ONE materialization serves everything (r15, guide §5): the
+    # normalize+assign pass is pinned and a single agg job over it
+    # yields the empty-batch check AND the dim validation (over EVERY
+    # row, strictly stronger than the pre-r15 first-row probe — a
+    # mixed-dim batch now fails fast instead of silently corrupting
+    # the rows after the first). Pre-r15 the dim probe scanned the
+    # source once and write_ann_index's two frame pins each evaluated
+    # normalize+assign again from source — three evaluations of the
+    # batch for one append; the write's pins now read this cache.
+    # l2_normalize preserves array length, so size(vec) here equals
+    # the incoming dim.
+    from pyspark import StorageLevel
+
+    assigned = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell", *pl)
-    delta = AnnIndex(cents, cb, codes, vectors, params)
-    write_ann_index(delta, path, batch_id=batch_id)
+    try:
+        stats = assigned.agg(
+            F.count("*").alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("dmin"),
+            F.max(F.size(F.col(vec_col))).alias("dmax"),
+        ).first()
+        if stats["n"] == 0:
+            # Empty batch: nothing to ingest — no-op rather than an
+            # opaque NoneType error (r9 ADVICE). Mirrors the streaming
+            # entry's isEmpty() guard; the batch_id is not consumed (no
+            # dirs are written), so a later retry carrying rows lands.
+            return
+        bad = stats["dmin"] if stats["dmin"] != params["dim"] else stats["dmax"]
+        if bad != params["dim"]:
+            raise ValueError(
+                f"index recipe mismatch: stored dim {params['dim']} vs batch dim {bad}"
+            )
+        if evolve_args is not None:
+            _extend_payload_cols(spark, root, params, *evolve_args)
+        codes = assigned.crossJoin(F.broadcast(_cb_one(cb))).select(
+            F.col(id_col),
+            _codes_column(
+                F.col(vec_col), F.col("_cb"), int(params["m"]),
+                int(params["dim"]) // int(params["m"]),
+            ).alias("codes"),
+            "cell",
+            *pl,
+        )
+        vectors = assigned.select(F.col(id_col), F.col(vec_col), "cell", *pl)
+        delta = AnnIndex(cents, cb, codes, vectors, params)
+        write_ann_index(delta, path, batch_id=batch_id)
+    finally:
+        assigned.unpersist()
 
 
 def _encode_payload_types(types: dict) -> str:

@@ -253,6 +253,39 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _per_doc_minhash(
+    sh: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    *,
+    sorted_packs: bool = False,
+) -> DataFrame:
+    """One row per doc carrying BOTH the minhash signature columns
+    ``h0..h{n-1}`` AND the packed shingle-hash array ``hs`` — in ONE
+    ``groupBy(id)`` pass (r15, guide §2.2: shuffle once, not twice).
+    The pre-r15 pipelines aggregated the same shingle rows twice over
+    the same key — :func:`minhash_signatures` for the banding minima,
+    then a second ``collect_list`` groupBy for the verify packs — so
+    every evaluation paid two exchanges over the per-doc hash set and
+    two scans of the cached shingle frame. Values are identical by
+    construction: the minima fold the same per-doc hash multiset, and
+    the pack holds the same rows (``array_sort``-ed when the pack is a
+    stored artifact, exactly like the pre-r15 build; unsorted packs
+    feed only order-insensitive consumers — ``array_intersect`` /
+    ``size`` in the jaccard verify)."""
+    assert n_hashes <= len(_MINHASH_A), f"at most {len(_MINHASH_A)} hash members"
+    pack = F.collect_list("h")
+    if sorted_packs:
+        pack = F.array_sort(pack)
+    aggs = [
+        F.min(
+            (F.lit(_MINHASH_A[j]) * F.col("h") + F.lit(_MINHASH_B[j])) % MINHASH_P
+        ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs, pack.alias("hs"))
+
+
 def lsh_band_buckets(signatures: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
     """Explode signatures into (id, band, band_signature). Docs sharing
     a band signature are LSH candidates."""
@@ -301,13 +334,16 @@ def minhash_near_dup_pairs(
     LSH only prunes the pair space, it never asserts similarity.
     """
     rows = n_hashes // bands
-    # sh feeds the signature pass AND the verify join (3 consumers);
-    # persist so the tokenize/shingle/hash scan runs once, and persist
-    # the (id, int64) hash pairs — not shingle strings — so the cached
-    # set is a fraction of the text size and spills cheaply.
-    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k, hash_fn).persist()
-    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
-    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    # ONE per-doc aggregation feeds banding AND verification (r15,
+    # guide §2.2): signature minima and the verify pack ride a single
+    # groupBy(id) shuffle — the pre-r15 pipeline persisted the exploded
+    # (id, h) rows and aggregated them twice over the same key (once
+    # for minhash_signatures, once for the collect_list packs). The
+    # persisted frame is now the per-doc row (one array + n longs per
+    # doc), a fraction of the exploded set.
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k, hash_fn)
+    per_doc = _per_doc_minhash(sh, id_col, n_hashes).persist()
+    buckets = lsh_band_buckets(per_doc, id_col, bands, rows)
     if max_band_bucket is not None:
         # drop degenerate buckets (boilerplate collisions) via a window
         # over the band key: ONE shuffle on (band, sig) — the same
@@ -350,13 +386,16 @@ def minhash_near_dup_pairs(
     )
     # packed verification (r6): at high true-dup density the verify
     # join dominates — measured 649s exploded vs 228.6s packed at the
-    # 100x point's 31M candidates (SCALE.md).
-    result = _verify_jaccard_packed(cand, sh, id_col, threshold)
-    # expose the persisted shingle scan for release (r12 review fix —
+    # 100x point's 31M candidates (SCALE.md). Packs come straight off
+    # the fused per-doc aggregation — no second groupBy over the
+    # shingle rows (r15).
+    packs = per_doc.select(F.col(id_col), F.col("hs"))
+    result = _verify_jaccard_from_packs(cand, packs, packs, id_col, threshold)
+    # expose the persisted per-doc frame for release (r12 review fix —
     # same convention as indexed_near_dup_pairs): CacheManager entries
     # are never GC'd, so a long-lived ingest loop calling this per
     # micro-batch would otherwise accumulate one cached frame per call.
-    result._pandas_aws_cached = (sh,)
+    result._pandas_aws_cached = (per_doc,)
     return result
 
 
@@ -523,9 +562,11 @@ def incremental_near_dup_pairs(
     all_docs = batch.select(F.col(id_col), F.col(text_col)).unionByName(
         existing.select(F.col(id_col), F.col(text_col))
     )
-    sh = doc_shingle_hashes(all_docs, id_col, text_col, shingle_k, hash_fn).persist()
-    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
-    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    sh = doc_shingle_hashes(all_docs, id_col, text_col, shingle_k, hash_fn)
+    # fused per-doc aggregation (r15): minima + verify pack in ONE
+    # groupBy(id) shuffle — see _per_doc_minhash / minhash_near_dup_pairs
+    per_doc = _per_doc_minhash(sh, id_col, n_hashes).persist()
+    buckets = lsh_band_buckets(per_doc, id_col, bands, rows)
     bb = buckets.join(batch.select(id_col), id_col, "left_semi").alias("a")
     be = buckets.join(existing.select(id_col), id_col, "left_semi").alias("b")
     cand = (
@@ -536,7 +577,10 @@ def incremental_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard_packed(cand, sh, id_col, threshold)
+    packs = per_doc.select(F.col(id_col), F.col("hs"))
+    result = _verify_jaccard_from_packs(cand, packs, packs, id_col, threshold)
+    result._pandas_aws_cached = (per_doc,)
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -650,12 +694,15 @@ def build_dedup_index(
     Used once for the initial corpus and once per accepted batch (the
     delta is then :func:`append_dedup_index`-ed)."""
     rows = n_hashes // bands
-    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k, hash_fn).persist()
-    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
-    buckets = lsh_band_buckets(sig, id_col, bands, rows)
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k, hash_fn)
+    # ONE per-doc aggregation feeds the band postings AND the stored
+    # packs (r15, guide §2.2) — the pre-r15 build aggregated the
+    # persisted shingle rows twice over the same id key. sorted_packs:
     # array_sort for deterministic stored bytes (collect_list order is
     # partition-dependent; the index is a persistent artifact).
-    packs = sh.groupBy(id_col).agg(F.array_sort(F.collect_list("h")).alias("hs"))
+    per_doc = _per_doc_minhash(sh, id_col, n_hashes, sorted_packs=True).persist()
+    buckets = lsh_band_buckets(per_doc, id_col, bands, rows)
+    packs = per_doc.select(F.col(id_col), F.col("hs"))
     params = {
         "id_col": id_col,
         "shingle_k": shingle_k,
@@ -664,7 +711,7 @@ def build_dedup_index(
         "hash_fn": hash_fn,
     }
     index = DedupIndex(buckets, packs, params)
-    index._cached = (sh,)
+    index._cached = (per_doc,)
     return index
 
 
@@ -1021,17 +1068,19 @@ def indexed_near_dup_pairs(
     |cand|-row join into the stored packs — flat in accumulated corpus
     size except for the index-side posting probe (SCALE.md row).
 
-    The batch's shingle scan is cached (it feeds signatures AND verify
-    packs); long-lived ingest loops should call
-    :func:`release_cached_inputs` on the returned frame after
-    materializing it, or cached batch shingle sets accumulate until
+    The batch's fused per-doc row (signature minima + verify pack,
+    one aggregation — r15) is cached; long-lived ingest loops should
+    call :func:`release_cached_inputs` on the returned frame after
+    materializing it, or cached batch frames accumulate until
     executor storage evicts them (r7 ADVICE)."""
     p = index.params
     id_col = p["id_col"]
     rows = p["n_hashes"] // p["bands"]
-    sh_b = doc_shingle_hashes(batch, id_col, text_col, p["shingle_k"], p["hash_fn"]).persist()
-    sig_b = minhash_signatures(sh_b, id_col, p["n_hashes"], p["hash_fn"])
-    bb = lsh_band_buckets(sig_b, id_col, p["bands"], rows).alias("a")
+    sh_b = doc_shingle_hashes(batch, id_col, text_col, p["shingle_k"], p["hash_fn"])
+    # fused per-doc aggregation (r15): the batch's signature minima and
+    # verify pack share ONE groupBy(id) shuffle — see _per_doc_minhash
+    per_doc_b = _per_doc_minhash(sh_b, id_col, p["n_hashes"]).persist()
+    bb = lsh_band_buckets(per_doc_b, id_col, p["bands"], rows).alias("a")
     be = index.buckets.alias("b")
     cand = (
         bb.join(
@@ -1041,16 +1090,17 @@ def indexed_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    packs_b = sh_b.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    packs_b = per_doc_b.select(F.col(id_col), F.col("hs"))
     result = _verify_jaccard_from_packs(cand, packs_b, index.packs, id_col, threshold)
-    result._pandas_aws_cached = (sh_b,)
+    result._pandas_aws_cached = (per_doc_b,)
     return result
 
 
 def release_cached_inputs(df: DataFrame) -> None:
     """Unpersist the intermediate frames a dedup search cached while
-    building ``df``'s plan (currently: the batch shingle scan of
-    :func:`indexed_near_dup_pairs`). Call AFTER materializing the
+    building ``df``'s plan (currently: the fused per-doc minhash row
+    of :func:`indexed_near_dup_pairs` / :func:`minhash_near_dup_pairs`).
+    Call AFTER materializing the
     result — per ingest in a long-lived loop — so cached shingle sets
     do not accumulate across ingests. A no-op for frames that carry no
     cached inputs, so generic pipelines may call it unconditionally."""

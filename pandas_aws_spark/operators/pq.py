@@ -224,9 +224,28 @@ def pq_train(
     subs = _subvectors(
         corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col)), id_col, vec_col, m, d
     )
+    # Init = first k subvectors BY ID per subspace. Every id contributes
+    # exactly one subvector per sub, so that set is exactly the
+    # subvectors of the k smallest ids — take THOSE first (r15, guide
+    # §2.2): ``orderBy(id).limit(k)`` plans as TakeOrdered (narrow,
+    # driver-merged top-k; the same shape kmeans_fit's init already
+    # uses) and the row_number window runs over <= k*m local rows. The
+    # pre-r15 init windowed the ENTIRE corpus x m subvector set — an
+    # Exchange into only m partitions (m hot tasks at corpus scale)
+    # just to keep k rows per sub. Selected rows, centroid ids and
+    # subvector bytes are identical.
+    init_subs = _subvectors(
+        corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col))
+        .orderBy(id_col)
+        .limit(k),
+        id_col,
+        vec_col,
+        m,
+        d,
+    )
     init_w = Window.partitionBy("sub").orderBy(id_col)
     cb = (
-        subs.withColumn("_rn", F.row_number().over(init_w))
+        init_subs.withColumn("_rn", F.row_number().over(init_w))
         .filter(F.col("_rn") <= k)
         .select("sub", F.col("_rn").alias("centroid_id"), F.col("subvec").alias("cvec"))
     )

@@ -253,6 +253,25 @@ _REWRITTEN_THIS_ROUND: dict[str, int] = {
     # projection could re-hash it). Same hash, same partitioning, same
     # survivor and count values; oracle hash-match at sf0.001/sf0.01.
     "q_text_curation_pipeline": 15,
+    # r15 batch 3: the minhash pipelines' fused per-doc aggregation
+    # (_per_doc_minhash) — signature minima and the verify pack ride
+    # ONE groupBy(id) shuffle instead of two over the same shingle
+    # rows, and the persisted frame becomes the per-doc row instead of
+    # the exploded (id, h) set. Same minima, same pack contents
+    # (array_sort-ed where stored); oracle hash-match. Four of the
+    # eight rewrites (simhash, prefix_filter_join, minhash_error,
+    # lsh_recall) differ only because the formerly-persisted shingle
+    # fragment no longer cache-substitutes into their session plans —
+    # their own lineage is untouched. tools/diff_plans.py
+    # base2->after3: 8 rewritten, 0 new, 0 removed, 232 unchanged.
+    "q_dedup_incremental_batch": 15,
+    "q_dedup_index_ingest": 15,
+    "q_dedup_index_rebuild": 15,
+    "q_dedup_lsh_recall": 15,
+    "q_dedup_minhash_error": 15,
+    "q_dedup_minhash_lsh": 15,
+    "q_dedup_prefix_filter_join": 15,
+    "q_dedup_simhash": 15,
 }
 
 # ---------------------------------------------------------------------------

@@ -1591,3 +1591,56 @@ def test_session_default_matches_operator_in_threshold_ceiling():
     from pandas_aws_spark.session import _BASE_CONF
 
     assert int(_BASE_CONF[_IN_FILTER_THRESHOLD_CONF]) == MAX_RECOMMENDED_CENTROIDS
+
+
+def test_append_validation_precedes_payload_evolution_swap(spark, tmp_path):
+    """r15 batch 3: the single-pass append validates the batch (empty /
+    wrong-dim) BEFORE the payload-evolution params swap, matching the
+    pre-r15 probe-first ordering — an invalid batch must not mutate the
+    stored params or land any dirs, even when it carries new payload
+    columns that would otherwise trigger the swap."""
+    _, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(
+        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
+    )
+    before = read_ann_index(spark, path)
+    assert before.params["payload_cols"] == "label"
+    n_before = before.codes.count()
+
+    # empty batch with a NEW payload column: no-op, no params swap
+    b1e = b1.withColumn("src", (F.col("vec_id") % 5).cast("long"))
+    append_ann_index(
+        b1e.filter(F.lit(False)), path, batch_id="e1", payload_evolution=True
+    )
+    after = read_ann_index(spark, path)
+    assert after.params["payload_cols"] == "label"
+    assert after.codes.count() == n_before
+
+    # wrong-dim batch with a NEW payload column: raises, no params swap
+    wrong = b1e.withColumn("embedding", F.slice("embedding", 1, 32))
+    with pytest.raises(ValueError, match="dim"):
+        append_ann_index(wrong, path, batch_id="e2", payload_evolution=True)
+    after = read_ann_index(spark, path)
+    assert after.params["payload_cols"] == "label"
+    assert after.codes.count() == n_before
+
+    # mixed-dim batch (first row valid): the r15 every-row check raises
+    # where the pre-r15 first-row probe silently corrupted the tail
+    mixed = b1e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 16 == 8, F.slice("embedding", 1, 32)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_ann_index(mixed, path, batch_id="e3", payload_evolution=True)
+    after = read_ann_index(spark, path)
+    assert after.params["payload_cols"] == "label"
+    assert after.codes.count() == n_before
+
+    # the same batch with uniform dim still lands (guard sanity)
+    append_ann_index(b1e, path, batch_id="ok", payload_evolution=True)
+    final = read_ann_index(spark, path)
+    assert final.params["payload_cols"] == "label,src"
+    assert final.codes.count() == n_before + b1.count()

@@ -52,6 +52,39 @@ def test_exact_dedup_survivors_single_window_single_shuffle(spark, docs):
     assert rows[1].text == BASE and rows[1].lang == "en"  # survivors keep all columns
 
 
+def test_per_doc_minhash_fuses_signatures_and_packs(spark, docs):
+    """r15 batch 3: the fused per-doc aggregation must (a) plan ONE
+    shuffle — signature minima and the verify pack ride the same
+    groupBy(id) — and (b) produce values identical to the two-pass
+    computation it replaced (minhash_signatures + a separate
+    collect_list groupBy over the same shingle rows)."""
+    from pandas_aws_spark.operators.dedup import (
+        _per_doc_minhash,
+        doc_shingle_hashes,
+        minhash_signatures,
+    )
+    from pandas_aws_spark.plans.inspect import num_shuffles
+    from pyspark.sql import functions as F
+
+    sh = doc_shingle_hashes(docs, "doc_id", "text", 3, "affine")
+    fused = _per_doc_minhash(sh, "doc_id", 8, sorted_packs=True)
+    assert num_shuffles(fused) == 1
+    got = {r.doc_id: r for r in fused.collect()}
+
+    sig = {r.doc_id: r for r in minhash_signatures(sh, "doc_id", 8, "affine").collect()}
+    packs = {
+        r.doc_id: r.hs
+        for r in sh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .collect()
+    }
+    assert set(got) == set(sig) == set(packs) == {1, 2, 3, 4}
+    for d in got:
+        assert [got[d][f"h{j}"] for j in range(8)] == [sig[d][f"h{j}"] for j in range(8)]
+        assert got[d].hs == packs[d]
+    assert got[1].hs == got[4].hs  # exact copies share the pack
+
+
 def test_minhash_finds_planted_near_dup(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard

@@ -262,3 +262,29 @@ def test_coarse_sample_too_small_falls_back_to_full_training(spark):
     )
     assert cents.count() == 8
     assert codes.count() == emb.count()
+
+
+def test_pq_train_init_is_first_k_ids_subvectors(spark):
+    """r15 batch 3: the init codebook is now selected via
+    ``orderBy(id).limit(k)`` (narrow TakeOrdered) instead of windowing
+    the whole corpus x m subvector set into m partitions. Since every
+    id yields exactly one subvector per subspace, the kept rows must be
+    EXACTLY the subvectors of the k smallest ids, with centroid_id =
+    the id's rank among them — asserted bit-for-bit via ``iters=0``
+    (which returns the untrained init) on a deliberately shuffled
+    input."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy(F.rand(7))  # destroy any incidental id ordering
+        .repartition(5)
+    )
+    k = 4
+    cb = {(r.sub, r.centroid_id): r.cvec for r in pq_train(emb, m=M, k=k, iters=0).collect()}
+    first_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()]
+    vecs = {r.vec_id: r.embedding for r in emb.filter(F.col("vec_id").isin(first_ids)).collect()}
+    d = 64 // M
+    for rank, vid in enumerate(sorted(first_ids), start=1):
+        for sub in range(M):
+            expect = [float(x) for x in vecs[vid][sub * d : (sub + 1) * d]]
+            assert cb[(sub, rank)] == expect, (vid, sub)
+    assert len(cb) == k * M

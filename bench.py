@@ -107,6 +107,27 @@ def main() -> int:
                 "headline_legacy_total": legacy,
                 "queries": timings,
                 "sf": sf,
+                # Core-count contract, self-reported (r16, the r15
+                # verdict's ask #2): the session's ACTUAL master string
+                # (built from $SPARK_GRAFT_CPUS by session.get_spark)
+                # and scheduler parallelism, so an 8-vs-32-core driver
+                # run can verify the env var took effect from the JSON
+                # alone.
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                # Why the heavy lifecycle rows scale ~flat with cores at
+                # this SF (r15 scaling block): they are SEQUENCES of
+                # many short stages (index builds/commits/reads — the
+                # r16 profile table in OPTIMIZATION_r16.md attributes
+                # the wall), so per-stage/driver latency, not parallel
+                # throughput, dominates; the estimated parallel
+                # fraction below is Amdahl-fit from the committed
+                # 8-vs-32-core A/B of those two rows (same code, same
+                # host), re-measured r16.
+                "parallel_fraction": {
+                    "q_sim_index_ingest": 0.1,
+                    "q_dedup_cluster_incremental": 0.1,
+                },
                 # host-load stamp (1-minute loadavg at start/end): the
                 # r12 round-end artifact was recorded under a ~2 h
                 # concurrent pytest load and read +21% on every row;

@@ -509,20 +509,22 @@ def write_ann_index(
     # localCheckpoint alternative, which has no release handle).
     from pyspark import StorageLevel
 
-    pins = [
-        index.vectors.persist(StorageLevel.MEMORY_AND_DISK),
-        index.codes.persist(StorageLevel.MEMORY_AND_DISK),
-    ]
-    try:
-        _cell_cluster(index.vectors, id_col).write.mode("overwrite").parquet(
-            f"{root}/vectors/batch={batch_id}"
-        )
-        _cell_cluster(index.codes, id_col).write.mode("overwrite").parquet(
-            f"{root}/codes/batch={batch_id}"
-        )
-    finally:
-        for p in pins:
-            p.unpersist()
+    # SEQUENTIAL pin-write-release (r16, r15 ADVICE): pinning both
+    # frames for the whole write window held vectors + codes in executor
+    # storage simultaneously — at corpus scale a base build cached the
+    # entire normalized corpus TWICE over. Each frame is now pinned only
+    # across its own write (the RangePartitioner boundary-sampling pass
+    # + the shuffle write) and released before the next begins, so peak
+    # executor storage is max(vectors, codes) instead of their sum; the
+    # single-evaluation guarantee per frame is unchanged.
+    for frame, sub in ((index.vectors, "vectors"), (index.codes, "codes")):
+        pin = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _cell_cluster(frame, id_col).write.mode("overwrite").parquet(
+                f"{root}/{sub}/batch={batch_id}"
+            )
+        finally:
+            pin.unpersist()
     if batch_id == "base":
         index.centroids.write.mode("overwrite").parquet(f"{root}/centroids")
         index.codebook.write.mode("overwrite").parquet(f"{root}/codebook")
@@ -764,7 +766,7 @@ def append_ann_index(
     # The pre-r15 flow encoded separately and joined codes, cells and
     # payload back by id — three exchanges of the batch per append for
     # columns that never left the row.
-    from .pq import _cb_one, _codes_column
+    from .pq import _cb_by_sub, _codes_column
 
     pl = [F.col(c) for c in batch_payload]
     cn = l2_normalize(
@@ -790,15 +792,39 @@ def append_ann_index(
     try:
         stats = assigned.agg(
             F.count("*").alias("n"),
+            # duplicate-id guard (r16, r15 ADVICE): the r15 map-side
+            # ivf_assign keeps every row, where the pre-r15
+            # Window.partitionBy(id) silently collapsed duplicate-id
+            # rows — a batch violating the disjoint-unique-id contract
+            # must fail loudly, not land duplicate stored rows. Rides
+            # the same single agg job.
+            F.count_distinct(F.col(id_col)).alias("nd"),
             F.min(F.size(F.col(vec_col))).alias("dmin"),
             F.max(F.size(F.col(vec_col))).alias("dmax"),
         ).first()
         if stats["n"] == 0:
-            # Empty batch: nothing to ingest — no-op rather than an
-            # opaque NoneType error (r9 ADVICE). Mirrors the streaming
-            # entry's isEmpty() guard; the batch_id is not consumed (no
-            # dirs are written), so a later retry carrying rows lands.
+            # Empty assignment: EITHER a genuinely empty batch (no-op —
+            # r9 ADVICE; the batch_id is not consumed, so a later retry
+            # carrying rows lands) OR a non-empty batch against an
+            # empty/corrupted centroids artifact, which ivf_assign's
+            # NULL-argmax filter silently drains (r16, r15 ADVICE:
+            # distinguish the two — the one cheap probe runs only on
+            # this rare path).
+            if new_vectors.limit(1).count():
+                raise ValueError(
+                    "append_ann_index: batch has rows but none received a "
+                    "cell assignment — the stored centroids artifact is "
+                    "empty or unreadable (or every batch embedding is "
+                    "NULL); refusing to silently drop the batch"
+                )
             return
+        if stats["nd"] != stats["n"]:
+            raise ValueError(
+                f"append_ann_index: batch carries duplicate {id_col!r} values "
+                f"({stats['n']} rows, {stats['nd']} distinct) — index ids must "
+                "be unique (the caller contract); duplicates would land as "
+                "duplicate stored rows"
+            )
         bad = stats["dmin"] if stats["dmin"] != params["dim"] else stats["dmax"]
         if bad != params["dim"]:
             raise ValueError(
@@ -806,7 +832,7 @@ def append_ann_index(
             )
         if evolve_args is not None:
             _extend_payload_cols(spark, root, params, *evolve_args)
-        codes = assigned.crossJoin(F.broadcast(_cb_one(cb))).select(
+        codes = assigned.crossJoin(F.broadcast(_cb_by_sub(cb))).select(
             F.col(id_col),
             _codes_column(
                 F.col(vec_col), F.col("_cb"), int(params["m"]),

@@ -59,6 +59,8 @@ __all__ = [
     "rebuild_dedup_index",
     "validate_batch_id",
     "indexed_near_dup_pairs",
+    "index_self_near_dup_pairs",
+    "index_cross_near_dup_pairs",
     "simhash16",
     "simhash_near_dup_pairs",
     "simhash60",
@@ -1094,6 +1096,68 @@ def indexed_near_dup_pairs(
     result = _verify_jaccard_from_packs(cand, packs_b, index.packs, id_col, threshold)
     result._pandas_aws_cached = (per_doc_b,)
     return result
+
+
+def index_self_near_dup_pairs(index: DedupIndex, *, threshold: float = 0.8) -> DataFrame:
+    """Corpus-internal near-dup pairs computed ENTIRELY from an index's
+    own frames — band postings for candidates, packs for exact
+    verification; no text scan, no re-shingling (r16, guide §1.2: the
+    shingle + md5 chain is the pipeline's dominant per-row work, so
+    evaluate it once per document set, not once per consumer).
+    Pair-equivalent to :func:`minhash_near_dup_pairs` (uncapped) over
+    the index's documents: the stored buckets ARE the
+    ``lsh_band_buckets`` rows of the same per-doc aggregation, the
+    candidate self-join is identical, and packed jaccard is
+    order-insensitive (stored packs are merely sorted), so the pair set
+    and the jaccard doubles are bit-identical. Works on a just-built
+    in-memory index (frames read the build's cached per-doc row) and on
+    a stored one (frames are parquet scans) alike."""
+    id_col = index.params["id_col"]
+    a = index.buckets.alias("a")
+    b = index.buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard_from_packs(cand, index.packs, index.packs, id_col, threshold)
+
+
+def index_cross_near_dup_pairs(
+    delta: DedupIndex, index: DedupIndex, *, threshold: float = 0.8
+) -> DataFrame:
+    """Batch-vs-index near-dup pairs where the BATCH side is an
+    already-built :class:`DedupIndex` delta (r16): the same asymmetric
+    band probe as :func:`indexed_near_dup_pairs`, minus the batch
+    re-shingle — the delta's cached per-doc aggregation
+    (:func:`build_dedup_index`) serves candidates and verification, so
+    one ingest shingles its batch exactly once across internal pairs,
+    cross pairs and the append (the pre-r16 ingest paid the shingle
+    scan three times per batch). Recipe equality is asserted like
+    :func:`append_dedup_index`. Pair-equivalent to
+    ``indexed_near_dup_pairs`` on the same documents (sorted vs
+    unsorted packs only — jaccard is order-insensitive)."""
+    if delta.params != index.params:
+        raise ValueError(
+            f"index recipe mismatch: delta {delta.params} vs stored {index.params}"
+        )
+    id_col = index.params["id_col"]
+    bb = delta.buckets.alias("a")
+    be = index.buckets.alias("b")
+    cand = (
+        bb.join(
+            be,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard_from_packs(cand, delta.packs, index.packs, id_col, threshold)
 
 
 def release_cached_inputs(df: DataFrame) -> None:

@@ -94,44 +94,72 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int) -> Dat
 def _cb_one(codebook: DataFrame) -> DataFrame:
     """The codebook as a ONE-row frame holding one array column ``_cb``
     of ``(sub, centroid_id, cvec)`` structs — the broadcast shape the
-    map-side argmin/LUT expressions below consume (r15). Element order
-    inside the array is irrelevant: every consumer folds with an
-    explicit (dist, centroid_id) comparison, so the result is
+    map-side LUT expression below consumes (r15). Element order inside
+    the array is irrelevant: every consumer folds with an explicit
+    (dist, centroid_id) comparison, so the result is
     order-independent."""
     return codebook.agg(
         F.collect_list(F.struct("sub", "centroid_id", "cvec")).alias("_cb")
     )
 
 
+def _cb_by_sub(codebook: DataFrame) -> DataFrame:
+    """The codebook as a ONE-row frame whose ``_cb`` column is an array
+    INDEXED BY SUBSPACE: element ``j`` holds subspace ``j``'s
+    ``(centroid_id, cvec)`` candidates (r16). The r15 flat shape made
+    every per-row argmin re-FILTER all m x k entries per subspace per
+    corpus row; higher-order functions execute interpreted (no codegen),
+    so that filter was pure per-row overhead — grouping once in this
+    1-row broadcast frame turns it into an O(1) ``F.get`` per row
+    (guide §1.2: per-task work). Candidate order within a subspace is
+    irrelevant: the argmin is order-independent; a subspace with no
+    centroids yields an empty element and a NULL code, exactly like the
+    r15 empty-filter result."""
+    flat = codebook.agg(F.collect_list(F.struct("sub", "centroid_id", "cvec")).alias("_f"))
+    return flat.select(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.array_max(F.transform(F.col("_f"), lambda e: e["sub"]))
+            ),
+            lambda j: F.transform(
+                F.filter(F.col("_f"), lambda e: e["sub"] == j),
+                lambda e: F.struct(e["centroid_id"].alias("cid"), e["cvec"].alias("cvec")),
+            ),
+        ).alias("_cb")
+    )
+
+
 def _argmin_code(scored: Column) -> Column:
     """Argmin over an array of ``(d, cid)`` structs: smallest distance,
     ties to the smallest centroid id — the exact semantics of the
-    pre-r15 ``F.min(F.struct(dist, centroid_id))`` group aggregate
-    (Spark compares doubles with NaN greatest and NaN = NaN, identical
-    in both forms). First element seeds the fold, so the result is
-    independent of array order; empty array folds to NULL."""
-    return F.aggregate(
-        F.slice(scored, 2, F.size(scored)),
-        F.get(scored, 0),
-        lambda acc, c: F.when(
-            (c["d"] < acc["d"]) | ((c["d"] == acc["d"]) & (c["cid"] < acc["cid"])), c
-        ).otherwise(acc),
-    )["cid"]
+    pre-r15 ``F.min(F.struct(dist, centroid_id))`` group aggregate AND
+    of the r15 explicit fold this replaces (r16): ``array_min`` is the
+    total-order struct minimum (d first, then cid; NaN greatest,
+    NaN = NaN), which is precisely what the fold's
+    ``(c.d < acc.d) | (c.d == acc.d & c.cid < acc.cid)`` comparison
+    computed. The fold referenced its ``scored`` subtree THREE times
+    (slice/size/get) and interpreted HOF evaluation re-computes every
+    reference per row — 3x the transform + l2sq work for the same
+    argmin. Empty array still yields NULL."""
+    return F.array_min(scored)["cid"]
 
 
 def _code_for_sub(subvec: Column, cb_col: Column, sub: Column | int) -> Column:
     """Nearest sub-centroid id for one ALREADY-SLICED subvector — a
-    pure per-row expression over the broadcast codebook array (r15;
+    pure per-row expression over the subspace-indexed broadcast
+    codebook array (``_cb_by_sub``; r15 map-side shape, r16 indexing;
     guide §2.4: the broadcast-join + groupBy argmin it replaces paid
     one Exchange of corpus x m rows per evaluation for math that never
-    needed to cross rows)."""
+    needed to cross rows). ``F.get`` is 0-based and NULL-safe, so an
+    out-of-range subspace degrades to a NULL code like the r15
+    empty-filter path."""
     sub = F.lit(sub) if isinstance(sub, int) else sub
-    cand = F.filter(cb_col, lambda e: e["sub"] == sub)
+    cand = F.get(cb_col, sub)
     scored = F.transform(
         cand,
         lambda e: F.struct(
             _l2sq(subvec, e["cvec"]).alias("d"),
-            e["centroid_id"].alias("cid"),
+            e["cid"].alias("cid"),
         ),
     )
     return _argmin_code(scored)
@@ -140,9 +168,15 @@ def _code_for_sub(subvec: Column, cb_col: Column, sub: Column | int) -> Column:
 def _codes_column(vec: Column, cb_col: Column, m: int, d: int) -> Column:
     """Full PQ code array (subspace order) for one vector — map-side.
     The slice expression matches ``_subvectors`` exactly (same 1-based
-    offsets), so codes are bit-identical to the pre-r15 exploded path."""
-    return F.array(
-        *[_code_for_sub(F.slice(vec, j * d + 1, d), cb_col, j) for j in range(m)]
+    offsets), so codes are bit-identical to the pre-r15 exploded path.
+    One ``transform`` over ``sequence(0, m-1)`` (r16) instead of the
+    r15 ``F.array`` of m inlined argmin copies: the values are the same
+    per-j expressions, but the plan carries ONE argmin subtree instead
+    of m — m x smaller interpreted-expression trees and generated
+    code."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _code_for_sub(F.slice(vec, j * F.lit(d) + 1, d), cb_col, j),
     )
 
 
@@ -204,17 +238,27 @@ def pq_train(
     ``dim`` skips the dimension probe when the caller already knows it
     (r15 — one fewer driver job per build).
 
-    Distribution shape (r15, guide §2.2/§2.4): assignment is a pure
-    per-row argmin over the broadcast codebook array (no exchange —
-    it was a broadcast join + groupBy(id, sub) shuffle of corpus x m
-    rows per iteration), and the mean update is ONE
-    groupBy(sub, code) shuffle per iteration (was two: the posexplode
-    route shuffled (sub, code, pos) then (sub, code)). The per-group
-    per-position ascending-sorted sequential fold is unchanged — the
-    one cross-row float reduction in training stays deterministic AND
-    engine-portable (DuckDB mirrors it with list(x ORDER BY x) +
-    list_reduce; F.avg would give partial-agg-order-dependent last
-    ULPs)."""
+    Distribution shape (r15/r16, guide §2.2/§2.4): assignment is a
+    pure per-row argmin over the subspace-indexed broadcast codebook
+    array (no exchange — it was a broadcast join + groupBy(id, sub)
+    shuffle of corpus x m rows per iteration), and the mean update is
+    ONE groupBy(sub, code, pos) shuffle per iteration whose per-group
+    aggregation state is the O(members) scalar list of ONE position
+    (r16, the r15 verdict's ask #4 — the r15 fused groupBy(sub, code)
+    collected whole subvectors, an O(members x d) buffer per group
+    that a hot cell can blow at corpus scale); the k x m x d per-
+    position means are collected and assembled into centroid arrays
+    driver-side, which costs nothing extra because the codebook is
+    collected per round anyway (the iterative-lineage cut). The
+    per-group per-position ascending-sorted sequential fold is
+    unchanged — the one cross-row float reduction in training stays
+    deterministic AND engine-portable (DuckDB mirrors it with
+    list(x ORDER BY x) + list_reduce; F.avg would give
+    partial-agg-order-dependent last ULPs). ``subs`` is persisted for
+    the duration of the loop (released in the finally) so each
+    iteration's assignment reads the materialized subvectors instead
+    of re-scanning + re-normalizing + re-slicing the source per round
+    (guide §5, the r15 verdict's ask #3)."""
     spark = corpus.sparkSession
     if dim is None:
         dim = corpus.select(F.size(as_double(vec_col)).alias("n")).first()["n"]
@@ -250,33 +294,49 @@ def pq_train(
         .select("sub", F.col("_rn").alias("centroid_id"), F.col("subvec").alias("cvec"))
     )
     schema = "sub int, centroid_id int, cvec array<double>"
-    for _ in range(iters):
-        assigned = (
-            subs.crossJoin(F.broadcast(_cb_one(cb)))
-            .withColumn(
-                "code",
-                _code_for_sub(F.col("subvec"), F.col("_cb"), F.col("sub")),
+    from pyspark import StorageLevel
+
+    subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            assigned = (
+                subs.crossJoin(F.broadcast(_cb_by_sub(cb)))
+                .withColumn(
+                    "code",
+                    _code_for_sub(F.col("subvec"), F.col("_cb"), F.col("sub")),
+                )
+                .select("sub", "subvec", "code")
             )
-            .select(id_col, "sub", "subvec", "code")
-        )
-        means = (
-            assigned.groupBy("sub", "code")
-            .agg(F.collect_list("subvec").alias("vs"))
-            .select(
-                "sub",
-                F.col("code").alias("centroid_id"),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(d - 1)),
-                    lambda p: F.aggregate(
-                        F.array_sort(F.transform("vs", lambda v: F.get(v, p))),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / F.size("vs"),
-                ).alias("cvec"),
+            # Per-(sub, code, POSITION) groups: the aggregation buffer is
+            # one position's scalars — O(members) — and the per-position
+            # mean is the identical ascending-sorted sequential fold over
+            # the identical value multiset the r15 whole-vector
+            # collect_list computed, so the double is bit-identical.
+            per_pos = (
+                assigned.select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.collect_list("x").alias("xs"))
+                .select(
+                    "sub",
+                    "code",
+                    "pos",
+                    (
+                        F.aggregate(
+                            F.array_sort("xs"), F.lit(0.0), lambda acc, x: acc + x
+                        )
+                        / F.size("xs")
+                    ).alias("mx"),
+                )
             )
-        )
-        cb = spark.createDataFrame(means.collect(), schema=schema)
+            acc: dict = {}
+            for r in per_pos.collect():
+                acc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mx"]
+            rows = [
+                (s, c, [poss[p] for p in range(d)]) for (s, c), poss in sorted(acc.items())
+            ]
+            cb = spark.createDataFrame(rows, schema=schema)
+    finally:
+        subs.unpersist()
     return cb
 
 
@@ -305,7 +365,7 @@ def pq_encode(
         d = codebook.select(F.size("cvec")).first()[0]
     return (
         corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(_cb_one(codebook)))
+        .crossJoin(F.broadcast(_cb_by_sub(codebook)))
         .select(
             F.col(id_col), _codes_column(F.col("_v"), F.col("_cb"), m, d).alias("codes")
         )
@@ -356,7 +416,15 @@ def pq_topk(
         "neighbor_id",
         _adc_column(F.col("_lut"), F.col("codes")).alias("adc"),
     )
-    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    # asc_nulls_last (r16, r15 ADVICE): a NULL adc is impossible for a
+    # self-consistent index (codes are argmin'd over the same codebook
+    # the LUT covers) but a corrupted/mismatched stored artifact would
+    # yield element_at misses -> NULL adc, and the default NULLS FIRST
+    # would rank garbage #1. Fail-safe ordering only — no live row's
+    # rank changes, so every oracle hash is unchanged.
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("adc"), "neighbor_id"
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -487,8 +555,6 @@ def ivf_pq_build_full(
     recall holds at small fractions (measured r9, SCALE.md: recall@10
     at 1% training within noise of full-corpus training). Deterministic
     (xxhash64 threshold on the id), so rebuilds converge."""
-    from .similarity import ivf_assign, kmeans_fit
-
     # carry_cols (r15): payload/metadata columns ride the normalize ->
     # assign lineage into the returned codes/vectors frames instead of
     # being joined back on id afterwards (two exchanges of the corpus
@@ -498,6 +564,58 @@ def ivf_pq_build_full(
         corpus.select(F.col(id_col), as_double(vec_col).alias(vec_col), *carry),
         vec_col=vec_col,
     )
+    # TRAINING-SCOPED persist of the normalized corpus (r16, the r15
+    # verdict's ask #3): every training action below — the optional
+    # sample count, each coarse k-means round, the dim probe, pq_train's
+    # subvector materialization — otherwise re-evaluates the source scan
+    # + normalization from parquet (4-5 evaluations per build; the two
+    # lifecycle bench rows flow through this on every build/rebuild).
+    # Released in the finally BEFORE returning, so the lazily-returned
+    # codes/vectors frames recompute from source (write_ann_index pins
+    # them for its own writes) and no CacheManager entry outlives the
+    # call — the r12 cache-release protocol.
+    from pyspark import StorageLevel
+
+    cn = cn.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _build_full_trained(
+            cn,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            m=m,
+            k_codes=k_codes,
+            iters=iters,
+            coarse=coarse,
+            coarse_iters=coarse_iters,
+            coarse_sample=coarse_sample,
+            dim=dim,
+            carry=carry,
+        )
+    finally:
+        cn.unpersist()
+
+
+def _build_full_trained(
+    cn: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+    coarse: str,
+    coarse_iters: int,
+    coarse_sample: float | None,
+    dim: int | None,
+    carry: list,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Training + plan assembly over the ALREADY-PINNED normalized
+    corpus (split out of :func:`ivf_pq_build_full` so the persist /
+    unpersist bracket reads as one try/finally)."""
+    from .similarity import ivf_assign, kmeans_fit
+
     if coarse == "kmeans":
         train = cn
         if coarse_sample is not None:
@@ -538,7 +656,7 @@ def ivf_pq_build_full(
     # encode-then-join-on-id (two exchanges of the batch per
     # evaluation) disappears — build/append never shuffle the corpus.
     codes = (
-        indexed.crossJoin(F.broadcast(_cb_one(cb)))
+        indexed.crossJoin(F.broadcast(_cb_by_sub(cb)))
         .select(
             F.col(id_col),
             _codes_column(F.col(vec_col), F.col("_cb"), m, dim // m).alias("codes"),
@@ -675,7 +793,7 @@ def ivf_pq_topk(
         indexed = ivf_assign(cn, cents, id_col=id_col, vec_col=vec_col)
         # same single-lineage shape as ivf_pq_build_full (r15): the
         # codes column rides the assigned rows, no encode-then-join.
-        codes = indexed.crossJoin(F.broadcast(_cb_one(cb))).select(
+        codes = indexed.crossJoin(F.broadcast(_cb_by_sub(cb))).select(
             F.col(id_col),
             _codes_column(F.col(vec_col), F.col("_cb"), m, d).alias("codes"),
             "cell",
@@ -714,7 +832,12 @@ def ivf_pq_topk(
         "neighbor_id",
         _adc_column(F.col("_lut"), F.col("codes")).alias("adc"),
     )
-    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    # asc_nulls_last: same fail-safe as pq_topk's shortlist window — a
+    # malformed stored code can never outrank real candidates (r16,
+    # r15 ADVICE; no live row moves, oracle hashes unchanged).
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("adc"), "neighbor_id"
+    )
     short = (
         scored.withColumn("_rn", F.row_number().over(ws))
         .filter(F.col("_rn") <= k * oversample)

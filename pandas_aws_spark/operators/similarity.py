@@ -297,37 +297,67 @@ def kmeans_fit(
         )
     )
     schema = f"centroid_id int, {vec_col} array<double>"
-    for _ in range(iters):
-        assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-        # Centroid mean = ascending-sorted sequential fold / count (the
-        # pq_train pattern, r6): F.avg's partial-agg combine order
-        # perturbs the last ULPs per partitioning, which is invisible to
-        # full-probe consumers but blocks a bit-exact SQL replay of the
-        # trained index — DuckDB mirrors this fold with
-        # list(x ORDER BY x) + list_reduce, making coarse="kmeans"
-        # IVF-PQ oracle-verifiable (q_sim_ivf_pq_trained).
-        # ONE groupBy(cell) shuffle per round (r15; was two — the
-        # posexplode route shuffled (cell, pos, x) triples and then the
-        # (cell, pos) means again). Per-position values are sorted
-        # ascending and folded sequentially exactly as before, so the
-        # trained centroids are bit-identical.
-        means = (
-            assigned.groupBy("cell")
-            .agg(F.collect_list(as_double(vec_col)).alias("vs"))
-            .select(
-                F.col("cell").alias("centroid_id"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.get("vs", 0)) - 1),
-                    lambda p: F.aggregate(
-                        F.array_sort(F.transform("vs", lambda v: F.get(v, p))),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / F.size("vs"),
-                ).alias(vec_col),
+    # TRAINING-SCOPED pin of the assignment input (r16, guide §5): each
+    # Lloyd round's ivf_assign otherwise re-evaluates the corpus plan
+    # from its source per iteration. Persist only when the caller has
+    # not already pinned the frame (ivf_pq_build_full pins the
+    # normalized corpus this may derive from), and release exactly what
+    # was persisted here — no CacheManager entry outlives the call.
+    from pyspark import StorageLevel
+
+    own_pin = corpus.storageLevel == StorageLevel.NONE
+    if own_pin:
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+            # Centroid mean = ascending-sorted sequential fold / count
+            # (the pq_train pattern, r6): F.avg's partial-agg combine
+            # order perturbs the last ULPs per partitioning, which is
+            # invisible to full-probe consumers but blocks a bit-exact
+            # SQL replay of the trained index — DuckDB mirrors this fold
+            # with list(x ORDER BY x) + list_reduce, making
+            # coarse="kmeans" IVF-PQ oracle-verifiable
+            # (q_sim_ivf_pq_trained).
+            # Per-(cell, POSITION) groups (r16, the r15 verdict's ask
+            # #4): the aggregation buffer is one position's scalars —
+            # O(members) — where the r15 fused groupBy(cell) collected
+            # whole vectors, an O(members x dim) buffer per group that a
+            # hot cell can blow past task memory at corpus scale. The
+            # per-position mean folds the IDENTICAL ascending-sorted
+            # value multiset, so the trained centroid doubles are
+            # bit-identical; the k x dim scalar means are assembled into
+            # centroid arrays driver-side, which costs nothing extra
+            # because the model state is collected per round anyway
+            # (the iterative lineage cut).
+            per_pos = (
+                assigned.select(
+                    "cell", F.posexplode(as_double(vec_col)).alias("pos", "x")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.collect_list("x").alias("xs"))
+                .select(
+                    "cell",
+                    "pos",
+                    (
+                        F.aggregate(
+                            F.array_sort("xs"), F.lit(0.0), lambda acc, x: acc + x
+                        )
+                        / F.size("xs")
+                    ).alias("mx"),
+                )
             )
-        )
-        cent = spark.createDataFrame(means.collect(), schema=schema)
+            acc: dict = {}
+            for r in per_pos.collect():
+                acc.setdefault(r["cell"], {})[r["pos"]] = r["mx"]
+            rows = [
+                (c, [poss[p] for p in range(len(poss))])
+                for c, poss in sorted(acc.items())
+            ]
+            cent = spark.createDataFrame(rows, schema=schema)
+    finally:
+        if own_pin:
+            corpus.unpersist()
     return cent
 
 

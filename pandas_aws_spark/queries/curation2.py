@@ -302,9 +302,9 @@ def q_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         append_dedup_index,
         build_dedup_index,
+        index_cross_near_dup_pairs,
         indexed_near_dup_pairs,
         read_dedup_index,
-        release_cached_inputs,
         write_dedup_index,
     )
 
@@ -315,14 +315,20 @@ def q_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir(prefix="pandas_aws_spark_dedup_index_")
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text"), path)
     stored = read_dedup_index(spark, path)
-    # localCheckpoint pins ingest-1's result BEFORE the append mutates
-    # the index files (the stored frames are lazy parquet scans).
-    raw1 = indexed_near_dup_pairs(b1, stored, "text", threshold=0.8)
-    p1 = raw1.withColumn("ingest", F.lit(1)).localCheckpoint()
-    # p1 is materialized: release ingest-1's cached batch shingles —
-    # the per-ingest ritual the operator documents for long loops.
-    release_cached_inputs(raw1)
-    append_dedup_index(build_dedup_index(b1, "doc_id", "text"), path, batch_id="b1")
+    # ONE shingle evaluation for batch 1 (r16): the delta built for the
+    # append also serves the ingest-1 search — jaccard doubles are
+    # identical (sorted vs unsorted packs; array_intersect/size are
+    # order-insensitive). localCheckpoint pins ingest-1's result BEFORE
+    # the append mutates the index files (lazy parquet scans).
+    delta1 = build_dedup_index(b1, "doc_id", "text")
+    p1 = (
+        index_cross_near_dup_pairs(delta1, stored, threshold=0.8)
+        .withColumn("ingest", F.lit(1))
+        .localCheckpoint()
+    )
+    # append's write releases delta1's cached batch shingles once both
+    # frames land — the per-ingest ritual the operator documents.
+    append_dedup_index(delta1, path, batch_id="b1")
     stored2 = read_dedup_index(spark, path)
     p2 = indexed_near_dup_pairs(b2, stored2, "text", threshold=0.8).withColumn(
         "ingest", F.lit(2)

@@ -709,14 +709,14 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UNION corpus — incremental maintenance is exact, not an
     approximation."""
     from ..operators.dedup import (
+        append_dedup_index,
         build_dedup_index,
-        indexed_near_dup_pairs,
+        index_cross_near_dup_pairs,
+        index_self_near_dup_pairs,
         init_cluster_labels,
         merge_cluster_labels,
-        minhash_near_dup_pairs,
         read_cluster_labels,
         read_dedup_index,
-        release_cached_inputs,
         write_dedup_index,
     )
     from . import scratch_dir
@@ -728,18 +728,27 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 8 == 4)
     path = scratch_dir(prefix="pandas_aws_spark_cluster_incr_")
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
-    # init materializes inside the call (CC + parquet write), so the
-    # bootstrap pair scan's shingle cache releases immediately — the
-    # same hygiene as the per-ingest releases below (r12 review)
-    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    # Bootstrap pairs come from the index just WRITTEN (r16, guide
+    # §1.2): the stored buckets/packs are exactly the shingle
+    # pipeline's per-doc output, and packed jaccard is
+    # order-insensitive, so the pair graph — and therefore every label
+    # — is bit-identical to the pre-r16 re-shingle
+    # (minhash_near_dup_pairs over the corpus), minus one full
+    # evaluation of the pipeline's dominant scan. init materializes
+    # inside the call (CC + parquet write).
+    p0 = index_self_near_dup_pairs(read_dedup_index(spark, path), threshold=0.8)
     init_cluster_labels(p0, path)
-    release_cached_inputs(p0)
     for batch, bid in ((b1, "b1"), (b2, "b2")):
         stored = read_dedup_index(spark, path)
-        cross = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
-        internal = minhash_near_dup_pairs(
-            batch, "doc_id", "text", threshold=0.8, **recipe
-        )
+        # ONE shingle evaluation per ingest (r16): the delta built for
+        # the append also serves the batch-internal and batch-vs-index
+        # pair scans — the pre-r16 loop shingled each batch three times
+        # (indexed_near_dup_pairs, minhash_near_dup_pairs, and the
+        # append's own build). Pair sets and jaccard doubles are
+        # bit-identical (sorted vs unsorted packs only).
+        delta = build_dedup_index(batch, "doc_id", "text", **recipe)
+        cross = index_cross_near_dup_pairs(delta, stored, threshold=0.8)
+        internal = index_self_near_dup_pairs(delta, threshold=0.8)
         merge_cluster_labels(
             cross.select("id_a", "id_b").unionByName(
                 internal.select("id_a", "id_b")
@@ -747,13 +756,9 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             batch_id=bid,
         )
-        release_cached_inputs(cross)
-        release_cached_inputs(internal)
-        from ..operators.dedup import append_dedup_index
-
-        append_dedup_index(
-            build_dedup_index(batch, "doc_id", "text", **recipe), path, batch_id=bid
-        )
+        # append last: write_dedup_index releases the delta's cached
+        # per-doc frame after both frames land on disk
+        append_dedup_index(delta, path, batch_id=bid)
     return read_cluster_labels(spark, path).orderBy("doc_id")
 
 
@@ -784,10 +789,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL documents."""
     from ..operators.dedup import (
         build_dedup_index,
+        index_self_near_dup_pairs,
         init_cluster_labels,
-        minhash_near_dup_pairs,
         read_cluster_labels,
-        release_cached_inputs,
+        read_dedup_index,
         write_dedup_index,
     )
     from ..streaming.pipeline import stream_dedup_ingest
@@ -800,9 +805,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir(prefix="pandas_aws_spark_dedup_stream_")
     path, landing, ckpt = f"{work}/idx", f"{work}/landing", f"{work}/ckpt"
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
-    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    # bootstrap pairs from the index just written (r16) — same
+    # bit-identical-pair argument as q_dedup_cluster_incremental
+    p0 = index_self_near_dup_pairs(read_dedup_index(spark, path), threshold=0.8)
     init_cluster_labels(p0, path)
-    release_cached_inputs(p0)
     rest.repartition(4).write.mode("overwrite").parquet(landing)
     stream = (
         spark.readStream.schema(rest.schema)
@@ -880,13 +886,12 @@ def q_dedup_cluster_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_dedup_index,
         build_dedup_index,
         compact_dedup_index,
-        indexed_near_dup_pairs,
+        index_cross_near_dup_pairs,
+        index_self_near_dup_pairs,
         init_cluster_labels,
         merge_cluster_labels,
-        minhash_near_dup_pairs,
         read_cluster_labels,
         read_dedup_index,
-        release_cached_inputs,
         write_dedup_index,
     )
     from . import scratch_dir
@@ -898,15 +903,16 @@ def q_dedup_cluster_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 8 == 4)
     path = scratch_dir(prefix="pandas_aws_spark_cluster_snap_")
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
-    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    # bootstrap + per-ingest pairs from index frames (r16): one shingle
+    # evaluation per document set — same bit-identical-pair argument as
+    # q_dedup_cluster_incremental
+    p0 = index_self_near_dup_pairs(read_dedup_index(spark, path), threshold=0.8)
     init_cluster_labels(p0, path)
-    release_cached_inputs(p0)
     for batch, bid in ((b1, "b1"), (b2, "b2")):
         stored = read_dedup_index(spark, path)
-        cross = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
-        internal = minhash_near_dup_pairs(
-            batch, "doc_id", "text", threshold=0.8, **recipe
-        )
+        delta = build_dedup_index(batch, "doc_id", "text", **recipe)
+        cross = index_cross_near_dup_pairs(delta, stored, threshold=0.8)
+        internal = index_self_near_dup_pairs(delta, threshold=0.8)
         merge_cluster_labels(
             cross.select("id_a", "id_b").unionByName(
                 internal.select("id_a", "id_b")
@@ -914,11 +920,7 @@ def q_dedup_cluster_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             batch_id=bid,
         )
-        release_cached_inputs(cross)
-        release_cached_inputs(internal)
-        append_dedup_index(
-            build_dedup_index(batch, "doc_id", "text", **recipe), path, batch_id=bid
-        )
+        append_dedup_index(delta, path, batch_id=bid)
         if bid == "b1":
             # gen 2 = folded post-batch-1 state; gen 1 retained as the
             # snapshot the entry reads back below

@@ -497,8 +497,9 @@ def stream_dedup_ingest(
 
     ``maintain_clusters=True`` keeps the persisted duplicate-cluster
     labels current as the stream lands: per micro-batch, the
-    batch-vs-index pairs (``indexed_near_dup_pairs`` — band postings +
-    stored packs, no corpus text scan) union the batch-internal pairs
+    batch-vs-index pairs (``index_cross_near_dup_pairs`` — the batch
+    delta's band postings against the stored ones, no corpus text
+    scan) union the batch-internal pairs
     feed ``merge_cluster_labels``, whose union-merge touches only the
     components the new pairs reach (O(batch + touched)). The merge
     runs BEFORE the append, mirroring the batch entry
@@ -515,11 +516,10 @@ def stream_dedup_ingest(
     from ..operators.dedup import (
         append_dedup_index,
         build_dedup_index,
-        indexed_near_dup_pairs,
+        index_cross_near_dup_pairs,
+        index_self_near_dup_pairs,
         merge_cluster_labels,
-        minhash_near_dup_pairs,
         read_dedup_index,
-        release_cached_inputs,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -532,13 +532,15 @@ def stream_dedup_ingest(
             k: p[k] for k in ("shingle_k", "n_hashes", "bands", "hash_fn")
         }
         bid = f"{batch_prefix}{batch_id}"
+        # ONE shingle evaluation per micro-batch (r16, mirroring
+        # q_dedup_cluster_incremental): the delta built for the append
+        # also serves the batch-internal and batch-vs-index pair scans
+        # — pair sets and jaccard doubles are bit-identical to the
+        # pre-r16 triple evaluation (sorted vs unsorted packs only).
+        delta = build_dedup_index(batch_df, p["id_col"], text_col, **recipe)
         if maintain_clusters:
-            cross = indexed_near_dup_pairs(
-                batch_df, stored, text_col, threshold=threshold
-            )
-            internal = minhash_near_dup_pairs(
-                batch_df, p["id_col"], text_col, threshold=threshold, **recipe
-            )
+            cross = index_cross_near_dup_pairs(delta, stored, threshold=threshold)
+            internal = index_self_near_dup_pairs(delta, threshold=threshold)
             merge_cluster_labels(
                 cross.select("id_a", "id_b").unionByName(
                     internal.select("id_a", "id_b")
@@ -546,13 +548,9 @@ def stream_dedup_ingest(
                 index_path,
                 batch_id=bid,
             )
-            release_cached_inputs(cross)
-            release_cached_inputs(internal)
-        append_dedup_index(
-            build_dedup_index(batch_df, p["id_col"], text_col, **recipe),
-            index_path,
-            batch_id=bid,
-        )
+        # append last: write_dedup_index releases the delta's cached
+        # per-doc frame after both frames land on disk
+        append_dedup_index(delta, index_path, batch_id=bid)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

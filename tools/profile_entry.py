@@ -98,13 +98,12 @@ def profile_cluster(spark, sf_dir: str) -> None:
     from pandas_aws_spark.operators.dedup import (
         append_dedup_index,
         build_dedup_index,
-        indexed_near_dup_pairs,
+        index_cross_near_dup_pairs,
+        index_self_near_dup_pairs,
         init_cluster_labels,
         merge_cluster_labels,
-        minhash_near_dup_pairs,
         read_cluster_labels,
         read_dedup_index,
-        release_cached_inputs,
         write_dedup_index,
     )
     from pandas_aws_spark.queries import scratch_dir
@@ -118,24 +117,22 @@ def profile_cluster(spark, sf_dir: str) -> None:
     _T0[0] = time.perf_counter()
     write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
     tick("build+write dedup index")
-    p0 = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    p0 = index_self_near_dup_pairs(read_dedup_index(spark, path), threshold=0.8)
     init_cluster_labels(p0, path)
-    release_cached_inputs(p0)
-    tick("bootstrap pairs + init_cluster_labels (CC + write)")
+    tick("bootstrap pairs (stored frames) + init_cluster_labels (CC + write)")
     for batch, bid in ((b1, "b1"), (b2, "b2")):
         stored = read_dedup_index(spark, path)
-        cross = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
-        internal = minhash_near_dup_pairs(batch, "doc_id", "text", threshold=0.8, **recipe)
-        tick(f"{bid}: pair plans built")
+        delta = build_dedup_index(batch, "doc_id", "text", **recipe)
+        cross = index_cross_near_dup_pairs(delta, stored, threshold=0.8)
+        internal = index_self_near_dup_pairs(delta, threshold=0.8)
+        tick(f"{bid}: delta built + pair plans")
         merge_cluster_labels(
             cross.select("id_a", "id_b").unionByName(internal.select("id_a", "id_b")),
             path,
             batch_id=bid,
         )
-        release_cached_inputs(cross)
-        release_cached_inputs(internal)
         tick(f"{bid}: merge_cluster_labels")
-        append_dedup_index(build_dedup_index(batch, "doc_id", "text", **recipe), path, batch_id=bid)
+        append_dedup_index(delta, path, batch_id=bid)
         tick(f"{bid}: append_dedup_index")
     read_cluster_labels(spark, path).orderBy("doc_id").write.format("noop").mode(
         "overwrite"

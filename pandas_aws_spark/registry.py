@@ -208,70 +208,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # "did the physical plan change" is a fact about the round's git
 # diff, not about disk state.
 _REWRITTEN_THIS_ROUND: dict[str, int] = {
-    # (r14's six guard/pruning rewrites re-verified green in
-    # CORRECTNESS_r14.json — cleared per the self-expiry protocol.)
-    # r15: ann_index_radius pins its probe frame by COLLECTION instead
-    # of persist (r14 advice #3) — the probe subtree becomes an eager
-    # local relation, removing the BNLJ and the cache handle from the
-    # one entry built on the radius path. tools/diff_plans.py r15
-    # base(4ddcc92)->HEAD: 1 rewritten, 1 new, 238 unchanged. (The
-    # In-threshold conf raise rewrites no plans — the PushedFilters
-    # string is identical in every regime, which is exactly why the
-    # fix is metrics-tested, not plan-tested.)
-    "q_dedup_semantic_decontaminate_indexed": 15,
-    # r15 OPTIMIZATION round — map-side IVF/PQ rewrites (guide §2.4):
-    # ivf_assign's crossJoin x n_centroids + Window argmax became a
-    # per-row array_max over a 1-row broadcast centroid array;
-    # pq_encode/pq_train assignment became per-row argmin folds over
-    # the broadcast codebook (no groupBy exchanges); ADC became a
-    # per-row map-LUT fold (no posexplode, no groupBy(q, n) exchange);
-    # shortlists broadcast explicitly in the re-rank joins. Results
-    # bit-identical (same fold orders, same tie-breaks — the oracles
-    # replay them); plans rewritten. tools/diff_plans.py before/after:
-    # 16 rewritten, 0 new, 0 removed, 224 unchanged.
-    "q_dedup_semantic": 15,
-    "q_sim_eval_rank_quality": 15,
-    "q_sim_index_build_adaptive": 15,
-    "q_sim_index_drift_signal": 15,
-    "q_sim_index_evolved": 15,
-    "q_sim_index_filtered": 15,
-    "q_sim_index_ingest": 15,
-    "q_sim_index_rebuild": 15,
-    "q_sim_index_rebuild_adaptive": 15,
-    "q_sim_index_snapshot": 15,
-    "q_sim_ivf_fullprobe": 15,
-    "q_sim_ivf_kmeans": 15,
-    "q_sim_ivf_pq": 15,
-    "q_sim_ivf_pq_trained": 15,
-    "q_sim_ivf_probe2": 15,
-    "q_sim_pq_adc": 15,
-    # r15 batch 2: exact_dedup_survivors materializes its content hash
-    # once and shares ONE (partition, order) window spec between
-    # row_number and the whole-partition-frame count — one Window
-    # operator / one Exchange instead of two (the removed first
-    # exchange carried the text column solely so the second window's
-    # projection could re-hash it). Same hash, same partitioning, same
-    # survivor and count values; oracle hash-match at sf0.001/sf0.01.
-    "q_text_curation_pipeline": 15,
-    # r15 batch 3: the minhash pipelines' fused per-doc aggregation
-    # (_per_doc_minhash) — signature minima and the verify pack ride
-    # ONE groupBy(id) shuffle instead of two over the same shingle
-    # rows, and the persisted frame becomes the per-doc row instead of
-    # the exploded (id, h) set. Same minima, same pack contents
-    # (array_sort-ed where stored); oracle hash-match. Four of the
-    # eight rewrites (simhash, prefix_filter_join, minhash_error,
-    # lsh_recall) differ only because the formerly-persisted shingle
-    # fragment no longer cache-substitutes into their session plans —
-    # their own lineage is untouched. tools/diff_plans.py
-    # base2->after3: 8 rewritten, 0 new, 0 removed, 232 unchanged.
-    "q_dedup_incremental_batch": 15,
-    "q_dedup_index_ingest": 15,
-    "q_dedup_index_rebuild": 15,
-    "q_dedup_lsh_recall": 15,
-    "q_dedup_minhash_error": 15,
-    "q_dedup_minhash_lsh": 15,
-    "q_dedup_prefix_filter_join": 15,
-    "q_dedup_simhash": 15,
+    # (r15's 25 rewrites re-verified green in CORRECTNESS_r15.json —
+    # cleared per the self-expiry protocol.)
+    # r16 OPTIMIZATION round — interpreted-HOF cost cuts in the PQ
+    # paths (guide §1.2 per-task work): the argmin over scored
+    # sub-centroids became a single-reference array_min (same
+    # total-order struct min as the r15 fold, which evaluated its
+    # scored subtree three times per row under interpreted HOF
+    # evaluation); the broadcast codebook is indexed by subspace
+    # (per-row filter over all m x k entries -> O(1) F.get); the codes
+    # column is ONE transform over sequence(0, m-1) instead of m
+    # inlined argmin copies; both ADC shortlist windows order by
+    # asc_nulls_last (fail-safe only — no live row moves). Codes,
+    # distances and every returned row are bit-identical (oracle
+    # hash-match at sf0.001 and sf0.01 on all ten plus the cluster
+    # lifecycle cohort). tools/diff_plans.py base(c814384)->HEAD:
+    # 10 rewritten, 0 new, 0 removed, 230 unchanged (same-code double
+    # dump control: 0/240).
+    "q_sim_index_build_adaptive": 16,
+    "q_sim_index_evolved": 16,
+    "q_sim_index_filtered": 16,
+    "q_sim_index_ingest": 16,
+    "q_sim_index_rebuild": 16,
+    "q_sim_index_rebuild_adaptive": 16,
+    "q_sim_index_snapshot": 16,
+    "q_sim_ivf_pq": 16,
+    "q_sim_ivf_pq_trained": 16,
+    "q_sim_pq_adc": 16,
 }
 
 # ---------------------------------------------------------------------------

@@ -1644,3 +1644,41 @@ def test_append_validation_precedes_payload_evolution_swap(spark, tmp_path):
     final = read_ann_index(spark, path)
     assert final.params["payload_cols"] == "label,src"
     assert final.codes.count() == n_before + b1.count()
+
+
+def test_append_rejects_duplicate_batch_ids(spark, tmp_path):
+    """r16 (r15 ADVICE): the map-side assignment keeps every row, so a
+    batch violating the unique-id contract must fail loudly in the
+    append's single stats job instead of landing duplicate stored
+    rows (the pre-r15 window argmax silently collapsed them)."""
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    dup = b1.unionByName(b1.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        append_ann_index(dup, path, batch_id="dup")
+    # the batch id is not consumed: a corrected retry lands
+    append_ann_index(b1, path, batch_id="dup")
+    assert read_ann_index(spark, path).codes.count() == base.count() + b1.count()
+
+
+def test_append_errors_when_centroids_artifact_is_empty(spark, tmp_path):
+    """r16 (r15 ADVICE): a NON-empty batch whose every row drains out
+    of ivf_assign (empty/corrupted centroids artifact) must raise, not
+    silently no-op as an 'empty batch' — while a genuinely empty batch
+    stays a silent no-op."""
+    from pandas_aws_spark.operators import genstore
+
+    emb, base, b1, _ = _splits(spark)
+    path = str(tmp_path / "idx")
+    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    # genuinely empty batch: still a no-op
+    append_ann_index(b1.limit(0), path, batch_id="empty")
+    # corrupt the stored centroids: overwrite with a zero-row frame
+    root = genstore.current_root(spark, path)
+    cents = spark.read.parquet(f"{root}/centroids")
+    spark.createDataFrame([], cents.schema).write.mode("overwrite").parquet(
+        f"{root}/centroids"
+    )
+    with pytest.raises(ValueError, match="cell assignment"):
+        append_ann_index(b1, path, batch_id="b1")

@@ -894,3 +894,53 @@ def test_cluster_labels_compose_with_vacuum_and_repeat_compaction(spark, tmp_pat
     )
     assert g2 == want  # b2's delta landed in gen 2's dir before gen 3 froze it
     assert read_dedup_index(spark, path, generation=2).packs.count() > 0
+
+
+def test_index_pair_helpers_match_reshingle_pipelines(spark, tmp_path):
+    """r16: `index_self_near_dup_pairs` / `index_cross_near_dup_pairs`
+    compute pairs from index FRAMES instead of re-shingling the
+    documents — the pair sets AND the jaccard doubles must equal the
+    re-shingle pipelines exactly (sorted vs unsorted packs is the only
+    difference, and packed jaccard is order-insensitive)."""
+    from pandas_aws_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        index_cross_near_dup_pairs,
+        index_self_near_dup_pairs,
+        indexed_near_dup_pairs,
+        minhash_near_dup_pairs,
+        read_dedup_index,
+        release_cached_inputs,
+        write_dedup_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 8 == 0)
+    recipe = dict(shingle_k=3, n_hashes=8, bands=4)
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
+    stored = read_dedup_index(spark, path)
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+    got_self = rows(index_self_near_dup_pairs(stored, threshold=0.8))
+    want_self_df = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.8, **recipe)
+    want_self = rows(want_self_df)
+    release_cached_inputs(want_self_df)
+    assert got_self == want_self and got_self  # non-vacuous: pairs exist
+
+    delta = build_dedup_index(batch, "doc_id", "text", **recipe)
+    got_cross = rows(index_cross_near_dup_pairs(delta, stored, threshold=0.8))
+    want_cross_df = indexed_near_dup_pairs(batch, stored, "text", threshold=0.8)
+    want_cross = rows(want_cross_df)
+    release_cached_inputs(want_cross_df)
+    assert got_cross == want_cross and got_cross
+    # recipe pinning: a mismatched delta is rejected before any scan
+    bad = build_dedup_index(batch, "doc_id", "text", shingle_k=4, n_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        index_cross_near_dup_pairs(bad, stored, threshold=0.8)
+    bad.release_cache()
+    append_dedup_index(delta, path, batch_id="b1")  # releases delta's cache

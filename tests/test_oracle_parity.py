@@ -1,15 +1,38 @@
-"""The local mirror of the driver's correctness gate: every registered
-query's PySpark result must match its DuckDB oracle bit-for-bit at
-sf0.001 (fast); ``tools/check_parity.py`` runs the same at sf0.01."""
+"""The local mirror of the driver's correctness gate: registered
+queries' PySpark results must match their DuckDB oracles bit-for-bit
+at sf0.001 (fast); ``tools/check_parity.py`` runs the same at sf0.01.
+
+Default scope (r16, the r15 verdict's ask #1 — the driver's pytest
+window expired at ~40% of a 50-minute suite, and verification that
+cannot finish attests nothing): the DRIVER'S OWN 50-slot verification
+window (``derive_driver_window()`` — never-verified entries first,
+then this round's rewritten plans, then oldest evidence) plus every
+headline entry. That is exactly the set whose hashes the next
+CORRECTNESS file re-attests, i.e. the highest-value oracle coverage
+per minute; every other entry holds green on-disk evidence from a
+prior round's CORRECTNESS file (the rotation's invariant). The FULL
+240-entry sweep is unchanged and one switch away:
+
+    PANDAS_AWS_FULL_PARITY=1 python -m pytest tests/test_oracle_parity.py
+    python tools/check_parity.py            # the sf0.01 variant
+"""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 from pandas_aws_spark.oracle import check_query, duckdb_connection
-from pandas_aws_spark.registry import load_registry
+from pandas_aws_spark.registry import derive_driver_window, load_registry
 
 REGISTRY = load_registry()
+
+_FULL = os.environ.get("PANDAS_AWS_FULL_PARITY", "") == "1"
+_DEFAULT = set(derive_driver_window()) | {
+    n for n, s in REGISTRY.items() if s.headline
+}
+_SCOPE = sorted(REGISTRY) if _FULL else sorted(_DEFAULT & set(REGISTRY))
 
 
 @pytest.fixture(scope="module")
@@ -19,7 +42,22 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_default_scope_is_driver_window_plus_headline():
+    """The subset contract stays honest: the default parametrization is
+    exactly the driver's window union the headline set — if the window
+    derivation changes, this test recomputes with it; if an entry is in
+    neither, it relies on prior-round CORRECTNESS evidence, which
+    ``derive_driver_window`` rotates by staleness."""
+    if _FULL:
+        assert set(_SCOPE) == set(REGISTRY)
+    else:
+        assert set(_SCOPE) == (set(derive_driver_window()) | {
+            n for n, s in REGISTRY.items() if s.headline
+        })
+        assert len(_SCOPE) >= 50
+
+
+@pytest.mark.parametrize("name", _SCOPE)
 def test_query_matches_oracle(spark, con, sf_dir, name):
     spec = REGISTRY[name]
     res = check_query(spark, con, name, spec.fn, spec.oracle, sf_dir)

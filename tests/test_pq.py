@@ -288,3 +288,102 @@ def test_pq_train_init_is_first_k_ids_subvectors(spark):
             expect = [float(x) for x in vecs[vid][sub * d : (sub + 1) * d]]
             assert cb[(sub, rank)] == expect, (vid, sub)
     assert len(cb) == k * M
+
+
+def test_argmin_via_array_min_matches_fold_semantics(spark):
+    """r16: ``_argmin_code`` became a single-reference ``array_min``
+    over the (d, cid) structs. The replaced r15 fold implemented the
+    total-order struct minimum (d asc, then cid asc, NaN greatest,
+    NaN == NaN) — assert array_min agrees with an inline copy of that
+    fold on ties, NaN distances, singletons and the empty array."""
+    from pandas_aws_spark.operators.pq import _argmin_code
+
+    cases = [
+        [(2.0, 3), (1.0, 7), (1.0, 2)],          # tie on d -> smaller cid
+        [(float("nan"), 1), (5.0, 9)],            # NaN ranks greatest
+        [(float("nan"), 4), (float("nan"), 2)],   # all-NaN -> smaller cid
+        [(0.0, 11)],                              # singleton
+        [],                                       # empty -> NULL
+    ]
+    rows = [([{"d": d, "cid": c} for d, c in case],) for case in cases]
+    df = spark.createDataFrame(rows, "scored array<struct<d:double,cid:int>>")
+
+    def old_fold(scored):
+        return F.aggregate(
+            F.slice(scored, 2, F.size(scored)),
+            F.get(scored, 0),
+            lambda acc, c: F.when(
+                (c["d"] < acc["d"]) | ((c["d"] == acc["d"]) & (c["cid"] < acc["cid"])), c
+            ).otherwise(acc),
+        )["cid"]
+
+    got = df.select(
+        _argmin_code(F.col("scored")).alias("new"), old_fold(F.col("scored")).alias("old")
+    ).collect()
+    assert [r.new for r in got] == [r.old for r in got] == [2, 9, 2, 11, None]
+
+
+def test_lloyd_mean_update_bit_identical_to_whole_vector_fold(spark):
+    """r16 (the r15 verdict's ask #4): the Lloyd mean update regrouped
+    per (cell, position) with driver-side array assembly, bounding the
+    per-group aggregation buffer at O(members) scalars. The trained
+    centroids must be BIT-identical to the r15 whole-vector
+    collect_list computation — asserted by recomputing the r15
+    expression inline over the same assignment."""
+    from pandas_aws_spark.functions.vector import as_double
+    from pandas_aws_spark.operators.similarity import ivf_assign, kmeans_fit
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {r.centroid_id: r.embedding for r in kmeans_fit(emb, k=4, iters=2).collect()}
+
+    # replay: one manual Lloyd round chain using the r15 whole-vector shape
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.row_number()
+            .over(__import__("pyspark").sql.Window.partitionBy(F.lit(1)).orderBy("vec_id"))
+            .alias("centroid_id"),
+            as_double("embedding").alias("embedding"),
+        )
+    )
+    schema = "centroid_id int, embedding array<double>"
+    for _ in range(2):
+        assigned = ivf_assign(emb, cent)
+        means = (
+            assigned.groupBy("cell")
+            .agg(F.collect_list(as_double("embedding")).alias("vs"))
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.get("vs", 0)) - 1),
+                    lambda p: F.aggregate(
+                        F.array_sort(F.transform("vs", lambda v: F.get(v, p))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.size("vs"),
+                ).alias("embedding"),
+            )
+        )
+        cent = spark.createDataFrame(means.collect(), schema=schema)
+    want = {r.centroid_id: r.embedding for r in cent.collect()}
+    assert got == want  # exact float equality — same sorted fold, same multiset
+
+
+def test_training_persists_are_released(spark):
+    """r16 (the r15 verdict's ask #3): the training-scoped persists in
+    pq_train / kmeans_fit / ivf_pq_build_full must all be released
+    before return — no persistent RDD may outlive the call (the r12
+    cache-release protocol)."""
+    from pandas_aws_spark.operators.pq import ivf_pq_build_full
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pq_train(emb, m=M, k=4, iters=1)
+    cents, cb, codes, vectors = ivf_pq_build_full(
+        emb, n_centroids=4, m=M, k_codes=4, iters=1, coarse="kmeans", coarse_iters=1
+    )
+    codes.write.format("noop").mode("overwrite").save()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)

@@ -80,6 +80,11 @@ def normalize(plan: str, audit: list[str] | None = None) -> str:
     negatives are inspectable (r9 ADVICE)."""
     p = plan
     p = re.sub(r"#\d+L?", "#N", p)  # expression ids
+    # physical plan_id counters (r16: Exchange/Subquery reuse markers
+    # carry a session-global counter — rendering noise, not a plan
+    # change; two same-code dumps differ in it whenever earlier entries
+    # planned a different number of nodes)
+    p = re.sub(r"plan_id=\d+", "plan_id=N", p)
     # Lambda-variable counters ONLY (r9 ADVICE: the old blanket
     # `name_\d+` collapsed distinct real columns like col_1/col_2).
     # Spark renders higher-order-function variables as `<arg>_<n>#id`;

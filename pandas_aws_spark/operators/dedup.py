@@ -1160,6 +1160,52 @@ def index_cross_near_dup_pairs(
     return _verify_jaccard_from_packs(cand, delta.packs, index.packs, id_col, threshold)
 
 
+def index_batch_near_dup_pairs(
+    delta: DedupIndex, index: DedupIndex, *, threshold: float = 0.8
+) -> DataFrame:
+    """The ingest step's FULL pair contribution — batch-vs-index union
+    batch-internal — in ONE candidate join and ONE verify pass (r16,
+    guide §2.4/§5): the delta's postings probe the stored postings and
+    their own in a single band join (the self side additionally
+    constrained to ``id_a < id_b``, exactly
+    :func:`index_self_near_dup_pairs`'s ordering), and one packed
+    verify reads ``id_a`` from the delta packs and ``id_b`` from the
+    stored-union-delta packs (ids disjoint by the append contract, so
+    each ``id_b`` matches exactly one pack — the same rows the two
+    separate verifies joined). Pair set and jaccard doubles are
+    bit-identical to ``index_cross_near_dup_pairs(delta, index) UNION
+    index_self_near_dup_pairs(delta)`` — the pre-r16 composition at
+    every ingest call site paid two candidate joins, two distincts and
+    four pack joins for the same result. Recipe equality asserted like
+    the composed operators."""
+    if delta.params != index.params:
+        raise ValueError(
+            f"index recipe mismatch: delta {delta.params} vs stored {index.params}"
+        )
+    id_col = index.params["id_col"]
+    bb = delta.buckets.alias("a")
+    be = (
+        index.buckets.withColumn("_from_stored", F.lit(True))
+        .unionByName(delta.buckets.withColumn("_from_stored", F.lit(False)))
+        .alias("b")
+    )
+    cand = (
+        bb.join(
+            be,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (
+                F.col("b._from_stored")
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    packs_b = index.packs.unionByName(delta.packs)
+    return _verify_jaccard_from_packs(cand, delta.packs, packs_b, id_col, threshold)
+
+
 def release_cached_inputs(df: DataFrame) -> None:
     """Unpersist the intermediate frames a dedup search cached while
     building ``df``'s plan (currently: the fused per-doc minhash row
@@ -1662,10 +1708,15 @@ def connected_components(
                 "label",
             )
         )
-        # checkpoint FIRST: the convergence count and the next
-        # iteration's join both read the materialized result, instead
-        # of recomputing the join+groupBy lineage twice per round.
-        cp = new_labels.localCheckpoint()
+        # LAZY checkpoint folded into the convergence count (r16,
+        # guide §5 driver overhead): the count is a full scan of every
+        # partition, so it both materializes the checkpoint and
+        # returns the scalar in ONE job — the eager variant ran a
+        # checkpoint job plus a count job per round, and each CC round
+        # is pure driver-latency at the rep-graph sizes the merge path
+        # feeds (the next round's join reads the now-persisted rows,
+        # exactly as before).
+        cp = new_labels.localCheckpoint(eager=False)
         changed = cp.filter(F.col("new_label") != F.col("label")).count()
         labels = cp.select("node", F.col("new_label").alias("label"))
         if changed == 0:
@@ -1864,17 +1915,20 @@ def _cluster_merge_delta(pairs, raw, *, max_iter: int):
         # current label of each endpoint: filter the stored rows down
         # to the endpoints FIRST (broadcast semi-probe — no shuffle of
         # the label artifact), then latest-seq-wins over that small set
+        # LAZY checkpoints (r16, guide §5): the first consumer's job
+        # materializes and pins the rows; the eager variant spent one
+        # extra driver job per checkpoint on frames of O(batch) rows.
         touched = (
             raw.join(F.broadcast(ids), "doc_id")
             .groupBy("doc_id")
             .agg(F.max_by("cluster_id", "seq").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = raw.agg(F.max("seq").alias("m")).first()
         seq = int(row["m"] or 0) + 1
     else:
         touched = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).limit(0)
-        touched = touched.localCheckpoint()
+        touched = touched.localCheckpoint(eager=False)
         seq = 1
     ta = touched.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("ru"))
     tb = touched.select(F.col("doc_id").alias("v"), F.col("cluster_id").alias("rv"))
@@ -1887,7 +1941,9 @@ def _cluster_merge_delta(pairs, raw, *, max_iter: int):
         )
     )
     # CC over representatives only — O(new pairs + touched clusters)
-    mini = connected_components(rep_edges, max_iter=max_iter).localCheckpoint()
+    mini = connected_components(rep_edges, max_iter=max_iter).localCheckpoint(
+        eager=False
+    )
     reps = mini.select(
         F.col("doc_id").alias("rep"), F.col("cluster_id").alias("new_label")
     )

@@ -711,7 +711,7 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         append_dedup_index,
         build_dedup_index,
-        index_cross_near_dup_pairs,
+        index_batch_near_dup_pairs,
         index_self_near_dup_pairs,
         init_cluster_labels,
         merge_cluster_labels,
@@ -745,13 +745,13 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair scans — the pre-r16 loop shingled each batch three times
         # (indexed_near_dup_pairs, minhash_near_dup_pairs, and the
         # append's own build). Pair sets and jaccard doubles are
-        # bit-identical (sorted vs unsorted packs only).
+        # bit-identical (sorted vs unsorted packs only). Cross +
+        # internal pairs come from ONE fused candidate join + verify
+        # pass (index_batch_near_dup_pairs, r16 batch 2).
         delta = build_dedup_index(batch, "doc_id", "text", **recipe)
-        cross = index_cross_near_dup_pairs(delta, stored, threshold=0.8)
-        internal = index_self_near_dup_pairs(delta, threshold=0.8)
         merge_cluster_labels(
-            cross.select("id_a", "id_b").unionByName(
-                internal.select("id_a", "id_b")
+            index_batch_near_dup_pairs(delta, stored, threshold=0.8).select(
+                "id_a", "id_b"
             ),
             path,
             batch_id=bid,
@@ -886,7 +886,7 @@ def q_dedup_cluster_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_dedup_index,
         build_dedup_index,
         compact_dedup_index,
-        index_cross_near_dup_pairs,
+        index_batch_near_dup_pairs,
         index_self_near_dup_pairs,
         init_cluster_labels,
         merge_cluster_labels,
@@ -911,11 +911,9 @@ def q_dedup_cluster_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batch, bid in ((b1, "b1"), (b2, "b2")):
         stored = read_dedup_index(spark, path)
         delta = build_dedup_index(batch, "doc_id", "text", **recipe)
-        cross = index_cross_near_dup_pairs(delta, stored, threshold=0.8)
-        internal = index_self_near_dup_pairs(delta, threshold=0.8)
         merge_cluster_labels(
-            cross.select("id_a", "id_b").unionByName(
-                internal.select("id_a", "id_b")
+            index_batch_near_dup_pairs(delta, stored, threshold=0.8).select(
+                "id_a", "id_b"
             ),
             path,
             batch_id=bid,

@@ -516,8 +516,7 @@ def stream_dedup_ingest(
     from ..operators.dedup import (
         append_dedup_index,
         build_dedup_index,
-        index_cross_near_dup_pairs,
-        index_self_near_dup_pairs,
+        index_batch_near_dup_pairs,
         merge_cluster_labels,
         read_dedup_index,
     )
@@ -539,12 +538,12 @@ def stream_dedup_ingest(
         # pre-r16 triple evaluation (sorted vs unsorted packs only).
         delta = build_dedup_index(batch_df, p["id_col"], text_col, **recipe)
         if maintain_clusters:
-            cross = index_cross_near_dup_pairs(delta, stored, threshold=threshold)
-            internal = index_self_near_dup_pairs(delta, threshold=threshold)
+            # cross + internal pairs from ONE fused candidate join +
+            # verify pass (index_batch_near_dup_pairs, r16 batch 2)
             merge_cluster_labels(
-                cross.select("id_a", "id_b").unionByName(
-                    internal.select("id_a", "id_b")
-                ),
+                index_batch_near_dup_pairs(
+                    delta, stored, threshold=threshold
+                ).select("id_a", "id_b"),
                 index_path,
                 batch_id=bid,
             )

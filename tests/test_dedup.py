@@ -944,3 +944,50 @@ def test_index_pair_helpers_match_reshingle_pipelines(spark, tmp_path):
         index_cross_near_dup_pairs(bad, stored, threshold=0.8)
     bad.release_cache()
     append_dedup_index(delta, path, batch_id="b1")  # releases delta's cache
+
+
+def test_index_batch_pairs_match_cross_union_self(spark, tmp_path):
+    """r16 batch 2: `index_batch_near_dup_pairs` (one fused candidate
+    join + one verify pass) must equal `index_cross_near_dup_pairs(
+    delta, index) UNION index_self_near_dup_pairs(delta)` pair-for-pair
+    including the jaccard doubles — it is the ingest loops' pair source
+    (cluster entries + stream_dedup_ingest), so any drift here is a
+    label drift."""
+    from pandas_aws_spark.operators.dedup import (
+        build_dedup_index,
+        index_batch_near_dup_pairs,
+        index_cross_near_dup_pairs,
+        index_self_near_dup_pairs,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 8 == 0)
+    recipe = dict(shingle_k=3, n_hashes=8, bands=4)
+    path = str(tmp_path / "idx")
+    write_dedup_index(build_dedup_index(corpus, "doc_id", "text", **recipe), path)
+    stored = read_dedup_index(spark, path)
+    delta = build_dedup_index(batch, "doc_id", "text", **recipe)
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+    got = rows(index_batch_near_dup_pairs(delta, stored, threshold=0.8))
+    want = sorted(
+        rows(index_cross_near_dup_pairs(delta, stored, threshold=0.8))
+        + rows(index_self_near_dup_pairs(delta, threshold=0.8))
+    )
+    assert got == want and got  # non-vacuous: pairs exist
+    # the cross and self contributions are both present (non-vacuous
+    # fusion: at least one pair from each side of the union)
+    batch_ids = {r[0] for r in rows(index_self_near_dup_pairs(delta, threshold=0.8))}
+    assert batch_ids  # internal pairs exist in this split
+    # recipe pinning mirrors the composed operators
+    bad = build_dedup_index(batch, "doc_id", "text", shingle_k=4, n_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        index_batch_near_dup_pairs(bad, stored, threshold=0.8)
+    bad.release_cache()
+    delta.release_cache()

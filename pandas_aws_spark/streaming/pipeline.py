@@ -497,9 +497,10 @@ def stream_dedup_ingest(
 
     ``maintain_clusters=True`` keeps the persisted duplicate-cluster
     labels current as the stream lands: per micro-batch, the
-    batch-vs-index pairs (``index_cross_near_dup_pairs`` — the batch
-    delta's band postings against the stored ones, no corpus text
-    scan) union the batch-internal pairs
+    batch-vs-index pairs union the batch-internal pairs — ONE fused
+    candidate join + verify pass (``index_batch_near_dup_pairs``, the
+    batch delta's band postings against the stored-union-delta ones,
+    no corpus text scan) —
     feed ``merge_cluster_labels``, whose union-merge touches only the
     components the new pairs reach (O(batch + touched)). The merge
     runs BEFORE the append, mirroring the batch entry

@@ -30,3 +30,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def query_frames(spark, sf_dir):
+    """Every registry entry's DataFrame, built ONCE per test session
+    (r16, the r15 verdict's ask #1 — suite wall time): building a
+    lifecycle entry EXECUTES its index writes/merges, and the repo-wide
+    plan gates (cartesian, unpartitioned-window, NLJ audit) plus the
+    entry smoke test each re-built — and therefore re-executed — all
+    ~240 entries, four full sweeps per run. One shared build preserves
+    every assertion (the gates inspect plans, the NLJ audit executes
+    the SAME frames) at a quarter of the cost. Scratch dirs are
+    per-entry mkdtemp, so frames stay valid for the whole session."""
+    from pandas_aws_spark.registry import load_registry
+
+    return {
+        name: spec.fn(spark, sf_dir)
+        for name, spec in sorted(load_registry().items())
+    }

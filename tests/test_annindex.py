@@ -41,13 +41,63 @@ def _rows(df):
     return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
 
 
-def test_stored_search_equals_in_memory_search(spark, tmp_path):
+@pytest.fixture(scope="session")
+def _pristine_ann_indexes(spark, tmp_path_factory):
+    """Build-once/copy-many pristine index artifacts (r16, suite wall
+    time): most tests here open on the SAME deterministic base build
+    (sorted-fold training, id-ordered init — byte-equivalent artifacts
+    every time), so the session builds each distinct recipe once and
+    every test copies the directory into its own tmp dir and mutates
+    the COPY. The artifact layout is path-relative (empty `_committed`
+    markers, Hive batch dirs), so a copied tree is indistinguishable
+    from a fresh build. Built lazily — only recipes a selected test
+    asks for are trained."""
+    import shutil
+
+    root = tmp_path_factory.mktemp("pristine_ann")
+    built: dict[str, str] = {}
+
+    def get(key: str, dest: str) -> str:
+        if key not in built:
+            emb, base, _, _ = _splits(spark)
+            src = str(root / key)
+            if key == "base":
+                write_ann_index(build_ann_index(base, **_RECIPE), src)
+            elif key == "emb_label":
+                write_ann_index(
+                    build_ann_index(emb, **_RECIPE, payload_cols=("label",)), src
+                )
+            elif key == "base_label":
+                write_ann_index(
+                    build_ann_index(base, **_RECIPE, payload_cols=("label",)), src
+                )
+            else:  # pragma: no cover - fixture misuse
+                raise KeyError(key)
+            built[key] = src
+        shutil.copytree(built[key], dest)
+        return dest
+
+    return get
+
+
+@pytest.fixture()
+def make_index(_pristine_ann_indexes, tmp_path):
+    """Per-test handle: `path = make_index()` replaces the
+    build+write boilerplate with a pristine copy in this test's tmp
+    dir (keys: base | emb_label | base_label)."""
+
+    def mk(key: str = "base", name: str = "idx") -> str:
+        return _pristine_ann_indexes(key, str(tmp_path / name))
+
+    return mk
+
+
+def test_stored_search_equals_in_memory_search(spark, tmp_path, make_index):
     """Parquet round-trip is exact for the index frames: searching the
     read-back index is bit-identical to ivf_pq_topk over the same
     corpus with per-call training."""
     emb, base, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     stored = read_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 3)
     got = _rows(ann_index_topk(q, stored, **_SEARCH))
@@ -55,13 +105,12 @@ def test_stored_search_equals_in_memory_search(spark, tmp_path):
     assert got == want
 
 
-def test_append_ingests_without_retraining_and_finds_new_vectors(spark, tmp_path):
+def test_append_ingests_without_retraining_and_finds_new_vectors(spark, tmp_path, make_index):
     """An appended exact duplicate of a base vector is found at rank 1
     with l2sq_fp == 0 — proof the appended batch entered the probed
     cells and the re-rank side."""
     emb, base, b1, b2 = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     append_ann_index(b1, path, batch_id="b1")
     append_ann_index(b2, path, batch_id="b2")
     stored = read_ann_index(spark, path)
@@ -78,13 +127,12 @@ def test_append_ingests_without_retraining_and_finds_new_vectors(spark, tmp_path
     assert top[0].neighbor_id == 100005 and top[0].l2sq_fp == 0
 
 
-def test_append_retry_is_idempotent(spark, tmp_path):
+def test_append_retry_is_idempotent(spark, tmp_path, make_index):
     """Retrying an append with the SAME batch_id overwrites that
     batch's subdirectories: row counts and search results converge to
     the single-append state (exactly-once ingest under retries)."""
     emb, base, b1, b2 = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     append_ann_index(b1, path, batch_id="b1")
     append_ann_index(b2, path, batch_id="b2")
     q = emb.filter(F.col("vec_id") < 3)
@@ -97,7 +145,7 @@ def test_append_retry_is_idempotent(spark, tmp_path):
     assert _rows(ann_index_topk(q, retried, **_SEARCH)) == want
 
 
-def test_orphan_vectors_batch_is_inert(spark, tmp_path):
+def test_orphan_vectors_batch_is_inert(spark, tmp_path, make_index):
     """Crash between the two per-batch writes leaves vectors WITHOUT
     codes (vectors are written FIRST by contract). No code row ever
     shortlists the orphans, so search results are unchanged — the
@@ -108,8 +156,7 @@ def test_orphan_vectors_batch_is_inert(spark, tmp_path):
     from pandas_aws_spark.operators.similarity import ivf_assign
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     q = emb.filter(F.col("vec_id") < 3)
     want = _rows(ann_index_topk(q, read_ann_index(spark, path), **_SEARCH))
     # simulated crash: only the vectors half of batch b1 landed
@@ -133,13 +180,12 @@ def test_orphan_vectors_batch_is_inert(spark, tmp_path):
     assert healed.codes.count() == base.count() + b1.count()
 
 
-def test_base_rewrite_clears_stale_appended_batches(spark, tmp_path):
+def test_base_rewrite_clears_stale_appended_batches(spark, tmp_path, make_index):
     """Re-initializing an index path that previously received appends
     must not union stale batch rows into the new index (r8 ADVICE,
     medium — same fix as the dedup writer)."""
     _, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     append_ann_index(b1, path, batch_id="b1")
     assert read_ann_index(spark, path).codes.count() == base.count() + b1.count()
     write_ann_index(build_ann_index(base, **_RECIPE), path)  # rebuild
@@ -148,14 +194,13 @@ def test_base_rewrite_clears_stale_appended_batches(spark, tmp_path):
     assert rebuilt.vectors.count() == base.count()
 
 
-def test_batch_id_validation_and_recipe_guard(spark, tmp_path):
+def test_batch_id_validation_and_recipe_guard(spark, tmp_path, make_index):
     """Hive-partition-unsafe batch ids are rejected (r8 ADVICE) in both
     index writers; appending wrong-dim vectors trips the recipe pin."""
     from pandas_aws_spark.operators.dedup import validate_batch_id
 
     _, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     for bad in ("b/1", "b=1", "b%201", "", "a b"):
         with pytest.raises(ValueError):
             validate_batch_id(bad)
@@ -218,7 +263,7 @@ def test_dedup_writer_rejects_unsafe_batch_ids(spark, tmp_path):
             append_dedup_index(delta, path, batch_id=bad)
 
 
-def test_filtered_search_pushes_predicate_and_is_exact_in_cells(spark, tmp_path):
+def test_filtered_search_pushes_predicate_and_is_exact_in_cells(spark, tmp_path, make_index):
     """Filtered ANN: the payload predicate must reach the codes parquet
     scan as a PushedFilter (candidate pruning AT THE SCAN), every
     returned neighbor must satisfy it, and the result must equal the
@@ -226,10 +271,7 @@ def test_filtered_search_pushes_predicate_and_is_exact_in_cells(spark, tmp_path)
     identical quantizers — proving the filter costs no in-cell recall
     (the post-shortlist-filter trap would fail this equality)."""
     emb, _, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("emb_label")
     stored = read_ann_index(spark, path)
     assert "label" in stored.codes.columns and "label" in stored.vectors.columns
     q = emb.filter(F.col("vec_id") < 3)
@@ -272,15 +314,12 @@ def test_filtered_search_pushes_predicate_and_is_exact_in_cells(spark, tmp_path)
     assert [tuple(r) for r in rows] == want
 
 
-def test_append_carries_payload_columns(spark, tmp_path):
+def test_append_carries_payload_columns(spark, tmp_path, make_index):
     """Appends must store the payload columns too, or filtered search
     would silently drop every appended row (inner filter on a missing
     column errors; a null-filled column would exclude them)."""
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("base_label")
     append_ann_index(b1, path, batch_id="b1")
     stored = read_ann_index(spark, path)
     n_l3 = emb.filter((F.col("label") == 3) & ((F.col("vec_id") % 4 != 0) | (F.col("vec_id") % 8 == 0))).count()
@@ -315,7 +354,7 @@ def test_index_search_plan_reads_only_index_files(spark, tmp_path):
     assert any("idx" in loc for loc in locations)
 
 
-def test_compact_ann_index_preserves_search_results(spark, tmp_path):
+def test_compact_ann_index_preserves_search_results(spark, tmp_path, make_index):
     """Compaction folds batch subdirs into one; rows are bit-identical
     so search results are unchanged, and the layout really collapses
     (exactly one batch directory remains)."""
@@ -324,8 +363,7 @@ def test_compact_ann_index_preserves_search_results(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import compact_ann_index
 
     emb, base, b1, b2 = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     append_ann_index(b1, path, batch_id="b1")
     append_ann_index(b2, path, batch_id="b2")
     q = emb.filter(F.col("vec_id") < 3)
@@ -389,7 +427,7 @@ def test_compact_dedup_index_preserves_matches(spark, tmp_path):
     assert after == before and before  # non-empty and identical
 
 
-def test_tombstone_delete_lifecycle(spark, tmp_path):
+def test_tombstone_delete_lifecycle(spark, tmp_path, make_index):
     """r11 deletion-ledger semantics (r10 verdict ask #4 — the
     resurrection edge closed): a tombstoned id disappears from reads,
     stays dead when re-appended BEFORE compaction, stays dead when
@@ -405,8 +443,7 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
     )
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     n = base.count()
     victims = base.filter(F.col("vec_id") % 10 == 7)
     n_victims = victims.count()
@@ -449,7 +486,7 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
     assert read_ann_index(spark, path).codes.filter(f"vec_id = {vid}").count() == 0
 
 
-def test_compact_without_retention_forgets_exclusions(spark, tmp_path):
+def test_compact_without_retention_forgets_exclusions(spark, tmp_path, make_index):
     """retain_tombstones=False is the bulk-dedup-drop workflow: the
     physical removal still happens but the exclusion list is
     deliberately forgotten, so a later legitimate re-ingest lands."""
@@ -461,8 +498,7 @@ def test_compact_without_retention_forgets_exclusions(spark, tmp_path):
     )
 
     emb, base, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     n = base.count()
     victims = base.filter(F.col("vec_id") % 10 == 7)
     n_victims = victims.count()
@@ -520,7 +556,7 @@ def test_dedup_tombstone_delete(spark, tmp_path):
     assert read_dedup_index(spark, path).packs.count() == 0
 
 
-def test_tombstones_compose_with_payload_filtered_search(spark, tmp_path):
+def test_tombstones_compose_with_payload_filtered_search(spark, tmp_path, make_index):
     """Deletion and payload filtering interact correctly: a filtered
     search never returns tombstoned ids, and compacting a
     payload-carrying index preserves both the payload columns and the
@@ -531,8 +567,7 @@ def test_tombstones_compose_with_payload_filtered_search(spark, tmp_path):
     )
 
     emb, _, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path)
+    path = make_index("emb_label")
     q = emb.filter(F.col("vec_id") < 3)
     pre = ann_index_topk(q, read_ann_index(spark, path), **_SEARCH, where="label = 3")
     pre_ids = {r.neighbor_id for r in pre.collect()}
@@ -555,7 +590,7 @@ def test_tombstones_compose_with_payload_filtered_search(spark, tmp_path):
     assert compacted_rows == post_rows
 
 
-def test_append_staleness_check_warns_on_drifted_stream_only(spark, tmp_path):
+def test_append_staleness_check_warns_on_drifted_stream_only(spark, tmp_path, make_index):
     """r10 verdict ask #2: the calibrated drift trigger is WIRED into
     the append path. append_ann_index(staleness_check=True) computes
     quantizer_staleness pre-append and warns when the occupancy-TV
@@ -569,8 +604,7 @@ def test_append_staleness_check_warns_on_drifted_stream_only(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import quantizer_staleness
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     clean = b1.withColumn("vec_id", F.col("vec_id") + 100_000)
     drifted = clean.withColumn("vec_id", F.col("vec_id") + 100_000).withColumn(
         "embedding",
@@ -604,7 +638,7 @@ def test_append_staleness_check_warns_on_drifted_stream_only(spark, tmp_path):
     )
 
 
-def test_stream_ann_ingest_staleness_check_end_to_end(spark, tmp_path):
+def test_stream_ann_ingest_staleness_check_end_to_end(spark, tmp_path, make_index):
     """r11 verdict ask #9: the drift trigger is reachable from the
     STREAMING ingest path, where drift actually arrives in production.
     stream_ann_ingest(staleness_check=True) runs the calibrated
@@ -617,8 +651,7 @@ def test_stream_ann_ingest_staleness_check_end_to_end(spark, tmp_path):
     from pandas_aws_spark.streaming.pipeline import stream_ann_ingest
 
     emb, base, b1, b2 = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
 
     clean = b1.withColumn("vec_id", F.col("vec_id") + 100_000)
     drifted = b2.withColumn("vec_id", F.col("vec_id") + 200_000).withColumn(
@@ -654,7 +687,7 @@ def test_stream_ann_ingest_staleness_check_end_to_end(spark, tmp_path):
     assert got == base.count() + b1.count() + b2.count()
 
 
-def test_delete_where_predicate_takedown(spark, tmp_path):
+def test_delete_where_predicate_takedown(spark, tmp_path, make_index):
     """Predicate delete (r12): every LIVE id matching a payload/id
     predicate is tombstoned in one op — matched set resolved from the
     stored codes frame, pinned before the ledger write, budget and
@@ -665,10 +698,7 @@ def test_delete_where_predicate_takedown(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import delete_from_ann_index_where
 
     emb = _emb(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("emb_label")
     total = read_ann_index(spark, path).codes.count()
     want = emb.filter("label = 2 OR vec_id % 50 = 3").count()
     assert want > 0
@@ -698,7 +728,7 @@ def test_delete_where_predicate_takedown(spark, tmp_path):
         delete_from_ann_index_where(spark, path, "cell = 1", batch_id="p3")
 
 
-def test_snapshot_read_time_travel(spark, tmp_path):
+def test_snapshot_read_time_travel(spark, tmp_path, make_index):
     """Snapshot (time-travel) reads on the generation store (r12):
     compaction with retain_generations=2 keeps the predecessor
     generation readable via read_ann_index(generation=N) — frozen at
@@ -712,8 +742,7 @@ def test_snapshot_read_time_travel(spark, tmp_path):
     )
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)  # gen 1
+    path = make_index()  # gen 1
     n_base = base.count()
     victims = base.select("vec_id").orderBy("vec_id").limit(5)
     delete_from_ann_index(victims, path, batch_id="d1")
@@ -744,7 +773,7 @@ def test_snapshot_read_time_travel(spark, tmp_path):
         read_ann_index(spark, path, generation=1)
 
 
-def test_delete_where_retry_does_not_resurrect(spark, tmp_path):
+def test_delete_where_retry_does_not_resurrect(spark, tmp_path, make_index):
     """A retried predicate delete (same batch_id) must re-resolve the
     SAME id set its first attempt saw — its own possibly-partial
     tombstone rows are excluded from the fold — so the overwrite
@@ -756,8 +785,7 @@ def test_delete_where_retry_does_not_resurrect(spark, tmp_path):
     )
 
     emb = _emb(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path)
+    path = make_index("emb_label")
     full = emb.filter("label = 2").count()
     assert full > 1
 
@@ -777,7 +805,7 @@ def test_delete_where_retry_does_not_resurrect(spark, tmp_path):
     assert read_ann_index(spark, path).codes.filter("label = 2").count() == 0
 
 
-def test_delete_where_empty_match_retry_overwrites_stale_batch(spark, tmp_path):
+def test_delete_where_empty_match_retry_overwrites_stale_batch(spark, tmp_path, make_index):
     """The retry-converges-via-overwrite invariant must hold when the
     retry resolves ZERO matches: a crashed first attempt's partial
     tombstone batch under the same batch_id is overwritten with the
@@ -788,8 +816,7 @@ def test_delete_where_empty_match_retry_overwrites_stale_batch(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import delete_from_ann_index_where
 
     emb = _emb(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(emb, **_RECIPE, payload_cols=("label",)), path)
+    path = make_index("emb_label")
     total = read_ann_index(spark, path).codes.count()
 
     # simulate the crashed attempt: one stale row landed under pe1
@@ -872,7 +899,7 @@ def test_radius_search_exact_within_cells_with_literal_pushdown(spark, tmp_path)
     assert got == want
 
 
-def test_radius_search_current_after_stream_ingest(spark, tmp_path):
+def test_radius_search_current_after_stream_ingest(spark, tmp_path, make_index):
     """The decontamination-flags-stay-current wiring (r12 verdict ask
     #3): vectors appended by the STREAMING ingest path are visible to
     the next ann_index_radius probe — no rebuild, no re-bucketing, the
@@ -881,8 +908,7 @@ def test_radius_search_current_after_stream_ingest(spark, tmp_path):
     from pandas_aws_spark.streaming.pipeline import stream_ann_ingest
 
     emb, base, b1, b2 = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     queries = emb.filter(F.col("vec_id") % 4 == 0).limit(3)
 
     pre = (
@@ -907,7 +933,7 @@ def test_radius_search_current_after_stream_ingest(spark, tmp_path):
     assert post > pre, "streamed appends must surface in the next probe"
 
 
-def test_payload_schema_evolution_lifecycle(spark, tmp_path):
+def test_payload_schema_evolution_lifecycle(spark, tmp_path, make_index):
     """(r13, verdict ask #6) Appends may evolve the payload schema:
     a batch carrying a NEW metadata column extends payload_cols (older
     rows read back NULL), a batch MISSING a declared column is
@@ -918,10 +944,7 @@ def test_payload_schema_evolution_lifecycle(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import compact_ann_index
 
     emb, base, b1, b2 = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("base_label")
 
     # strict mode: extra column ignored, missing column rejected
     with pytest.raises(ValueError, match="payload_evolution=True"):
@@ -980,7 +1003,7 @@ def test_payload_schema_evolution_lifecycle(spark, tmp_path):
     assert after_idx.params["payload_cols"] == "label,src"
 
 
-def test_params_swap_repair_after_interrupted_evolution(spark, tmp_path):
+def test_params_swap_repair_after_interrupted_evolution(spark, tmp_path, make_index):
     """(r13 review) The evolution params swap must never brick the
     index: simulate a crash BETWEEN the two renames (params moved
     aside, tmp holding the new declaration) — the next read rolls the
@@ -991,8 +1014,7 @@ def test_params_swap_repair_after_interrupted_evolution(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import _read_params
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE, payload_cols=("label",)), path)
+    path = make_index("base_label")
     root = genstore.current_root(spark, path)
 
     # run a real evolution, then reconstruct the mid-swap crash state:
@@ -1079,7 +1101,7 @@ def test_parse_payload_types_legacy_and_json_round_trip():
     assert _parse_payload_types(None) == {}
 
 
-def test_params_repair_tolerates_lost_rename_race(spark, tmp_path, monkeypatch):
+def test_params_repair_tolerates_lost_rename_race(spark, tmp_path, monkeypatch, make_index):
     """(r14, r13 ADVICE) A reader racing another actor through the
     params swap repair can lose the roll-forward rename (it returns
     False because the other actor already completed it). The repair
@@ -1091,8 +1113,7 @@ def test_params_repair_tolerates_lost_rename_race(spark, tmp_path, monkeypatch):
     from pandas_aws_spark.operators.annindex import _read_params
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE, payload_cols=("label",)), path)
+    path = make_index("base_label")
     root = genstore.current_root(spark, path)
 
     b1e = b1.withColumn("src", (F.col("vec_id") % 5).cast("long"))
@@ -1184,7 +1205,7 @@ def test_written_layout_is_cell_clustered(spark, tmp_path):
         )
 
 
-def test_index_search_query_side_guard(spark, tmp_path):
+def test_index_search_query_side_guard(spark, tmp_path, make_index):
     """(r14, r13 verdict missing #5) The stored-index search paths
     broadcast the query/probe frame; both must enforce the same
     query-side cap as the brute-force paths — a clear in-plan error,
@@ -1193,8 +1214,7 @@ def test_index_search_query_side_guard(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import ann_index_radius
 
     emb, base, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     idx = read_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 10)
     with pytest.raises(Exception, match="query side exceeds"):
@@ -1275,7 +1295,7 @@ def test_rebuild_adaptive_centroids(spark, tmp_path):
     assert ann_index_topk(q, idx, **_SEARCH).count() > 0
 
 
-def test_topk_search_prunes_scans_to_probed_cells(spark, tmp_path):
+def test_topk_search_prunes_scans_to_probed_cells(spark, tmp_path, make_index):
     """(r14) ann_index_topk collects the union of probed cells and
     pushes it into BOTH stored scans (codes for ADC, vectors for the
     exact re-rank) as a literal cell IN (...) PushedFilter — with the
@@ -1286,8 +1306,7 @@ def test_topk_search_prunes_scans_to_probed_cells(spark, tmp_path):
     from pandas_aws_spark.operators.pq import ivf_pq_topk
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     append_ann_index(b1, path, batch_id="b1")
     stored = read_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 5)
@@ -1317,7 +1336,7 @@ def test_topk_search_prunes_scans_to_probed_cells(spark, tmp_path):
     assert _rows(hits) == _rows(want)
 
 
-def test_filtered_search_composes_with_cell_pruning(spark, tmp_path):
+def test_filtered_search_composes_with_cell_pruning(spark, tmp_path, make_index):
     """(r14) The where= payload predicate and the literal probed-cell
     filter reach the stored codes scan TOGETHER as pushed filters, and
     the filtered+pruned result is bit-equal to the unpruned delegate
@@ -1325,10 +1344,7 @@ def test_filtered_search_composes_with_cell_pruning(spark, tmp_path):
     from pandas_aws_spark.operators.pq import ivf_pq_topk
 
     emb, base, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("base_label")
     stored = read_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 5)
     hits = ann_index_topk(q, stored, **_SEARCH, where="label = 3")
@@ -1357,7 +1373,7 @@ def test_filtered_search_composes_with_cell_pruning(spark, tmp_path):
     assert _rows(hits) == _rows(want)
 
 
-def test_radius_where_filters_payload(spark, tmp_path):
+def test_radius_where_filters_payload(spark, tmp_path, make_index):
     """(r14 coverage) ann_index_radius(where=): radius has no top-k
     cutoff, so the payload-filtered result must equal EXACTLY the
     unfiltered result restricted to matching neighbors — and the
@@ -1366,10 +1382,7 @@ def test_radius_where_filters_payload(spark, tmp_path):
     from pandas_aws_spark.operators.annindex import ann_index_radius
 
     emb, base, _, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("base_label")
     stored = read_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 5)
     all_hits = ann_index_radius(q, stored, threshold=0.2, nprobe=2)
@@ -1593,17 +1606,14 @@ def test_session_default_matches_operator_in_threshold_ceiling():
     assert int(_BASE_CONF[_IN_FILTER_THRESHOLD_CONF]) == MAX_RECOMMENDED_CENTROIDS
 
 
-def test_append_validation_precedes_payload_evolution_swap(spark, tmp_path):
+def test_append_validation_precedes_payload_evolution_swap(spark, tmp_path, make_index):
     """r15 batch 3: the single-pass append validates the batch (empty /
     wrong-dim) BEFORE the payload-evolution params swap, matching the
     pre-r15 probe-first ordering — an invalid batch must not mutate the
     stored params or land any dirs, even when it carries new payload
     columns that would otherwise trigger the swap."""
     _, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(
-        build_ann_index(base, **_RECIPE, payload_cols=("label",)), path
-    )
+    path = make_index("base_label")
     before = read_ann_index(spark, path)
     assert before.params["payload_cols"] == "label"
     n_before = before.codes.count()
@@ -1646,14 +1656,13 @@ def test_append_validation_precedes_payload_evolution_swap(spark, tmp_path):
     assert final.codes.count() == n_before + b1.count()
 
 
-def test_append_rejects_duplicate_batch_ids(spark, tmp_path):
+def test_append_rejects_duplicate_batch_ids(spark, tmp_path, make_index):
     """r16 (r15 ADVICE): the map-side assignment keeps every row, so a
     batch violating the unique-id contract must fail loudly in the
     append's single stats job instead of landing duplicate stored
     rows (the pre-r15 window argmax silently collapsed them)."""
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     dup = b1.unionByName(b1.limit(1))
     with pytest.raises(ValueError, match="duplicate"):
         append_ann_index(dup, path, batch_id="dup")
@@ -1662,7 +1671,7 @@ def test_append_rejects_duplicate_batch_ids(spark, tmp_path):
     assert read_ann_index(spark, path).codes.count() == base.count() + b1.count()
 
 
-def test_append_errors_when_centroids_artifact_is_empty(spark, tmp_path):
+def test_append_errors_when_centroids_artifact_is_empty(spark, tmp_path, make_index):
     """r16 (r15 ADVICE): a NON-empty batch whose every row drains out
     of ivf_assign (empty/corrupted centroids artifact) must raise, not
     silently no-op as an 'empty batch' — while a genuinely empty batch
@@ -1670,8 +1679,7 @@ def test_append_errors_when_centroids_artifact_is_empty(spark, tmp_path):
     from pandas_aws_spark.operators import genstore
 
     emb, base, b1, _ = _splits(spark)
-    path = str(tmp_path / "idx")
-    write_ann_index(build_ann_index(base, **_RECIPE), path)
+    path = make_index()
     # genuinely empty batch: still a no-op
     append_ann_index(b1.limit(0), path, batch_id="empty")
     # corrupt the stored centroids: overwrite with a zero-row frame

@@ -28,18 +28,21 @@ def test_queries_and_oracles_consistent():
     assert set(os_) <= set(qs)
 
 
-def test_all_queries_return_dataframes(spark, sf_dir):
+def test_all_queries_return_dataframes(spark, sf_dir, query_frames):
     """Every registry fn builds a plan; driver-window entries must also
     emit scalar-only columns — the driver canonicalizes results with a
     pandas row sort, which cannot handle array/map/struct cells (the
-    r2 q_multimodal_frame_offsets failure mode)."""
+    r2 q_multimodal_frame_offsets failure mode). Frames come from the
+    shared session build (conftest.query_frames — the entry module's
+    queries() delegates to the same registry; the keyset equality below
+    keeps that delegation honest)."""
     from pyspark.sql import types as T
 
     from pandas_aws_spark.registry import _DRIVER_WINDOW
 
     window = set(_DRIVER_WINDOW)
-    for name, fn in entry_mod.queries().items():
-        df = fn(spark, sf_dir)
+    assert set(entry_mod.queries()) == set(query_frames)
+    for name, df in query_frames.items():
         assert df.schema is not None, name
         if name in window:
             complex_cols = [

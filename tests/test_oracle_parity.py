@@ -58,8 +58,16 @@ def test_default_scope_is_driver_window_plus_headline():
 
 
 @pytest.mark.parametrize("name", _SCOPE)
-def test_query_matches_oracle(spark, con, sf_dir, name):
+def test_query_matches_oracle(spark, con, sf_dir, name, query_frames):
     spec = REGISTRY[name]
-    res = check_query(spark, con, name, spec.fn, spec.oracle, sf_dir)
+    # Hash the frame the shared session build produced (r16 suite wall
+    # time — conftest.query_frames): spec.fn already ran once in this
+    # session; a lifecycle entry re-run would re-execute its whole
+    # index build/merge pipeline only to produce the same final read.
+    # Same function, same session, same deterministic artifacts — the
+    # oracle comparison is unchanged.
+    res = check_query(
+        spark, con, name, lambda s, d: query_frames[name], spec.oracle, sf_dir
+    )
     assert res.ok, f"{name}: {res.detail}"
     assert res.spark_rows >= 0

@@ -195,7 +195,7 @@ NLJ_ALLOWED: dict[str, int] = {
 # their scale safety is structural, so they left the NLJ allowlist.
 
 
-def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+def test_no_accidental_cartesian_anywhere(spark, sf_dir, query_frames):
     """Repo-wide guard: no registered query may plan a CartesianProduct,
     and nested-loop joins are allowed only where intended (the ANN
     scoring passes, which broadcast the small query side on purpose)."""
@@ -204,11 +204,11 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     streaming_prefixes = ("q_stream_",)  # streaming plans need execution; covered elsewhere
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
     skipped, bad = [], {}
-    for name, spec in sorted(load_registry().items()):
+    for name in sorted(load_registry()):
         if name.startswith(streaming_prefixes) or name.startswith(io_side_effects):
             skipped.append(name)
             continue
-        js = join_strategies(spec.fn(spark, sf_dir))
+        js = join_strategies(query_frames[name])
         if js.get("CartesianProduct", 0):
             bad[name] = dict(js)
         if js.get("BroadcastNestedLoopJoin", 0) and name not in NLJ_ALLOWED:
@@ -230,7 +230,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     assert len(skipped) < 31
 
 
-def test_nlj_allowlist_build_sides_are_tiny(spark, sf_dir):
+def test_nlj_allowlist_build_sides_are_tiny(spark, sf_dir, query_frames):
     """Executable audit of the NLJ allowlist (r4 verdict ask #7): run
     every allowlisted query and verify each BroadcastNestedLoopJoin's
     build side ACTUALLY broadcast at most its claimed row count — the
@@ -238,17 +238,16 @@ def test_nlj_allowlist_build_sides_are_tiny(spark, sf_dir):
     quietly shelter a corpus-sized broadcast."""
     from pandas_aws_spark.plans.inspect import bnlj_build_side_rows
 
-    reg = load_registry()
     bad = {}
     for name, cap in sorted(NLJ_ALLOWED.items()):
-        rows = bnlj_build_side_rows(reg[name].fn(spark, sf_dir))
+        rows = bnlj_build_side_rows(query_frames[name])
         over = [r for r in rows if r > cap]
         if over:
             bad[name] = {"cap": cap, "build_rows": rows}
     assert not bad, f"allowlisted NLJ build sides exceed their claimed caps: {bad}"
 
 
-def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir, query_frames):
     """Repo-wide guard (sibling of the cartesian gate above): no
     registered query may plan a Window with an empty partition spec
     over an unbounded input — that funnels the whole input through ONE
@@ -273,10 +272,10 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     streaming_prefixes = ("q_stream_",)
     io_side_effects = ("q_io_", "q_warehouse_", "q_upsert_", "q_multimodal_byte")
     bad = {}
-    for name, spec in sorted(load_registry().items()):
+    for name in sorted(load_registry()):
         if name.startswith(streaming_prefixes) or name.startswith(io_side_effects):
             continue
-        flagged = unpartitioned_windows(spec.fn(spark, sf_dir))
+        flagged = unpartitioned_windows(query_frames[name])
         if not flagged:
             continue
         marker = bounded_ok.get(name)
